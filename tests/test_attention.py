@@ -1,0 +1,65 @@
+"""Pallas fused attention vs the XLA reference, run in interpreter mode on
+CPU (kernel-exact on TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import vit_ed_tpu.ops.attention as attn_mod
+from vit_ed_tpu.ops.attention import fused_attention, reference_attention
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    monkeypatch.setattr(attn_mod, "_INTERPRET", True)
+
+
+@pytest.mark.parametrize("sq,sk", [(64, 64), (65, 64), (130, 257), (128, 128)])
+def test_forward_matches_reference(sq, sk):
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(2, 3, sq, 32)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(2, 3, sk, 32)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(2, 3, sk, 32)), jnp.float32)
+    out_ref = reference_attention(q, k, v)
+    out = fused_attention(q, k, v, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref), atol=1e-4)
+
+
+def test_cross_attention_shapes():
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.normal(size=(1, 2, 65, 16)), jnp.float32)  # CLS + 64
+    k = jnp.asarray(rng.normal(size=(1, 2, 64, 16)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(1, 2, 64, 16)), jnp.float32)
+    out = fused_attention(q, k, v, use_pallas=True)
+    out_ref = reference_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref), atol=2e-5)
+
+
+def test_gradients_match_reference():
+    rng = np.random.default_rng(2)
+    q = jnp.asarray(rng.normal(size=(1, 2, 64, 16)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(1, 2, 80, 16)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(1, 2, 80, 16)), jnp.float32)
+
+    def loss_pallas(q, k, v):
+        return jnp.sum(fused_attention(q, k, v, use_pallas=True) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(reference_attention(q, k, v) ** 2)
+
+    g_pallas = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gp, gr in zip(g_pallas, g_ref):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gr), atol=5e-4, rtol=1e-3)
+
+
+def test_bf16_path():
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.normal(size=(1, 1, 64, 32)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(1, 1, 64, 32)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(1, 1, 64, 32)), jnp.bfloat16)
+    out = fused_attention(q, k, v, use_pallas=True)
+    out_ref = reference_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(out_ref, np.float32), atol=3e-2)

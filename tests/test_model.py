@@ -1,0 +1,79 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vit_ed_tpu.models.vit_ed import ViTED
+from vit_ed_tpu.models.vit import ViT
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    m = ViTED(img_size=64, patch_size=32, num_classes=4, embed_dim=32,
+              depth=2, c_depth=2, num_heads=2, use_pallas=False)
+    x = jnp.zeros((2, 2, 64, 64, 3))
+    variables = m.init(jax.random.PRNGKey(0), x)
+    return m, variables
+
+
+def test_forward_shapes(tiny_model):
+    m, variables = tiny_model
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 2, 64, 64, 3)), jnp.float32)
+    out = m.apply(variables, x)
+    assert out.shape == (2, 4)
+
+
+def test_split_forward_matches_full(tiny_model):
+    """forward == forward_second_part(forward_first_part) — the encode-once
+    contract behind pair mining (reference vision_transformer.py:407-420)."""
+    m, variables = tiny_model
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(2, 2, 64, 64, 3)), jnp.float32)
+    full = m.apply(variables, x)
+    feats = m.apply(variables, x[:, 0], forward_first_part=True)
+    assert feats.shape == (2, 4, 32)  # no CLS token in encoder stream
+    split = m.apply(variables, feats, x[:, 1])
+    np.testing.assert_allclose(np.asarray(full), np.asarray(split), atol=1e-5)
+
+
+def test_score_tokens_matches_decode(tiny_model):
+    m, variables = tiny_model
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(2, 2, 64, 64, 3)), jnp.float32)
+    feats = m.apply(variables, x[:, 0], forward_first_part=True)
+    logits_a = m.apply(variables, feats, x[:, 1])
+    tokens = m.apply(variables, x[:, 1], method=ViTED.prepare_x2)
+    logits_b = m.apply(variables, feats, tokens, method=ViTED.score_tokens)
+    np.testing.assert_allclose(np.asarray(logits_a), np.asarray(logits_b), atol=1e-5)
+
+
+def test_pair_asymmetry(tiny_model):
+    """Scoring (a, b) must differ from (b, a) — directional labels depend
+    on pair order."""
+    m, variables = tiny_model
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(1, 2, 64, 64, 3)), jnp.float32)
+    ab = m.apply(variables, x)
+    ba = m.apply(variables, x[:, ::-1])
+    assert not np.allclose(np.asarray(ab), np.asarray(ba))
+
+
+def test_dropout_rngs():
+    m = ViTED(img_size=64, patch_size=32, num_classes=4, embed_dim=32,
+              depth=2, c_depth=2, num_heads=2, drop_path_rate=0.5, use_pallas=False)
+    x = jnp.ones((4, 2, 64, 64, 3))
+    variables = m.init(jax.random.PRNGKey(0), x)
+    out1 = m.apply(variables, x, train=True, rngs={"dropout": jax.random.PRNGKey(1)})
+    out2 = m.apply(variables, x, train=True, rngs={"dropout": jax.random.PRNGKey(2)})
+    # stochastic depth should make train-mode outputs differ across rngs
+    assert not np.allclose(np.asarray(out1), np.asarray(out2))
+    # eval mode is deterministic
+    e1 = m.apply(variables, x)
+    e2 = m.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e2))
+
+
+def test_plain_vit():
+    m = ViT(img_size=64, patch_size=32, num_classes=16, embed_dim=32,
+            depth=1, num_heads=2, use_pallas=False)
+    x = jnp.ones((2, 64, 64, 3))
+    variables = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(variables, x)
+    assert out.shape == (2, 16)

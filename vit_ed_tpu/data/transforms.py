@@ -1,0 +1,341 @@
+"""Native image transforms (PIL / numpy / cv2).
+
+Replaces the reference's torchvision + albumentations stack
+(/root/reference/data/transforms.py) with dependency-light equivalents that
+produce float32 NHWC arrays (TPU-native layout). Tensors are normalized with
+mean/std (0.5, 0.5, 0.5) exactly as the reference does everywhere.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image, ImageFilter
+
+from vit_ed_tpu.utils.misc import UnableToCrop
+
+
+# ---------------------------------------------------------------------------
+# array conversion
+# ---------------------------------------------------------------------------
+
+def to_tensor(img: Image.Image) -> np.ndarray:
+    """PIL -> float32 HWC in [0, 1] (torchvision ToTensor, but channel-last)."""
+    arr = np.asarray(img, dtype=np.float32) / 255.0
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    return arr
+
+
+def normalize(arr: np.ndarray, mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5)) -> np.ndarray:
+    mean = np.asarray(mean, np.float32)
+    std = np.asarray(std, np.float32)
+    return (arr - mean) / std
+
+
+def unnormalize(arr: np.ndarray, mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5)) -> np.ndarray:
+    """Reference UnNormalize (transforms.py:103-118)."""
+    mean = np.asarray(mean, np.float32)
+    std = np.asarray(std, np.float32)
+    return arr * std + mean
+
+
+# ---------------------------------------------------------------------------
+# geometric ops
+# ---------------------------------------------------------------------------
+
+def resize(img: Image.Image, size, interpolation=Image.BILINEAR) -> Image.Image:
+    """torchvision Resize semantics: int size resizes the SHORTER side."""
+    if isinstance(size, int):
+        w, h = img.size
+        if (w <= h and w == size) or (h <= w and h == size):
+            return img
+        if w < h:
+            return img.resize((size, int(size * h / w)), interpolation)
+        return img.resize((int(size * w / h), size), interpolation)
+    return img.resize((size[1], size[0]), interpolation)
+
+
+def center_crop(img: Image.Image, size) -> Image.Image:
+    if isinstance(size, int):
+        size = (size, size)
+    th, tw = size
+    w, h = img.size
+    if w < tw or h < th:
+        # pad with zeros like torchvision CenterCrop on short images
+        pad_w = max(tw - w, 0)
+        pad_h = max(th - h, 0)
+        new = Image.new(img.mode, (w + pad_w, h + pad_h))
+        new.paste(img, (pad_w // 2, pad_h // 2))
+        img = new
+        w, h = img.size
+    left = int(round((w - tw) / 2.0))
+    top = int(round((h - th) / 2.0))
+    return img.crop((left, top, left + tw, top + th))
+
+
+def random_crop(img: Image.Image, size, pad_if_needed=False, fill=0,
+                rng: Optional[random.Random] = None) -> Image.Image:
+    if isinstance(size, int):
+        size = (size, size)
+    th, tw = size
+    r = rng or random
+    w, h = img.size
+    if pad_if_needed and (w < tw or h < th):
+        pad_w = max(tw - w, 0)
+        pad_h = max(th - h, 0)
+        color = (fill,) * len(img.getbands()) if isinstance(fill, int) else fill
+        new = Image.new(img.mode, (w + pad_w, h + pad_h), color)
+        new.paste(img, (pad_w // 2, pad_h // 2))
+        img = new
+        w, h = img.size
+    if w == tw and h == th:
+        return img
+    left = r.randint(0, w - tw)
+    top = r.randint(0, h - th)
+    return img.crop((left, top, left + tw, top + th))
+
+
+class PadCenterCrop:
+    """transforms.py:39-58."""
+
+    def __init__(self, size, pad_if_needed=False, fill=0):
+        self.size = (int(size), int(size)) if isinstance(size, (int, float)) else size
+        self.pad_if_needed = pad_if_needed
+        self.fill = fill
+
+    def __call__(self, img):
+        return center_crop(img, self.size)
+
+
+class RandomSizedCrop:
+    """transforms.py:61-79 — random target size then random crop."""
+
+    def __init__(self, min_width, min_height, pad_if_needed=False, fill=0):
+        self.min_width = min_width
+        self.min_height = min_height
+        self.pad_if_needed = pad_if_needed
+        self.fill = fill
+
+    def __call__(self, img):
+        width, height = img.size
+        if self.min_width < img.width:
+            width = random.randint(self.min_width, img.width)
+        if self.min_height < img.height:
+            height = random.randint(self.min_height, img.height)
+        return random_crop(img, (height, width), pad_if_needed=self.pad_if_needed,
+                           fill=self.fill)
+
+
+class RandomResize:
+    """transforms.py:165-174."""
+
+    def __init__(self, img_size, ratio=(0.6, 1.0)):
+        self.ratio = ratio
+        self.img_size = img_size
+
+    def __call__(self, img):
+        ratio = random.uniform(self.ratio[0], self.ratio[1])
+        w, h = int(img.width * ratio), int(img.height * ratio)
+        return img.resize((w, h), Image.BILINEAR)
+
+
+def shift_scale_rotate(img: Image.Image, shift_limit=0.05, scale_limit=0.15,
+                       rotate_limit=20, p=0.5, border_value=None) -> Image.Image:
+    """albumentations ShiftScaleRotate equivalent (cv2 affine warp)."""
+    if random.random() >= p:
+        return img
+    import cv2
+
+    arr = np.asarray(img)
+    h, w = arr.shape[:2]
+    angle = random.uniform(-rotate_limit, rotate_limit)
+    scale = 1.0 + random.uniform(-scale_limit, scale_limit)
+    dx = random.uniform(-shift_limit, shift_limit) * w
+    dy = random.uniform(-shift_limit, shift_limit) * h
+    m = cv2.getRotationMatrix2D((w / 2, h / 2), angle, scale)
+    m[0, 2] += dx
+    m[1, 2] += dy
+    if border_value is None:
+        flags = cv2.BORDER_REFLECT_101
+        out = cv2.warpAffine(arr, m, (w, h), borderMode=flags)
+    else:
+        out = cv2.warpAffine(arr, m, (w, h), borderMode=cv2.BORDER_CONSTANT,
+                             borderValue=border_value)
+    return Image.fromarray(out)
+
+
+def rgb_shift(img: Image.Image, limit=15, p=0.5) -> Image.Image:
+    """albumentations RGBShift equivalent."""
+    if random.random() >= p:
+        return img
+    arr = np.asarray(img).astype(np.int16)
+    for c in range(min(3, arr.shape[-1])):
+        arr[..., c] += random.randint(-limit, limit)
+    return Image.fromarray(np.clip(arr, 0, 255).astype(np.uint8))
+
+
+def random_affine(img: Image.Image, degrees=5, translate=(0.1, 0.1), fill=0,
+                  p=1.0) -> Image.Image:
+    """torchvision RandomAffine equivalent (rotation + translation)."""
+    if random.random() >= p:
+        return img
+    import cv2
+
+    arr = np.asarray(img)
+    h, w = arr.shape[:2]
+    angle = random.uniform(-degrees, degrees)
+    tx = random.uniform(-translate[0], translate[0]) * w
+    ty = random.uniform(-translate[1], translate[1]) * h
+    m = cv2.getRotationMatrix2D((w / 2, h / 2), angle, 1.0)
+    m[0, 2] += tx
+    m[1, 2] += ty
+    out = cv2.warpAffine(arr, m, (w, h), borderMode=cv2.BORDER_CONSTANT,
+                         borderValue=(fill,) * 3 if isinstance(fill, int) else fill)
+    return Image.fromarray(out)
+
+
+def color_jitter(img: Image.Image, brightness=0.3, contrast=0.3, saturation=0.3,
+                 hue=0.3, p=0.5) -> Image.Image:
+    """torchvision ColorJitter equivalent (random order of 4 adjustments)."""
+    if random.random() >= p:
+        return img
+    from PIL import ImageEnhance
+
+    ops = []
+    if brightness:
+        f = random.uniform(max(0, 1 - brightness), 1 + brightness)
+        ops.append(lambda im: ImageEnhance.Brightness(im).enhance(f))
+    if contrast:
+        f = random.uniform(max(0, 1 - contrast), 1 + contrast)
+        ops.append(lambda im: ImageEnhance.Contrast(im).enhance(f))
+    if saturation:
+        f = random.uniform(max(0, 1 - saturation), 1 + saturation)
+        ops.append(lambda im: ImageEnhance.Color(im).enhance(f))
+    if hue:
+        shift = random.uniform(-hue, hue)
+
+        def hue_op(im, shift=shift):
+            hsv = np.asarray(im.convert("HSV")).copy()
+            hsv[..., 0] = (hsv[..., 0].astype(np.int16) + int(shift * 255)) % 256
+            return Image.fromarray(hsv, "HSV").convert("RGB")
+
+        ops.append(hue_op)
+    random.shuffle(ops)
+    for op in ops:
+        img = op(img)
+    return img
+
+
+class GaussianBlur:
+    """transforms.py:82-100."""
+
+    def __init__(self, p=0.5, radius_min=0.1, radius_max=2.0):
+        self.prob = p
+        self.radius_min = radius_min
+        self.radius_max = radius_max
+
+    def __call__(self, img):
+        if random.random() > self.prob:
+            return img
+        return img.filter(ImageFilter.GaussianBlur(
+            radius=random.uniform(self.radius_min, self.radius_max)))
+
+
+# ---------------------------------------------------------------------------
+# composite transforms used by the trainers
+# ---------------------------------------------------------------------------
+
+class TwoImgSyncEval:
+    """Resize + normalize both images of a pair (transforms.py:12-26)."""
+
+    def __init__(self, image_size):
+        self.image_size = image_size
+
+    def _one(self, img: Image.Image) -> np.ndarray:
+        img = resize(img, self.image_size)
+        return normalize(to_tensor(img))
+
+    def __call__(self, first_img, second_img):
+        return self._one(first_img), self._one(second_img)
+
+
+class OneImgEval:
+    """Resize + normalize a single image (ToTensor pipeline)."""
+
+    def __init__(self, image_size, crop=False):
+        self.image_size = image_size
+        self.crop = crop
+
+    def __call__(self, img):
+        img = center_crop(img, self.image_size) if self.crop else resize(img, self.image_size)
+        return normalize(to_tensor(img))
+
+
+# ---------------------------------------------------------------------------
+# grid utilities (transforms.py:121-162)
+# ---------------------------------------------------------------------------
+
+def crop(im: Image.Image, n_cols: int, n_rows: int):
+    """Split an image into a row-major grid of n_rows x n_cols patches."""
+    width = im.width // n_cols
+    height = im.height // n_rows
+    patches = []
+    for i in range(n_rows):
+        for j in range(n_cols):
+            box = (j * width, i * height, (j + 1) * width, (i + 1) * height)
+            patches.append(im.crop(box))
+    return patches
+
+
+def split_with_gap(im: Image.Image, long_direction_ratio: float, gap: float):
+    patches = []
+    if im.width > im.height:
+        patches.append(im.crop((0, 0, int(long_direction_ratio * im.width), im.height)))
+        patches.append(im.crop((int((long_direction_ratio + gap) * im.width), 0,
+                                im.width, im.height)))
+    else:
+        patches.append(im.crop((0, 0, im.width, int(long_direction_ratio * im.height))))
+        patches.append(im.crop((0, int((long_direction_ratio + gap) * im.height),
+                                im.width, im.height)))
+    return patches
+
+
+def make_square(im: Image.Image, fill_color=(0, 0, 0)):
+    x, y = im.size
+    size = max(x, y)
+    new_im = Image.new("RGB", (size, size), fill_color)
+    new_im.paste(im, (int((size - x) / 2), int((size - y) / 2)))
+    return new_im
+
+
+def compute_white_percentage(img: Image.Image, ref_size=224) -> float:
+    gray = img.convert("L")
+    if gray.width > ref_size:
+        gray = gray.resize((ref_size, ref_size))
+    arr = np.asarray(gray)
+    return float(np.sum(arr > 250)) / (arr.shape[0] * arr.shape[1])
+
+
+class CustomRandomCrop:
+    """Retry-crop rejecting >60% white crops (transforms.py:177-196)."""
+
+    def __init__(self, crop_size, white_percentage_limit=0.6, max_retry=1000, im_path=""):
+        self.crop_size = crop_size
+        self.white_percentage_limit = white_percentage_limit
+        self.max_retry = max_retry
+        self.im_path = im_path
+
+    def __call__(self, img):
+        current_retry = 0
+        curr_w_p = 0.0
+        while current_retry < self.max_retry:
+            out = random_crop(img, self.crop_size, pad_if_needed=True, fill=255)
+            curr_w_p = compute_white_percentage(out)
+            if curr_w_p <= self.white_percentage_limit:
+                return out
+            current_retry += 1
+        raise UnableToCrop(f"Unable to crop, curr wp: {curr_w_p}", im_path=self.im_path)

@@ -1,0 +1,63 @@
+"""Model factory keyed on MODEL.TYPE (reference models/build.py:15-95)."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .vit_ed import ViTED
+from .vit import ViT
+
+
+def compute_dtype(config):
+    return jnp.bfloat16 if config.AMP_ENABLE else jnp.float32
+
+
+def build_model(config):
+    model_type = config.MODEL.TYPE
+    dtype = compute_dtype(config)
+
+    if model_type == "pjs":
+        return ViTED(
+            img_size=config.DATA.IMG_SIZE,
+            patch_size=config.MODEL.PJS.PATCH_SIZE,
+            in_chans=config.MODEL.PJS.IN_CHANS,
+            num_classes=config.MODEL.NUM_CLASSES,
+            embed_dim=config.MODEL.PJS.EMBED_DIM,
+            depth=config.MODEL.PJS.DEPTH,
+            c_depth=config.MODEL.PJS.C_DEPTH,
+            num_heads=config.MODEL.PJS.NUM_HEADS,
+            mlp_ratio=config.MODEL.PJS.MLP_RATIO,
+            qkv_bias=config.MODEL.PJS.QKV_BIAS,
+            drop_rate=config.MODEL.DROP_RATE,
+            drop_path_rate=config.MODEL.DROP_PATH_RATE,
+            keep_attn=config.MODEL.PJS.KEEP_ATTN,
+            use_pallas=config.TPU.USE_PALLAS_ATTENTION or None,
+            remat=config.TRAIN.USE_CHECKPOINT,
+            dtype=dtype,
+        )
+    if model_type == "vit":
+        return ViT(
+            img_size=config.DATA.IMG_SIZE,
+            patch_size=config.MODEL.VIT.PATCH_SIZE,
+            in_chans=config.MODEL.VIT.IN_CHANS,
+            num_classes=config.MODEL.NUM_CLASSES,
+            embed_dim=config.MODEL.VIT.EMBED_DIM,
+            depth=config.MODEL.VIT.DEPTH,
+            num_heads=config.MODEL.VIT.NUM_HEADS,
+            mlp_ratio=config.MODEL.VIT.MLP_RATIO,
+            qkv_bias=config.MODEL.VIT.QKV_BIAS,
+            drop_rate=config.MODEL.DROP_RATE,
+            drop_path_rate=config.MODEL.DROP_PATH_RATE,
+            use_pallas=config.TPU.USE_PALLAS_ATTENTION or None,
+            remat=config.TRAIN.USE_CHECKPOINT,
+            dtype=dtype,
+        )
+    if model_type in ("ss", "ss2", "ss2ce"):
+        from .simsiam import build_simsiam
+
+        return build_simsiam(config, model_type, dtype)
+    if model_type in ("resnet", "mixconv"):
+        from .resnet import build_resnet_model
+
+        return build_resnet_model(config, model_type, dtype)
+    raise NotImplementedError(f"Unknown model: {model_type}")

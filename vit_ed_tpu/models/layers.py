@@ -1,0 +1,271 @@
+"""Shared Flax layers for the ViT family.
+
+These re-create the timm building blocks the reference model relies on
+(timm PatchEmbed / Mlp / DropPath, referenced from
+/root/reference/models/vision_transformer.py:8) as idiomatic Flax modules
+with a configurable compute dtype (bf16 on TPU) and f32 parameters.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from vit_ed_tpu.ops.attention import attention_probs, fused_attention, reference_attention
+
+Dtype = Any
+
+trunc_normal_init = nn.initializers.truncated_normal(stddev=0.02)
+
+
+def gelu_exact(x):
+    """Exact (erf) GELU — torch nn.GELU default, unlike jax.nn.gelu's tanh."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth (timm DropPath semantics)."""
+
+    rate: float = 0.0
+    deterministic: Optional[bool] = None
+
+    @nn.compact
+    def __call__(self, x, deterministic: Optional[bool] = None):
+        deterministic = nn.merge_param("deterministic", self.deterministic, deterministic)
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, 0.0)
+
+
+class PatchEmbed(nn.Module):
+    """Conv patch embedding: NHWC image -> [B, T, D] tokens (timm PatchEmbed)."""
+
+    patch_size: int = 16
+    embed_dim: int = 768
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # x: [B, H, W, C] (NHWC — TPU-native layout)
+        x = nn.Conv(
+            self.embed_dim,
+            kernel_size=(self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size),
+            padding="VALID",
+            dtype=self.dtype,
+            name="proj",
+        )(x)
+        b, h, w, d = x.shape
+        return x.reshape(b, h * w, d)
+
+
+class Mlp(nn.Module):
+    """Two-layer MLP with exact GELU (timm Mlp)."""
+
+    hidden_dim: int
+    out_dim: int
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, kernel_init=trunc_normal_init,
+                     name="fc1")(x)
+        x = gelu_exact(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = nn.Dense(self.out_dim, dtype=self.dtype, kernel_init=trunc_normal_init,
+                     name="fc2")(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        return x
+
+
+class LayerScale(nn.Module):
+    """Learned per-channel residual scaling (vision_transformer.py:203-210)."""
+
+    dim: int
+    init_values: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        gamma = self.param("gamma", nn.initializers.constant(self.init_values), (self.dim,))
+        return x * gamma.astype(x.dtype)
+
+
+def _split_heads(x, num_heads):
+    b, n, c = x.shape
+    return x.reshape(b, n, num_heads, c // num_heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x):
+    b, h, n, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, n, h * d)
+
+
+class Attention(nn.Module):
+    """Multi-head self-attention (vision_transformer.py:13-80).
+
+    When ``keep_attn`` the explicit attention matrix is computed, sown into
+    the 'intermediates' collection (for Chefer-style relevancy rollout), and
+    used for the output — matching the reference's manual path.
+    """
+
+    dim: int
+    num_heads: int = 8
+    qkv_bias: bool = False
+    qk_norm: bool = False
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    keep_attn: bool = False
+    use_pallas: Optional[bool] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        head_dim = self.dim // self.num_heads
+        qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype,
+                       kernel_init=trunc_normal_init, name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q, k, v = (_split_heads(t, self.num_heads) for t in (q, k, v))
+        if self.qk_norm:
+            q = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="q_norm")(q)
+            k = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="k_norm")(k)
+
+        if self.keep_attn:
+            attn = attention_probs(q, k)
+            self.sow("intermediates", "attn", attn)
+            out = jnp.einsum("bhqk,bhkd->bhqd", attn.astype(v.dtype), v)
+        else:
+            out = fused_attention(q, k, v, use_pallas=self.use_pallas)
+
+        out = _merge_heads(out)
+        out = nn.Dense(self.dim, dtype=self.dtype, kernel_init=trunc_normal_init,
+                       name="proj")(out)
+        out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+        return out
+
+
+class CrossAttention(nn.Module):
+    """Q from the decoder stream, K/V from the encoder context
+    (vision_transformer.py:130-200)."""
+
+    dim: int
+    num_heads: int = 8
+    qkv_bias: bool = False
+    qk_norm: bool = False
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    keep_attn: bool = False
+    use_pallas: Optional[bool] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context, deterministic: bool = True):
+        q = nn.Dense(self.dim, use_bias=self.qkv_bias, dtype=self.dtype,
+                     kernel_init=trunc_normal_init, name="q")(x)
+        kv = nn.Dense(self.dim * 2, use_bias=self.qkv_bias, dtype=self.dtype,
+                      kernel_init=trunc_normal_init, name="kv")(context)
+        k, v = jnp.split(kv, 2, axis=-1)
+        q, k, v = (_split_heads(t, self.num_heads) for t in (q, k, v))
+        if self.qk_norm:
+            q = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="q_norm")(q)
+            k = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="k_norm")(k)
+
+        if self.keep_attn:
+            attn = attention_probs(q, k)
+            self.sow("intermediates", "attn", attn)
+            out = jnp.einsum("bhqk,bhkd->bhqd", attn.astype(v.dtype), v)
+        else:
+            out = fused_attention(q, k, v, use_pallas=self.use_pallas)
+
+        out = _merge_heads(out)
+        out = nn.Dense(self.dim, dtype=self.dtype, kernel_init=trunc_normal_init,
+                       name="proj")(out)
+        out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+        return out
+
+
+class Block(nn.Module):
+    """Pre-LN transformer encoder block (vision_transformer.py:83-127)."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = False
+    qk_norm: bool = False
+    proj_drop: float = 0.0
+    attn_drop: float = 0.0
+    init_values: Optional[float] = None
+    drop_path: float = 0.0
+    keep_attn: bool = False
+    use_pallas: Optional[bool] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        y = Attention(self.dim, self.num_heads, self.qkv_bias, self.qk_norm,
+                      self.attn_drop, self.proj_drop, self.keep_attn,
+                      self.use_pallas, self.dtype, name="attn")(y, deterministic)
+        if self.init_values:
+            y = LayerScale(self.dim, self.init_values, name="ls1")(y)
+        x = x + DropPath(self.drop_path, name="drop_path1")(y, deterministic)
+
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        y = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.proj_drop,
+                self.dtype, name="mlp")(y, deterministic)
+        if self.init_values:
+            y = LayerScale(self.dim, self.init_values, name="ls2")(y)
+        x = x + DropPath(self.drop_path, name="drop_path2")(y, deterministic)
+        return x
+
+
+class CrossBlock(nn.Module):
+    """Decoder block: self-attn -> cross-attn(context) -> MLP
+    (vision_transformer.py:213-272)."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = False
+    qk_norm: bool = False
+    proj_drop: float = 0.0
+    attn_drop: float = 0.0
+    init_values: Optional[float] = None
+    drop_path: float = 0.0
+    keep_attn: bool = False
+    use_pallas: Optional[bool] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context, deterministic: bool = True):
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        y = Attention(self.dim, self.num_heads, self.qkv_bias, self.qk_norm,
+                      self.attn_drop, self.proj_drop, self.keep_attn,
+                      self.use_pallas, self.dtype, name="attn")(y, deterministic)
+        if self.init_values:
+            y = LayerScale(self.dim, self.init_values, name="ls1")(y)
+        x = x + DropPath(self.drop_path, name="drop_path1")(y, deterministic)
+
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm_cross")(x)
+        ctx = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm_context")(context)
+        y = CrossAttention(self.dim, self.num_heads, self.qkv_bias, self.qk_norm,
+                           self.attn_drop, self.proj_drop, self.keep_attn,
+                           self.use_pallas, self.dtype, name="cross_attn")(y, ctx, deterministic)
+        if self.init_values:
+            y = LayerScale(self.dim, self.init_values, name="ls_cross")(y)
+        x = x + DropPath(self.drop_path, name="drop_path_cross")(y, deterministic)
+
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        y = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.proj_drop,
+                self.dtype, name="mlp")(y, deterministic)
+        if self.init_values:
+            y = LayerScale(self.dim, self.init_values, name="ls2")(y)
+        x = x + DropPath(self.drop_path, name="drop_path2")(y, deterministic)
+        return x

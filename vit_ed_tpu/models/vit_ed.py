@@ -1,0 +1,175 @@
+"""ViT-ED ("pjs"): two-stream ViT encoder-decoder for pair scoring.
+
+TPU-native re-design of /root/reference/models/vision_transformer.py:275-420:
+
+- The three calling modes of the reference ``forward`` (full pair /
+  encoder-only ``forward_first_part`` / decoder ``forward_second_part``)
+  become separate pure methods dispatched via flax ``apply(..., method=...)``,
+  so encode-once / decode-many pair mining (hisfrag.py:150-159) is a natural
+  gather over encoder features.
+- Images are NHWC and pairs are a leading axis [B, 2, H, W, C]; the stacked
+  pair is unbound inside ``forward_features`` like the reference's
+  ``torch.unbind(x, 1)`` (vision_transformer.py:407-410).
+- Encoder stream 1 gets positional embeddings WITHOUT the CLS slot
+  (``_pos_embed_no_cls``, vision_transformer.py:378-380); decoder stream 2
+  is prepended with the CLS token and gets the full pos table
+  (timm ``_pos_embed``).
+- Attention runs through the fused Pallas kernel (ops/attention.py).
+- ``TRAIN.USE_CHECKPOINT`` maps to jax.checkpoint (rematerialisation) over
+  blocks, trading FLOPs for HBM.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from .layers import Block, CrossBlock, PatchEmbed, trunc_normal_init
+
+Dtype = Any
+
+
+class ViTED(nn.Module):
+    """Vision Transformer Encoder-Decoder (model type "pjs")."""
+
+    img_size: int = 224
+    patch_size: int = 16
+    in_chans: int = 3
+    num_classes: int = 1000
+    embed_dim: int = 768
+    depth: int = 12
+    c_depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_norm: bool = False
+    init_values: Optional[float] = None
+    drop_rate: float = 0.0
+    pos_drop_rate: float = 0.0
+    proj_drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.0
+    keep_attn: bool = False
+    use_pallas: Optional[bool] = None
+    remat: bool = False
+    dtype: Dtype = jnp.float32
+
+    @property
+    def num_patches(self) -> int:
+        return (self.img_size // self.patch_size) ** 2
+
+    def setup(self):
+        self.patch_embed = PatchEmbed(self.patch_size, self.embed_dim, self.dtype,
+                                      name="patch_embed")
+        self.cls_token = self.param("cls_token",
+                                    nn.initializers.normal(stddev=1e-6),
+                                    (1, 1, self.embed_dim))
+        self.pos_embed = self.param("pos_embed", trunc_normal_init,
+                                    (1, self.num_patches + 1, self.embed_dim))
+
+        dpr = np.linspace(0, self.drop_path_rate, self.depth)
+        dpr_cross = np.linspace(0, self.drop_path_rate, self.c_depth)
+
+        block_cls = Block
+        cross_cls = CrossBlock
+        if self.remat:
+            block_cls = nn.remat(Block, static_argnums=(2,))
+            cross_cls = nn.remat(CrossBlock, static_argnums=(3,))
+
+        self.blocks = [
+            block_cls(self.embed_dim, self.num_heads, self.mlp_ratio, self.qkv_bias,
+                      self.qk_norm, self.proj_drop_rate, self.attn_drop_rate,
+                      self.init_values, float(dpr[i]), self.keep_attn,
+                      self.use_pallas, self.dtype, name=f"blocks_{i}")
+            for i in range(self.depth)
+        ]
+        self.cross_blocks = [
+            cross_cls(self.embed_dim, self.num_heads, self.mlp_ratio, self.qkv_bias,
+                      self.qk_norm, self.proj_drop_rate, self.attn_drop_rate,
+                      self.init_values, float(dpr_cross[i]), self.keep_attn,
+                      self.use_pallas, self.dtype, name=f"cross_blocks_{i}")
+            for i in range(self.c_depth)
+        ]
+        self.norm = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")
+        self.head = nn.Dense(self.num_classes, dtype=self.dtype,
+                             kernel_init=trunc_normal_init, name="head")
+        self.pos_drop = nn.Dropout(self.pos_drop_rate)
+        self.head_drop = nn.Dropout(self.drop_rate)
+
+    # ---------------------------------------------------------------- stream 1
+    def _pos_embed_no_cls(self, x, deterministic):
+        x = x + self.pos_embed[:, 1:].astype(x.dtype)
+        return self.pos_drop(x, deterministic=deterministic)
+
+    def encode(self, x1, train: bool = False):
+        """Encoder over image 1 without CLS (forward_first_part, L382-388)."""
+        det = not train
+        x1 = self.patch_embed(x1)
+        x1 = self._pos_embed_no_cls(x1, det)
+        for blk in self.blocks:
+            x1 = blk(x1, det)
+        return x1
+
+    # ---------------------------------------------------------------- stream 2
+    def prepare_x2(self, x2, train: bool = False):
+        """Patch-embed image 2 WITH CLS + full pos table (prepare_x2, L390-395)."""
+        det = not train
+        x2 = self.patch_embed(x2)
+        cls = jnp.broadcast_to(self.cls_token.astype(x2.dtype),
+                               (x2.shape[0], 1, x2.shape[-1]))
+        x2 = jnp.concatenate([cls, x2], axis=1)
+        x2 = x2 + self.pos_embed.astype(x2.dtype)
+        return self.pos_drop(x2, deterministic=det)
+
+    def cross_part(self, x1_feats, x2_tokens, train: bool = False):
+        """Decoder cross blocks + final norm (cross_part, L397-401)."""
+        det = not train
+        for blk in self.cross_blocks:
+            x2_tokens = blk(x2_tokens, x1_feats, det)
+        return self.norm(x2_tokens)
+
+    def decode(self, x1_feats, x2, train: bool = False):
+        """forward_second_part (L403-405): raw image 2 + encoder features."""
+        x2 = self.prepare_x2(x2, train)
+        return self.cross_part(x1_feats, x2, train)
+
+    # ---------------------------------------------------------------- heads
+    def forward_head(self, x, train: bool = False):
+        """CLS-token head (timm forward_head with global_pool='token')."""
+        x = x[:, 0]
+        x = self.head_drop(x, deterministic=not train)
+        return self.head(x)
+
+    def forward_features(self, x, train: bool = False):
+        x1 = x[:, 0]
+        x2 = x[:, 1]
+        x1 = self.encode(x1, train)
+        return self.decode(x1, x2, train)
+
+    def decode_head(self, x1_feats, x2, train: bool = False):
+        """Pair logits from precomputed encoder features (the O(N^2) eval
+        inner op, hisfrag.py:225-229)."""
+        return self.forward_head(self.decode(x1_feats, x2, train), train)
+
+    def score_tokens(self, x1_feats, x2_tokens, train: bool = False):
+        """Pair logits from precomputed encoder features AND precomputed
+        decoder input tokens — lets the sharded pairwise scan also amortise
+        patch-embedding of stream 2."""
+        return self.forward_head(self.cross_part(x1_feats, x2_tokens, train), train)
+
+    def __call__(self, x, x2=None, forward_first_part: bool = False,
+                 train: bool = False):
+        """Reference forward dispatch (vision_transformer.py:412-420):
+
+        - ``forward_first_part=True``: x is a batch of images -> encoder feats
+        - ``x2 is not None``: x is encoder feats, x2 raw images -> pair logits
+        - else: x is a stacked pair [B, 2, H, W, C] -> pair logits
+        """
+        if forward_first_part:
+            return self.encode(x, train)
+        if x2 is not None:
+            return self.forward_head(self.decode(x, x2, train), train)
+        return self.forward_head(self.forward_features(x, train), train)

@@ -1,0 +1,326 @@
+"""Fused multi-head attention for TPU (Pallas), with an XLA reference path.
+
+This is the TPU-native replacement for the reference's implicit use of
+``F.scaled_dot_product_attention`` (/root/reference/models/vision_transformer.py:63-66
+and :183-186). One kernel serves both self-attention (q == kv source) and
+cross-attention (decoder queries attending to encoder context,
+vision_transformer.py:174-200) — the kernel only sees q/k/v.
+
+Design notes (see /opt/skills/guides/pallas_guide.md):
+
+- ViT-ED sequences are short (<= ~1025 tokens + padding), so the whole K/V
+  for one (batch, head) fits comfortably in VMEM (1152 x 64 bf16 ~ 147 KB).
+  We therefore use a single-pass softmax over the full key axis per query
+  block instead of an online-softmax flash loop: fewer passes, same memory.
+- Grid is (batch*heads, q_blocks); Q blocks of 128 rows ride the MXU.
+- Padded key positions are masked with -inf before the softmax; padded query
+  rows are garbage and sliced off by the caller.
+- The backward pass recomputes the attention matrix per block (FLOPs are
+  cheap, HBM is not) in two Pallas kernels: one producing dQ, one producing
+  dK/dV over the transposed grid.
+
+All matmuls accumulate in float32 (``preferred_element_type``).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_INTERPRET = False  # flipped by tests to run kernels on CPU
+
+DEFAULT_BLOCK_Q = 128
+LANE = 128
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _round_up(a: int, b: int) -> int:
+    return _cdiv(a, b) * b
+
+
+# ---------------------------------------------------------------------------
+# Reference (XLA) attention — used on CPU, for keep_attn, and in tests.
+# ---------------------------------------------------------------------------
+
+def reference_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                        scale: Optional[float] = None) -> jax.Array:
+    """softmax(q k^T * scale) v.
+
+    Shapes: q [B, H, Sq, D], k/v [B, H, Sk, D] -> [B, H, Sq, D].
+    Matches the manual path of reference Attention.forward
+    (vision_transformer.py:68-75) with float32 softmax.
+    """
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(logits * scale, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+def attention_probs(q: jax.Array, k: jax.Array,
+                    scale: Optional[float] = None) -> jax.Array:
+    """Explicit attention matrix (for keep_attn / explainability)."""
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    return jax.nn.softmax(logits * scale, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernels
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int):
+    """One (batch*head, q_block) program: full-key softmax for a Q block."""
+    q = q_ref[0]                      # [block_q, d]
+    k = k_ref[0]                      # [sk_pad, d]
+    v = v_ref[0]                      # [sk_pad, d]
+
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )                                 # [block_q, sk_pad]
+    logits *= scale
+
+    sk_pad = logits.shape[-1]
+    if kv_len < sk_pad:
+        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(col < kv_len, logits, -jnp.inf)
+
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - m)
+    s = jnp.sum(e, axis=-1, keepdims=True)
+    p = (e / s).astype(v.dtype)
+
+    o_ref[0] = jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(o_ref.dtype)
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, *, scale: float, kv_len: int):
+    """dQ for one (batch*head, q_block) program, recomputing probs."""
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    sk_pad = logits.shape[-1]
+    if kv_len < sk_pad:
+        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(col < kv_len, logits, -jnp.inf)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)          # [bq, sk] f32
+
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )                                                    # [bq, sk]
+    delta = jnp.sum(dp * p, axis=-1, keepdims=True)
+    ds = p * (dp - delta) * scale                        # [bq, sk] f32
+
+    dq_ref[0] = jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, dk_ref, dv_ref, *,
+                    scale: float, kv_len: int, q_len: int):
+    """dK/dV for one (batch*head, k_block) program over all queries."""
+    q = q_ref[0]                     # [sq_pad, d]
+    k = k_ref[0]                     # [block_k, d]
+    v = v_ref[0]
+    do = do_ref[0]                   # [sq_pad, d]
+
+    # logits^T block: [sq_pad, block_k]
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+
+    # For the softmax normalization we need row (query) stats over the FULL
+    # key axis — recompute them against the full K held in VMEM.
+    # Instead of passing full K twice, this kernel receives the full K/V via
+    # k_ref when block_k == sk_pad (the common ViT-ED case).  The grid is
+    # then (batch*heads,) and everything is a single program.
+    sq_pad = logits.shape[0]
+    if kv_len < logits.shape[1]:
+        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(col < kv_len, logits, -jnp.inf)
+    if q_len < sq_pad:
+        row = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0)
+        logits = jnp.where(row < q_len, logits, -jnp.inf)
+
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - m)
+    s = jnp.sum(e, axis=-1, keepdims=True)
+    p = e / jnp.maximum(s, 1e-30)                        # [sq_pad, block_k]
+    if q_len < sq_pad:
+        row = jax.lax.broadcasted_iota(jnp.int32, p.shape, 0)
+        p = jnp.where(row < q_len, p, 0.0)
+
+    # dV = P^T dO
+    dv_ref[0] = jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dv_ref.dtype)
+
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )                                                    # [sq_pad, block_k]
+    delta = jnp.sum(dp * p, axis=-1, keepdims=True)
+    ds = p * (dp - delta) * scale
+    # dK = dS^T Q
+    dk_ref[0] = jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dk_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers
+# ---------------------------------------------------------------------------
+
+def _pallas_fwd(q, k, v, scale, q_len, kv_len, block_q):
+    bh, sq_pad, d = q.shape
+    _, sk_pad, _ = k.shape
+    grid = (bh, _cdiv(sq_pad, block_q))
+    kernel = functools.partial(_fwd_kernel, scale=scale, kv_len=kv_len)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk_pad, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk_pad, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        interpret=_INTERPRET,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * sq_pad * sk_pad * d,
+            bytes_accessed=2 * (q.size + k.size + v.size),
+            transcendentals=bh * sq_pad * sk_pad,
+        ),
+    )(q, k, v)
+
+
+def _pallas_dq(q, k, v, do, scale, q_len, kv_len, block_q):
+    bh, sq_pad, d = q.shape
+    _, sk_pad, _ = k.shape
+    grid = (bh, _cdiv(sq_pad, block_q))
+    kernel = functools.partial(_bwd_dq_kernel, scale=scale, kv_len=kv_len)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk_pad, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk_pad, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        interpret=_INTERPRET,
+    )(q, k, v, do)
+
+
+def _pallas_dkv(q, k, v, do, scale, q_len, kv_len):
+    bh, sq_pad, d = q.shape
+    _, sk_pad, _ = k.shape
+    grid = (bh,)
+    kernel = functools.partial(_bwd_dkv_kernel, scale=scale, kv_len=kv_len, q_len=q_len)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, sq_pad, d), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk_pad, d), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk_pad, d), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sq_pad, d), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, sk_pad, d), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk_pad, d), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ],
+        interpret=_INTERPRET,
+    )(q, k, v, do)
+
+
+# ---------------------------------------------------------------------------
+# Public entry point with custom VJP
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _fused_attention_padded(q, k, v, scale_and_lens):
+    scale, q_len, kv_len, block_q = scale_and_lens
+    return _pallas_fwd(q, k, v, scale, q_len, kv_len, block_q)
+
+
+def _fused_fwd(q, k, v, scale_and_lens):
+    out = _fused_attention_padded(q, k, v, scale_and_lens)
+    return out, (q, k, v)
+
+
+def _fused_bwd(scale_and_lens, res, g):
+    scale, q_len, kv_len, block_q = scale_and_lens
+    q, k, v = res
+    dq = _pallas_dq(q, k, v, g, scale, q_len, kv_len, block_q)
+    dk, dv = _pallas_dkv(q, k, v, g, scale, q_len, kv_len)
+    return dq, dk, dv
+
+
+_fused_attention_padded.defvjp(_fused_fwd, _fused_bwd)
+
+
+def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                    scale: Optional[float] = None,
+                    block_q: int = DEFAULT_BLOCK_Q,
+                    use_pallas: Optional[bool] = None) -> jax.Array:
+    """Fused attention: softmax(q k^T * scale) v.
+
+    Shapes: q [B, H, Sq, D], k/v [B, H, Sk, D] -> [B, H, Sq, D].
+    Dispatches to the Pallas TPU kernel when running on TPU (or when forced
+    via ``use_pallas``); otherwise uses the XLA reference path.
+    """
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if not use_pallas:
+        return reference_attention(q, k, v, scale)
+
+    b, h, sq, d = q.shape
+    _, _, sk, _ = k.shape
+    # Pad sequence dims to lane multiples, head dim to 128 if needed.
+    sq_pad = _round_up(max(sq, 8), min(block_q, LANE))
+    sq_pad = _round_up(sq_pad, 8)
+    sk_pad = _round_up(max(sk, LANE), LANE)
+    block_q = min(block_q, sq_pad)
+
+    qp = q.reshape(b * h, sq, d)
+    kp = k.reshape(b * h, sk, d)
+    vp = v.reshape(b * h, sk, d)
+    if sq_pad != sq:
+        qp = jnp.pad(qp, ((0, 0), (0, sq_pad - sq), (0, 0)))
+    if sk_pad != sk:
+        kp = jnp.pad(kp, ((0, 0), (0, sk_pad - sk), (0, 0)))
+        vp = jnp.pad(vp, ((0, 0), (0, sk_pad - sk), (0, 0)))
+
+    out = _fused_attention_padded(qp, kp, vp, (scale, sq, sk, block_q))
+    return out[:, :sq, :].reshape(b, h, sq, d)

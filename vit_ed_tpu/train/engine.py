@@ -1,0 +1,395 @@
+"""Training engine.
+
+TPU-native re-design of the reference Trainer template
+(/root/reference/misc/engine.py:24-283). The template-method surface is
+kept — ``get_criterion`` / ``get_transforms`` / ``get_dataloader`` /
+``prepare_data`` / ``train_step`` hooks, ``train()`` / ``validate()`` /
+``throughput()`` — but the inner loop is one jitted, donated XLA program:
+
+- grad accumulation is a ``lax.scan`` over a stacked microbatch axis
+  (reference: loss/accum + scaler update_grad, engine.py:212-231)
+- bf16 compute / f32 params replaces CUDA AMP + GradScaler (TPU bf16 needs
+  no loss scaling)
+- the device mesh ``data`` axis replaces DDP; XLA inserts the grad
+  all-reduce over ICI
+- LR schedule is evaluated inside the optimizer on the accumulated-step
+  counter (reference lr_scheduler.step_update, engine.py:228)
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import time
+from functools import partial
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from vit_ed_tpu.config import get_config
+from vit_ed_tpu.data.build import build_dataset
+from vit_ed_tpu.data.loader import DataLoader
+from vit_ed_tpu.data.samplers import DistributedEvalSampler, DistributedRepeatSampler
+from vit_ed_tpu.data.transforms import TwoImgSyncEval
+from vit_ed_tpu.models import build_model
+from vit_ed_tpu.parallel.mesh import (
+    batch_sharding,
+    create_mesh,
+    local_batch_size,
+    maybe_init_distributed,
+    replicated_sharding,
+)
+from vit_ed_tpu.train import checkpoint as ckpt
+from vit_ed_tpu.train.losses import bce_with_logits
+from vit_ed_tpu.train.optim import build_optimizer, build_schedule
+from vit_ed_tpu.utils import AverageMeter, create_logger, set_seed
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+    def apply_gradients(self, grads, tx):
+        updates, new_opt = tx.update(grads, self.opt_state, self.params)
+        return self.replace(
+            params=optax.apply_updates(self.params, updates),
+            opt_state=new_opt,
+            step=self.step + 1,
+        )
+
+
+def make_train_step(model, tx, criterion: Callable, accum_steps: int,
+                    loss_fn: Optional[Callable] = None):
+    """Build the jitted train step.
+
+    ``loss_fn(model, params, batch, rng) -> loss`` defaults to the plain
+    supervised pair loss. The returned function takes a batch whose leaves
+    have a leading [accum_steps, ...] axis and returns (state, metrics).
+    """
+
+    if loss_fn is None:
+        def loss_fn(model, params, batch, rng):
+            samples, targets = batch["samples"], batch["targets"]
+            logits = model.apply({"params": params}, samples, train=True,
+                                 rngs={"dropout": rng})
+            return criterion(logits.astype(jnp.float32), targets)
+
+    def micro_grads(params, micro, rng):
+        loss, grads = jax.value_and_grad(
+            lambda p: loss_fn(model, p, micro, rng))(params)
+        return loss, grads
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch, rng):
+        rngs = jax.random.split(rng, accum_steps)
+        if accum_steps == 1:
+            micro = jax.tree.map(lambda x: x[0], batch)
+            loss, grads = micro_grads(state.params, micro, rngs[0])
+        else:
+            def body(carry, xs):
+                micro, r = xs
+                l, g = micro_grads(state.params, micro, r)
+                acc_loss, acc_g = carry
+                return (acc_loss + l, jax.tree.map(jnp.add, acc_g, g)), None
+
+            zero = jax.tree.map(jnp.zeros_like, state.params)
+            (loss_sum, grad_sum), _ = jax.lax.scan(
+                body, (jnp.zeros(()), zero), (batch, rngs))
+            loss = loss_sum / accum_steps
+            grads = jax.tree.map(lambda g: g / accum_steps, grad_sum)
+
+        grad_norm = optax.global_norm(grads)
+        state = state.apply_gradients(grads, tx)
+        return state, {"loss": loss, "grad_norm": grad_norm}
+
+    return train_step
+
+
+class Trainer:
+    """Template trainer. Subclasses override get_criterion / validate and
+    optionally the data/loss hooks (reference misc/engine.py:24-283)."""
+
+    def __init__(self, args):
+        maybe_init_distributed()
+        self.config = get_config(args)
+        self.mesh = create_mesh(self.config.TPU.MESH_SHAPE or None)
+        self.rank = jax.process_index()
+        self.world_size = jax.process_count()
+        self.n_devices = self.mesh.devices.size
+        self.local_rank = 0
+
+        seed = self.config.SEED + self.rank
+        set_seed(seed)
+        self.rng = jax.random.PRNGKey(seed)
+
+        # linear LR scaling by global batch / 256 (+ accumulation), matching
+        # misc/engine.py:33-47 with world_size -> number of mesh devices.
+        batch_size = self.config.DATA.BATCH_SIZE * self.n_devices
+        scale = batch_size / 256.0
+        if self.config.TRAIN.ACCUMULATION_STEPS > 1:
+            scale *= self.config.TRAIN.ACCUMULATION_STEPS
+        self.config.defrost()
+        self.config.TRAIN.BASE_LR = self.config.TRAIN.BASE_LR * scale
+        self.config.TRAIN.WARMUP_LR = self.config.TRAIN.WARMUP_LR * scale
+        self.config.TRAIN.MIN_LR = self.config.TRAIN.MIN_LR * scale
+        self.config.freeze()
+
+        os.makedirs(self.config.OUTPUT, exist_ok=True)
+        self.logger = create_logger(output_dir=self.config.OUTPUT, dist_rank=self.rank,
+                                    name=f"{self.config.MODEL.NAME}",
+                                    affix=getattr(args, "mode", ""))
+        if self.rank == 0:
+            path = os.path.join(self.config.OUTPUT, "config.json")
+            with open(path, "w") as f:
+                json.dump(self.config.to_dict(), f, indent=2, default=str)
+            self.logger.info(f"Full config saved to {path}")
+        self.logger.info(f"devices: {self.n_devices} x {jax.devices()[0].platform}")
+
+        self.logger.info(f"Creating model:{self.config.MODEL.TYPE}/{self.config.MODEL.NAME}")
+        self.model = build_model(self.config)
+        self.params = self._init_params()
+        n_parameters = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(self.params))
+        self.logger.info(f"number of params: {n_parameters}")
+
+        self.min_loss = 99999.0
+        self.start_epoch = self.config.TRAIN.START_EPOCH
+        self._resume_path = None
+
+        if self.config.TRAIN.AUTO_RESUME:
+            resume_file = ckpt.auto_resume_helper(self.config.OUTPUT)
+            if resume_file:
+                if self.config.MODEL.RESUME:
+                    self.logger.warning(
+                        f"Auto-resume changing resume file from "
+                        f"{self.config.MODEL.RESUME} to {resume_file}")
+                self.config.defrost()
+                self.config.MODEL.RESUME = resume_file
+                self.config.freeze()
+                self.logger.info(f"Auto resuming from {resume_file}")
+            else:
+                self.logger.info(
+                    f"No checkpoint found in {self.config.OUTPUT}, ignoring auto resume")
+
+        if self.config.MODEL.PRETRAINED and not self.config.MODEL.RESUME:
+            self.params = ckpt.load_pretrained(self.config, self.params, self.logger)
+
+        self.data_loader_registers: Dict[str, DataLoader] = {}
+
+    # ------------------------------------------------------------------ setup
+    def _example_input(self):
+        """Dummy input for parameter init, keyed on model type."""
+        s = self.config.DATA.IMG_SIZE
+        if self.config.MODEL.TYPE == "pjs":
+            return (jnp.zeros((1, 2, s, s, 3), jnp.float32),)
+        return (jnp.zeros((1, s, s, 3), jnp.float32),)
+
+    def _init_params(self):
+        rng = jax.random.PRNGKey(self.config.SEED)
+        variables = jax.jit(self.model.init)(rng, *self._example_input())
+        params = variables["params"]
+        # replicate across the mesh
+        rep = replicated_sharding(self.mesh)
+        return jax.tree.map(lambda x: jax.device_put(x, rep), params)
+
+    # ------------------------------------------------------------- data hooks
+    def get_transforms(self):
+        transform = TwoImgSyncEval(self.config.DATA.IMG_SIZE)
+        return {"train": transform, "validation": transform, "test": transform}
+
+    def get_dataloader(self, mode):
+        if mode in self.data_loader_registers:
+            return self.data_loader_registers[mode]
+        transforms = self.get_transforms()
+        dataset, repeat = build_dataset(mode=mode, config=self.config,
+                                        transforms=transforms)
+        self.logger.info(f"rank {self.rank} successfully built {mode} dataset "
+                         f"({len(dataset)} items, repeat {repeat})")
+
+        lbs = local_batch_size(self.config.DATA.BATCH_SIZE, self.mesh)
+        if mode == "train":
+            sampler = DistributedRepeatSampler(
+                len(dataset), num_replicas=self.world_size, rank=self.rank,
+                shuffle=True, repeat=repeat, seed=self.config.SEED)
+            loader = DataLoader(dataset, sampler=sampler, batch_size=lbs,
+                                num_workers=self.config.DATA.NUM_WORKERS,
+                                drop_last=True)
+        else:
+            sampler = DistributedEvalSampler(
+                len(dataset), num_replicas=self.world_size, rank=self.rank,
+                shuffle=self.config.TEST.SHUFFLE, repeat=repeat,
+                seed=self.config.SEED)
+            loader = DataLoader(dataset, sampler=sampler,
+                                batch_size=local_batch_size(
+                                    self.config.DATA.TEST_BATCH_SIZE, self.mesh),
+                                num_workers=self.config.DATA.NUM_WORKERS,
+                                drop_last=False)
+        self.data_loader_registers[mode] = loader
+        return loader
+
+    # ------------------------------------------------------------ train hooks
+    def get_criterion(self):
+        raise NotImplementedError()
+
+    def make_loss_fn(self, criterion):
+        """Override to customise the in-jit loss computation.
+
+        Returns loss_fn(model, params, batch, rng) or None for the default
+        supervised pair loss."""
+        return None
+
+    def prepare_data(self, samples, targets):
+        """Host-side batch massaging before device put (engine.py:186-187)."""
+        return samples, targets
+
+    # ------------------------------------------------------------------ train
+    def train(self):
+        config = self.config
+        data_loader = self.get_dataloader("train")
+        accum = max(config.TRAIN.ACCUMULATION_STEPS, 1)
+        steps_per_epoch = len(data_loader) // accum
+        schedule = build_schedule(config, steps_per_epoch)
+        self.tx = build_optimizer(config, schedule, self.params)
+        self.schedule = schedule
+        state = TrainState(params=self.params,
+                           opt_state=self.tx.init(self.params),
+                           step=jnp.zeros((), jnp.int32))
+
+        criterion = self.get_criterion()
+        self.train_step = make_train_step(self.model, self.tx, criterion, accum,
+                                          self.make_loss_fn(criterion))
+
+        if config.MODEL.RESUME:
+            state, self.min_loss, self.start_epoch = self._load_resume(state)
+            self.params = state.params
+            loss = self.validate()
+            self.min_loss = min(loss, self.min_loss)
+            self.logger.info(f"Loss of the network on the val set: {loss:.4f}")
+
+        self.logger.info("Start training...")
+        start_time = time.time()
+        self.params = state.params
+        loss = self.validate()
+        self.logger.info(f"Init loss: {loss}")
+        for epoch in range(self.start_epoch, config.TRAIN.EPOCHS):
+            state = self.train_one_epoch(epoch, data_loader, state, criterion)
+            self.params = state.params
+
+            if self.rank == 0 and (epoch % config.SAVE_FREQ == 0
+                                   or epoch == config.TRAIN.EPOCHS - 1):
+                self._save(state, epoch, "checkpoint")
+
+            loss = self.validate()
+            if loss < self.min_loss:
+                self._save(state, epoch, "best_model")
+                self.logger.info(f"Loss is reduced from {self.min_loss} to {loss}")
+            self.min_loss = min(self.min_loss, loss)
+
+        total_time = str(datetime.timedelta(seconds=int(time.time() - start_time)))
+        self.logger.info(f"Training time {total_time}")
+        return state
+
+    def _save(self, state: TrainState, epoch: int, name: str):
+        tree = {"params": state.params, "opt_state": state.opt_state,
+                "step": state.step}
+        ckpt.save_checkpoint(self.config, epoch, tree, self.min_loss,
+                             self.logger, name)
+
+    def _load_resume(self, state: TrainState):
+        self.logger.info(f"==============> Resuming from {self.config.MODEL.RESUME}....")
+        abstract = {"params": state.params, "opt_state": state.opt_state,
+                    "step": state.step}
+        tree = ckpt.load_checkpoint(self.config.MODEL.RESUME, abstract)
+        new_state = TrainState(params=tree["params"], opt_state=tree["opt_state"],
+                               step=tree["step"])
+        min_loss = float(tree.get("min_loss", 99999.0))
+        start_epoch = int(tree.get("epoch", -1)) + 1
+        self.logger.info(f"=> loaded successfully (epoch {start_epoch - 1})")
+        return new_state, min_loss, start_epoch
+
+    def _collate_accum(self, batches):
+        """Stack a list of (samples, targets) microbatches into one tree."""
+        samples = np.stack([b[0] for b in batches])
+        targets = np.stack([b[1] for b in batches])
+        return {"samples": samples, "targets": targets}
+
+    def train_one_epoch(self, epoch, data_loader, state, criterion):
+        config = self.config
+        accum = max(config.TRAIN.ACCUMULATION_STEPS, 1)
+        num_steps = len(data_loader)
+        batch_time = AverageMeter()
+        loss_meter = AverageMeter()
+        norm_meter = AverageMeter()
+
+        sharding = batch_sharding(self.mesh)
+        start = time.time()
+        end = time.time()
+
+        micro_acc = []
+        opt_idx = 0
+        for idx, (samples, targets) in enumerate(data_loader):
+            samples, targets = self.prepare_data(samples, targets)
+            micro_acc.append((samples, targets))
+            if len(micro_acc) < accum:
+                continue
+
+            batch = self._collate_accum(micro_acc)
+            micro_acc = []
+            batch = jax.tree.map(
+                lambda x: jax.device_put(x, sharding) if x.ndim > 1 else x, batch)
+
+            self.rng, step_rng = jax.random.split(self.rng)
+            state, metrics = self.train_step(state, batch, step_rng)
+            opt_idx += 1
+
+            if idx % config.PRINT_FREQ < accum or idx == num_steps - 1:
+                metrics = jax.device_get(metrics)
+                loss_meter.update(metrics["loss"], targets.shape[0] * accum)
+                norm_meter.update(metrics["grad_norm"])
+                lr = float(self.schedule(state.step - 1))
+                batch_time.update((time.time() - end) / accum)
+                etas = batch_time.avg * (num_steps - idx)
+                self.logger.info(
+                    f"Train: [{epoch}/{config.TRAIN.EPOCHS}][{idx}/{num_steps}]\t"
+                    f"eta {datetime.timedelta(seconds=int(etas))} lr {lr:.6f}\t"
+                    f"time {batch_time.val:.4f} ({batch_time.avg:.4f})\t"
+                    f"loss {loss_meter.val:.4f} ({loss_meter.avg:.4f})\t"
+                    f"grad_norm {norm_meter.val:.4f} ({norm_meter.avg:.4f})")
+            else:
+                batch_time.update((time.time() - end) / accum)
+            end = time.time()
+
+        epoch_time = time.time() - start
+        self.logger.info(
+            f"EPOCH {epoch} training takes {datetime.timedelta(seconds=int(epoch_time))}")
+        loss_meter.all_reduce()
+        return state
+
+    # ------------------------------------------------------------------- eval
+    def validate(self):
+        raise NotImplementedError()
+
+    def throughput(self):
+        """50 warmup + 30 timed forwards -> img/s (engine.py:266-283)."""
+        data_loader = self.get_dataloader("validation")
+        fwd = jax.jit(lambda p, x: self.model.apply({"params": p}, x))
+        for images, _ in data_loader:
+            images = jnp.asarray(images)
+            batch_size = images.shape[0]
+            for _ in range(50):
+                out = fwd(self.params, images)
+            out.block_until_ready()
+            self.logger.info("throughput averaged with 30 times")
+            tic1 = time.time()
+            for _ in range(30):
+                out = fwd(self.params, images)
+            out.block_until_ready()
+            tic2 = time.time()
+            throughput_val = 30 * batch_size / (tic2 - tic1)
+            self.logger.info(f"batch_size {batch_size} throughput {throughput_val}")
+            return throughput_val
