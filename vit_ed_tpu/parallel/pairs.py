@@ -1,0 +1,209 @@
+"""Sharded O(N^2) pairwise similarity computation.
+
+This is the TPU-native replacement for the reference's signature
+distributed path (/root/reference/hisfrag.py:161-302): scoring all
+N(N+1)/2 image pairs with the ViT-ED decoder, where N ~ 20k.
+
+Reference design -> TPU re-design:
+
+- per-rank contiguous x1-row ranges of the triangular pair space
+  (DistributedIndicatesSampler, data/samplers.py:80-143)
+  -> the same balanced row-range split across JAX processes
+  (``balanced_row_ranges``), and across local devices the PAIR axis of
+  each block is sharded over the mesh ``data`` axis
+- encoder runs once per x1 block, decoder streams x2 batches
+  (hisfrag.py:213-229) -> identical dataflow, but pair chunks are
+  fixed-shape padded buffers so one compiled XLA program serves every
+  chunk; stream-2 patch embedding is also hoisted out of the pair loop
+  (``prepare_x2`` once per x2 batch — the reference re-embeds x2 for
+  every pair)
+- shared-filesystem gather with 120 s polling (hisfrag.py:251-276)
+  -> per-process results live in device/host memory; cross-process merge
+  is a single allgather; the on-disk .npz blocks exist only for
+  RESUMABILITY (crash-restart skips finished row blocks, mirroring
+  hisfrag.py:179-195)
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from vit_ed_tpu.data.loader import DataLoader
+from vit_ed_tpu.data.samplers import balanced_row_ranges
+
+
+def _round_up(a, b):
+    return -(-a // b) * b
+
+
+class PairwiseScorer:
+    """Block-tiled pair scoring with encoder features computed once.
+
+    Args:
+        model: a ViTED flax module.
+        params: model params (replicated).
+        mesh: device mesh with a ``data`` axis.
+        num_outputs: logits per pair (1 for writer-ID, 4 for puzzle bins).
+    """
+
+    def __init__(self, model, params, mesh: Mesh, num_outputs: int = 1,
+                 pair_chunk: int = 4096, dtype=np.float16):
+        self.model = model
+        self.params = params
+        self.mesh = mesh
+        self.num_outputs = num_outputs
+        self.n_devices = mesh.devices.size
+        self.pair_chunk = _round_up(pair_chunk, self.n_devices)
+        self.dtype = dtype
+
+        rep = NamedSharding(mesh, P())
+        shard0 = NamedSharding(mesh, P("data"))
+
+        self._encode = jax.jit(
+            lambda p, x: model.apply({"params": p}, x, forward_first_part=True),
+            in_shardings=(rep, shard0), out_shardings=rep)
+        self._prepare = jax.jit(
+            lambda p, x: model.apply({"params": p}, x, method=model.prepare_x2),
+            in_shardings=(rep, shard0), out_shardings=rep)
+
+        def score(p, feats, tokens, pi, pj):
+            f = jnp.take(feats, pi, axis=0)
+            t = jnp.take(tokens, pj, axis=0)
+            return model.apply({"params": p}, f, t, method=model.score_tokens)
+
+        self._score = jax.jit(score,
+                              in_shardings=(rep, rep, rep, shard0, shard0),
+                              out_shardings=rep)
+
+    # ------------------------------------------------------------------
+    def score_pairs_block(self, feats, tokens, pair_i: np.ndarray,
+                          pair_j: np.ndarray) -> np.ndarray:
+        """Score an arbitrary list of (local-i, local-j) pairs in fixed-shape
+        chunks. Returns [len(pairs), num_outputs] float32."""
+        n_pairs = len(pair_i)
+        out = np.empty((n_pairs, self.num_outputs), np.float32)
+        chunk = self.pair_chunk
+        for lo in range(0, n_pairs, chunk):
+            hi = min(lo + chunk, n_pairs)
+            pi = np.zeros(chunk, np.int32)
+            pj = np.zeros(chunk, np.int32)
+            pi[: hi - lo] = pair_i[lo:hi]
+            pj[: hi - lo] = pair_j[lo:hi]
+            logits = self._score(self.params, feats, tokens,
+                                 jnp.asarray(pi), jnp.asarray(pj))
+            out[lo:hi] = np.asarray(logits, np.float32)[: hi - lo]
+        return out
+
+    # ------------------------------------------------------------------
+    def score_dataset(self, dataset, batch_size: int, logger=None,
+                      out_dir: Optional[str] = None, tag: str = "test",
+                      rank: int = 0, world_size: int = 1,
+                      resume: bool = True, print_freq: int = 10,
+                      num_workers: int = 8) -> np.ndarray:
+        """Compute the full upper-triangular pair score matrix for a dataset
+        of N images; returns the symmetric [N, N(, C)] similarity matrix.
+
+        Multi-process: each process computes its balanced contiguous row
+        range; results merge via allgather at the end.
+        """
+        n = len(dataset)
+        iu = np.triu_indices(n)
+        row_of_pair = iu[0]
+        ranges = balanced_row_ranges(row_of_pair, world_size)
+        my_rows = ranges[rank]
+
+        sim = np.zeros((n, n, self.num_outputs), self.dtype)
+
+        row_blocks = [
+            range(r, min(r + batch_size, my_rows.stop))
+            for r in range(my_rows.start, my_rows.stop, batch_size)
+        ]
+
+        def load_images(indices):
+            items = [dataset[i] for i in indices]
+            return np.stack([it[0] for it in items])
+
+        loader_pool = None
+        if num_workers > 0:
+            from concurrent.futures import ThreadPoolExecutor
+
+            loader_pool = ThreadPoolExecutor(max_workers=num_workers)
+
+            def load_images(indices):  # noqa: F811
+                return np.stack(list(loader_pool.map(lambda i: dataset[i][0], indices)))
+
+        try:
+            start = time.time()
+            for bi, rows in enumerate(row_blocks):
+                blk_path = (os.path.join(out_dir, f"{tag}_rank{rank}_rows{rows.start}.npz")
+                            if out_dir else None)
+                if resume and blk_path and os.path.exists(blk_path):
+                    data = np.load(blk_path)
+                    sim[rows.start:rows.stop] = data["scores"]
+                    if logger:
+                        logger.info(f"Block rows {rows.start}:{rows.stop} loaded from cache")
+                    continue
+
+                i0 = rows.start
+                imgs = load_images(list(rows))
+                feats = self._encode(self.params, self._pad_batch(imgs))
+
+                # stream x2 column batches from the diagonal onward
+                for j0 in range(i0, n, batch_size):
+                    j1 = min(j0 + batch_size, n)
+                    col_imgs = load_images(list(range(j0, j1)))
+                    tokens = self._prepare(self.params, self._pad_batch(col_imgs))
+
+                    # pairs (i, j) with i in rows, j in [j0, j1), i <= j
+                    gi, gj = np.meshgrid(np.arange(rows.start, rows.stop),
+                                         np.arange(j0, j1), indexing="ij")
+                    mask = gi <= gj
+                    pri, prj = gi[mask], gj[mask]
+                    if len(pri) == 0:
+                        continue
+                    scores = self.score_pairs_block(feats, tokens,
+                                                    pri - i0, prj - j0)
+                    sim[pri, prj] = scores.astype(self.dtype)
+
+                if blk_path:
+                    np.savez_compressed(blk_path,
+                                        scores=sim[rows.start:rows.stop])
+                if logger and bi % print_freq == 0:
+                    frac = (bi + 1) / max(len(row_blocks), 1)
+                    elapsed = time.time() - start
+                    logger.info(
+                        f"Pairwise scan [{bi + 1}/{len(row_blocks)} row blocks] "
+                        f"eta {elapsed / frac - elapsed:.0f}s")
+        finally:
+            if loader_pool is not None:
+                loader_pool.shutdown()
+
+        if world_size > 1:
+            from jax.experimental.multihost_utils import process_allgather
+
+            gathered = process_allgather(sim)  # [world, N, N, C]
+            sim = np.asarray(gathered).sum(axis=0).astype(self.dtype)
+
+        # mirror to the lower triangle
+        out = sim if self.num_outputs > 1 else sim[..., 0]
+        lower = np.swapaxes(out, 0, 1)
+        il = np.tril_indices(n, -1)
+        out[il] = lower[il]
+        return out
+
+    def _pad_batch(self, imgs: np.ndarray) -> jnp.ndarray:
+        """Pad the batch to a device-count multiple for even sharding."""
+        b = imgs.shape[0]
+        b_pad = _round_up(b, self.n_devices)
+        if b_pad != b:
+            imgs = np.concatenate(
+                [imgs, np.zeros((b_pad - b,) + imgs.shape[1:], imgs.dtype)])
+        return jnp.asarray(imgs)
