@@ -31,7 +31,7 @@ def build_model(config):
             drop_rate=config.MODEL.DROP_RATE,
             drop_path_rate=config.MODEL.DROP_PATH_RATE,
             keep_attn=config.MODEL.PJS.KEEP_ATTN,
-            use_pallas=config.TPU.USE_PALLAS_ATTENTION or None,
+            use_pallas=None if config.TPU.USE_PALLAS_ATTENTION else False,
             remat=config.TRAIN.USE_CHECKPOINT,
             dtype=dtype,
         )
@@ -48,7 +48,7 @@ def build_model(config):
             qkv_bias=config.MODEL.VIT.QKV_BIAS,
             drop_rate=config.MODEL.DROP_RATE,
             drop_path_rate=config.MODEL.DROP_PATH_RATE,
-            use_pallas=config.TPU.USE_PALLAS_ATTENTION or None,
+            use_pallas=None if config.TPU.USE_PALLAS_ATTENTION else False,
             remat=config.TRAIN.USE_CHECKPOINT,
             dtype=dtype,
         )

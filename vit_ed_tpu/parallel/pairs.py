@@ -199,6 +199,42 @@ class PairwiseScorer:
         out[il] = lower[il]
         return out
 
+    def score_dense(self, images: np.ndarray, batch_size: int = 128,
+                    include_diagonal: bool = False) -> np.ndarray:
+        """Score ALL ordered pairs (i, j), i != j, of a modest piece set.
+
+        The TPU-native path behind puzzle evaluation
+        (/root/reference/evaluation.py:102-114 scores N(N-1) ordered pairs
+        through full pair forwards): here the encoder and the stream-2
+        patch embedding run once per piece, and only the cross-decoder
+        runs per pair. Returns [N, N, num_outputs] float32 (diagonal zero).
+        """
+        n = len(images)
+        feats_parts, token_parts = [], []
+        for lo in range(0, n, batch_size):
+            imgs = self._pad_batch(images[lo:lo + batch_size])
+            feats_parts.append(np.asarray(
+                self._encode(self.params, imgs))[: min(batch_size, n - lo)])
+            token_parts.append(np.asarray(
+                self._prepare(self.params, imgs))[: min(batch_size, n - lo)])
+        feats = jnp.asarray(np.concatenate(feats_parts))
+        tokens = jnp.asarray(np.concatenate(token_parts))
+
+        gi, gj = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+        if include_diagonal:
+            mask = np.ones_like(gi, dtype=bool)
+        else:
+            mask = gi != gj
+        pi, pj = gi[mask], gj[mask]
+        # A pair (i, j) stacks [img_i, img_j]: img_i is the ENCODER/context
+        # stream (pair_i indexes feats), img_j the decoder stream (pair_j
+        # indexes tokens) — forward_features convention
+        # (vision_transformer.py:407-410).
+        scores = self.score_pairs_block(feats, tokens, pair_i=pi, pair_j=pj)
+        out = np.zeros((n, n, self.num_outputs), np.float32)
+        out[pi, pj] = scores
+        return out
+
     def _pad_batch(self, imgs: np.ndarray) -> jnp.ndarray:
         """Pad the batch to a device-count multiple for even sharding."""
         b = imgs.shape[0]

@@ -244,8 +244,9 @@ class Trainer:
         return None
 
     def prepare_data(self, samples, targets):
-        """Host-side batch massaging before device put (engine.py:186-187)."""
-        return samples, targets
+        """Host-side batch massaging before device put (engine.py:186-187).
+        Returns the dict batch consumed by the loss_fn."""
+        return {"samples": samples, "targets": targets}
 
     # ------------------------------------------------------------------ train
     def train(self):
@@ -313,10 +314,8 @@ class Trainer:
         return new_state, min_loss, start_epoch
 
     def _collate_accum(self, batches):
-        """Stack a list of (samples, targets) microbatches into one tree."""
-        samples = np.stack([b[0] for b in batches])
-        targets = np.stack([b[1] for b in batches])
-        return {"samples": samples, "targets": targets}
+        """Stack a list of dict microbatches along a leading accum axis."""
+        return {k: np.stack([b[k] for b in batches]) for k in batches[0]}
 
     def train_one_epoch(self, epoch, data_loader, state, criterion):
         config = self.config
@@ -326,15 +325,17 @@ class Trainer:
         loss_meter = AverageMeter()
         norm_meter = AverageMeter()
 
-        sharding = batch_sharding(self.mesh)
+        # leaves carry a leading [accum, batch, ...] axis; shard the BATCH axis
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sharding = NamedSharding(self.mesh, P(None, "data"))
         start = time.time()
         end = time.time()
 
         micro_acc = []
         opt_idx = 0
         for idx, (samples, targets) in enumerate(data_loader):
-            samples, targets = self.prepare_data(samples, targets)
-            micro_acc.append((samples, targets))
+            micro_acc.append(self.prepare_data(samples, targets))
             if len(micro_acc) < accum:
                 continue
 
@@ -349,7 +350,7 @@ class Trainer:
 
             if idx % config.PRINT_FREQ < accum or idx == num_steps - 1:
                 metrics = jax.device_get(metrics)
-                loss_meter.update(metrics["loss"], targets.shape[0] * accum)
+                loss_meter.update(metrics["loss"], np.shape(targets)[0] * accum)
                 norm_meter.update(metrics["grad_norm"])
                 lr = float(self.schedule(state.step - 1))
                 batch_time.update((time.time() - end) / accum)
