@@ -6,9 +6,14 @@ Prints ONE JSON line:
 Headline metric: decoder pair scores per second per chip at patch16_512
 (the inner op of the sharded O(N^2) HisFrag retrieval scan — encoder
 features and stream-2 tokens amortised, cross-decoder per pair), measured
-against the 5,000 pair-forwards/sec/chip north star in BASELINE.md. A full
-pair-forward (encode + decode) figure and the CPU-runnable patch8_64
+against the 5,000 pair-forwards/sec/chip north star in BASELINE.md. The
+full pair-forward (encode + decode) rate and the CPU-runnable patch8_64
 configuration are reported as secondary metrics on stderr.
+
+Timing note: iterations run device-side under one lax.scan and the scalar
+accumulator is fetched to host once — on the axon remote backend
+block_until_ready does not await compute, and per-call host syncs would
+pay tunnel latency per step.
 """
 
 import json
@@ -20,8 +25,26 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _timed_scan(fn, args, iters, warmup_iters=2):
+    """Run fn(*args) `iters` times inside one jitted scan; returns sec/iter."""
+
+    def multi(n_iters, *args):
+        def body(acc, _):
+            out = fn(*args)
+            return acc + jnp.sum(out.astype(jnp.float32)), None
+
+        acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), None, length=n_iters)
+        return acc
+
+    jmulti = jax.jit(multi, static_argnums=0)
+    np.asarray(jmulti(warmup_iters, *args))  # compile + warm
+    t0 = time.time()
+    np.asarray(jmulti(iters, *args))
+    return (time.time() - t0) / iters
+
+
 def bench_pair_forwards(img_size, patch_size, depth, c_depth, embed_dim, num_heads,
-                        num_classes, batch, warmup=3, iters=10):
+                        num_classes, batch, iters=20):
     from vit_ed_tpu.models.vit_ed import ViTED
 
     model = ViTED(img_size=img_size, patch_size=patch_size, num_classes=num_classes,
@@ -33,15 +56,8 @@ def bench_pair_forwards(img_size, patch_size, depth, c_depth, embed_dim, num_hea
     params = variables["params"]
 
     # full pair forward (encode + decode + head)
-    fwd = jax.jit(lambda p, x: model.apply({"params": p}, x))
-    for _ in range(warmup):
-        out = fwd(params, x)
-    out.block_until_ready()
-    t0 = time.time()
-    for _ in range(iters):
-        out = fwd(params, x)
-    out.block_until_ready()
-    full_rate = iters * batch / (time.time() - t0)
+    sec = _timed_scan(lambda p, a: model.apply({"params": p}, a), (params, x), iters)
+    full_rate = batch / sec
 
     # decode-only pair score (the O(N^2) scan inner op): encoder features
     # and x2 tokens precomputed once
@@ -53,17 +69,12 @@ def bench_pair_forwards(img_size, patch_size, depth, c_depth, embed_dim, num_hea
     pi = jnp.asarray(rng.integers(0, n, size=batch), jnp.int32)
     pj = jnp.asarray(rng.integers(0, n, size=batch), jnp.int32)
 
-    score = jax.jit(lambda p, f, t, i, j: model.apply(
-        {"params": p}, jnp.take(f, i, axis=0), jnp.take(t, j, axis=0),
-        method=model.score_tokens))
-    for _ in range(warmup):
-        out = score(params, feats, tokens, pi, pj)
-    out.block_until_ready()
-    t0 = time.time()
-    for _ in range(iters):
-        out = score(params, feats, tokens, pi, pj)
-    out.block_until_ready()
-    decode_rate = iters * batch / (time.time() - t0)
+    sec = _timed_scan(
+        lambda p, f, t, i, j: model.apply(
+            {"params": p}, jnp.take(f, i, axis=0), jnp.take(t, j, axis=0),
+            method=model.score_tokens),
+        (params, feats, tokens, pi, pj), iters)
+    decode_rate = batch / sec
 
     return full_rate, decode_rate
 
@@ -80,7 +91,7 @@ def main():
     try:
         full_64, decode_64 = bench_pair_forwards(
             img_size=64, patch_size=8, depth=8, c_depth=8, embed_dim=384,
-            num_heads=12, num_classes=4, batch=256)
+            num_heads=12, num_classes=4, batch=512)
         print(f"patch8_64:  full={full_64 / n_chips:.1f} "
               f"decode-only={decode_64 / n_chips:.1f} pair-fwd/s/chip", file=sys.stderr)
     except Exception as e:  # pragma: no cover
