@@ -25,8 +25,13 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _timed_scan(fn, args, iters, warmup_iters=2):
-    """Run fn(*args) `iters` times inside one jitted scan; returns sec/iter."""
+def _timed_scan(fn, args, iters):
+    """Run fn(*args) `iters` times inside one jitted scan; returns sec/iter.
+
+    The warmup call uses the SAME scan length so the timed call reuses the
+    compiled executable (scan length is static), and the single dispatch
+    amortises the remote-execution round trip over all iterations.
+    """
 
     def multi(n_iters, *args):
         def body(acc, _):
@@ -37,7 +42,7 @@ def _timed_scan(fn, args, iters, warmup_iters=2):
         return acc
 
     jmulti = jax.jit(multi, static_argnums=0)
-    np.asarray(jmulti(warmup_iters, *args))  # compile + warm
+    np.asarray(jmulti(iters, *args))  # compile + warm (same executable)
     t0 = time.time()
     np.asarray(jmulti(iters, *args))
     return (time.time() - t0) / iters

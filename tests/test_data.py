@@ -1,0 +1,98 @@
+import numpy as np
+import pytest
+from PIL import Image
+
+from vit_ed_tpu.data.grouping import add_items_to_group
+from vit_ed_tpu.data import transforms as T
+from vit_ed_tpu.data.loader import DataLoader
+from vit_ed_tpu.data.samplers import (
+    DistributedEvalSampler,
+    DistributedRepeatSampler,
+    MPerClassSampler,
+)
+
+
+def test_add_items_to_group_merges():
+    groups = []
+    add_items_to_group(["a", "b"], groups)
+    add_items_to_group(["c", "d"], groups)
+    assert len(groups) == 2
+    add_items_to_group(["b", "c"], groups)
+    assert len(groups) == 1
+    assert groups[0] == {"a", "b", "c", "d"}
+
+
+def test_two_img_sync_eval():
+    img = Image.fromarray(np.full((100, 80, 3), 128, np.uint8))
+    t = T.TwoImgSyncEval(64)
+    a, b = t(img, img)
+    # shorter side resized to 64
+    assert a.shape[0] == 80 and a.shape[1] == 64
+    np.testing.assert_allclose(a, (128 / 255 - 0.5) / 0.5, atol=1e-3)
+
+
+def test_center_crop_and_random_crop():
+    img = Image.fromarray(np.arange(64 * 64 * 3, dtype=np.uint8).reshape(64, 64, 3) % 255)
+    c = T.center_crop(img, 32)
+    assert c.size == (32, 32)
+    r = T.random_crop(img, 32)
+    assert r.size == (32, 32)
+    padded = T.random_crop(Image.new("RGB", (16, 16)), 32, pad_if_needed=True)
+    assert padded.size == (32, 32)
+
+
+def test_grid_crop():
+    img = Image.new("RGB", (96, 64))
+    patches = T.crop(img, 3, 2)
+    assert len(patches) == 6
+    assert patches[0].size == (32, 32)
+
+
+def test_distributed_repeat_sampler_partitions():
+    idx = [list(DistributedRepeatSampler(10, num_replicas=3, rank=r, shuffle=False))
+           for r in range(3)]
+    # padded to equal size, all indices covered
+    assert all(len(x) == 4 for x in idx)
+    assert set(i for x in idx for i in x) == set(range(10))
+
+
+def test_distributed_eval_sampler_exact():
+    idx = [list(DistributedEvalSampler(10, num_replicas=3, rank=r)) for r in range(3)]
+    flat = sorted(i for x in idx for i in x)
+    assert flat == list(range(10))  # no padding/duplication
+
+
+def test_m_per_class_sampler():
+    labels = [0] * 6 + [1] * 6 + [2] * 6
+    s = MPerClassSampler(labels, m=3, batch_size=6, length_before_new_iter=36)
+    idx = list(s)
+    assert len(idx) == 36
+    labels = np.asarray(labels)
+    for b in range(0, 36, 6):
+        batch = labels[idx[b:b + 6]]
+        # each batch draws m=3 from each of 2 classes
+        vals, counts = np.unique(batch, return_counts=True)
+        assert all(c == 3 for c in counts)
+
+
+def test_loader_with_workers():
+    class DS:
+        def __getitem__(self, i):
+            return np.full((2, 2), i), i
+
+        def __len__(self):
+            return 10
+
+    loader = DataLoader(DS(), batch_size=3, num_workers=2)
+    batches = list(loader)
+    assert len(batches) == 4
+    np.testing.assert_array_equal(batches[0][1], [0, 1, 2])
+    loader = DataLoader(DS(), batch_size=3, num_workers=2, drop_last=True)
+    assert len(list(loader)) == 3
+
+
+def test_shift_scale_rotate_identity_when_p0():
+    img = Image.fromarray(np.random.default_rng(0).integers(
+        0, 255, (32, 32, 3), np.uint8))
+    out = T.shift_scale_rotate(img, p=0.0)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(img))

@@ -1,0 +1,133 @@
+"""End-to-end HisFrag pipeline on synthetic writer data: the mined-pair
+train step and the sharded O(N^2) eval -> wi19 mAP (the equivalence
+contract of reference tests/hisfrag_evaluation_test.py)."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+
+def _write_hisfrag(root, n_writers=6, pages=1, frags=3, size=80):
+    rng = np.random.default_rng(0)
+    d = os.path.join(root, "train")
+    os.makedirs(d, exist_ok=True)
+    for w in range(n_writers):
+        base = rng.integers(0, 255, size=(size, size, 3), dtype=np.uint8)
+        for p in range(pages):
+            for f in range(frags):
+                # writer-correlated texture: same base + small noise
+                arr = np.clip(base + rng.integers(-20, 20, base.shape), 0, 255)
+                Image.fromarray(arr.astype(np.uint8)).save(
+                    os.path.join(d, f"w{w:03d}_{p}_{f}.jpg"))
+
+
+class Args:
+    cfg = None
+    opts = None
+    batch_size = None
+    data_path = None
+    pretrained = None
+    resume = None
+    accumulation_steps = None
+    use_checkpoint = None
+    disable_amp = True
+    output = None
+    tag = "test"
+    mode = "train"
+    eval = None
+    throughput = None
+    optim = None
+    keep_attn = None
+    eval_n_items_per_category = 5
+    distance_reduction = "min"
+
+
+@pytest.fixture(scope="module")
+def hisfrag_env(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("hisfrag")
+    data = tmp / "data"
+    _write_hisfrag(str(data))
+    cfg = tmp / "cfg.yaml"
+    cfg.write_text("""
+MODEL:
+  TYPE: pjs
+  NAME: tiny_hisfrag
+  NUM_CLASSES: 1
+  DROP_PATH_RATE: 0.0
+  PJS:
+    EMBED_DIM: 16
+    PATCH_SIZE: 32
+    NUM_HEADS: 2
+    DEPTH: 1
+    C_DEPTH: 1
+DATA:
+  DATASET: hisfrag20
+  IMG_SIZE: 64
+  BATCH_SIZE: 1
+  TEST_BATCH_SIZE: 8
+  NUM_WORKERS: 0
+TRAIN:
+  EPOCHS: 1
+  WARMUP_EPOCHS: 0
+SAVE_FREQ: 10
+PRINT_FREQ: 5
+""")
+    return tmp, data, cfg
+
+
+def test_hisfrag_dataset_split(hisfrag_env):
+    from vit_ed_tpu.data.hisfrag import HisFrag20, Split
+
+    _tmp, data, _cfg = hisfrag_env
+    ds = HisFrag20(str(data), Split.TRAIN)
+    # 93% of 6 writers -> 5 writers, 3 frags each
+    assert len(ds.writers) == 5
+    assert len(ds) == 15
+    ds_val = HisFrag20(str(data), Split.VAL)
+    assert len(ds_val.writers) == 1
+
+
+def test_pair_mining(hisfrag_env):
+    """prepare_data semantics (hisfrag.py:117-148): positives are same-label
+    upper-triangle pairs; negatives capped at 2x; padded buffer masked."""
+    from hisfrag import HisfragTrainer
+
+    tmp, data, cfg = hisfrag_env
+    args = Args()
+    args.cfg = str(cfg)
+    args.data_path = str(data)
+    args.output = str(tmp / "out_mine")
+    trainer = HisfragTrainer(args)
+
+    samples = np.zeros((6, 64, 64, 3), np.float32)
+    targets = np.asarray([0, 0, 0, 1, 1, 1])
+    batch = trainer.prepare_data(samples, targets)
+    mask = batch["pair_mask"].astype(bool)
+    gi, gj = batch["gi"][mask], batch["gj"][mask]
+    t = batch["pair_targets"][mask][:, 0]
+    labels = targets
+    # every positive pair has equal labels, negative unequal
+    for a, b, y in zip(gi, gj, t):
+        assert (labels[a] == labels[b]) == bool(y)
+    n_pos = int(t.sum())
+    n_neg = int((1 - t).sum())
+    assert n_pos == 6  # 2 classes x C(3,2)
+    assert n_neg <= 2 * n_pos
+
+
+def test_hisfrag_train_and_validate(hisfrag_env):
+    from hisfrag import HisfragTrainer
+
+    tmp, data, cfg = hisfrag_env
+    args = Args()
+    args.cfg = str(cfg)
+    args.data_path = str(data)
+    args.output = str(tmp / "out_train")
+    trainer = HisfragTrainer(args)
+    state = trainer.train()
+    assert int(state.step) > 0
+    # validate() ran inside train(); run it once more explicitly
+    loss = trainer.validate()
+    assert 0.0 <= loss <= 1.0  # 1 - mAP
