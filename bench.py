@@ -28,15 +28,22 @@ import numpy as np
 def _timed_scan(fn, args, iters):
     """Run fn(*args) `iters` times inside one jitted scan; returns sec/iter.
 
-    The warmup call uses the SAME scan length so the timed call reuses the
-    compiled executable (scan length is static), and the single dispatch
-    amortises the remote-execution round trip over all iterations.
+    Correct-timing requirements learned the hard way on the remote backend:
+    - warmup uses the SAME static scan length so the timed call reuses the
+      compiled executable;
+    - the first argument is perturbed by the scan carry (x + acc * 1e-24)
+      so the body is NOT loop-invariant — otherwise XLA hoists the whole
+      computation out of the scan and the loop measures nothing;
+    - one dispatch covers all iterations, amortising the RPC round trip,
+      and the scalar carry is fetched to host (block_until_ready does not
+      await compute on this backend).
     """
 
-    def multi(n_iters, *args):
+    def multi(n_iters, x0, *rest):
         def body(acc, _):
-            out = fn(*args)
-            return acc + jnp.sum(out.astype(jnp.float32)), None
+            xi = x0 + acc.astype(x0.dtype) * 1e-24
+            out = fn(xi, *rest)
+            return jnp.sum(out.astype(jnp.float32)) * 1e-12, None
 
         acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), None, length=n_iters)
         return acc
@@ -60,8 +67,9 @@ def bench_pair_forwards(img_size, patch_size, depth, c_depth, embed_dim, num_hea
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), x[:1])
     params = variables["params"]
 
-    # full pair forward (encode + decode + head)
-    sec = _timed_scan(lambda p, a: model.apply({"params": p}, a), (params, x), iters)
+    # full pair forward (encode + decode + head); the perturbed array must
+    # come first for the carry-dependence trick
+    sec = _timed_scan(lambda a, p: model.apply({"params": p}, a), (x, params), iters)
     full_rate = batch / sec
 
     # decode-only pair score (the O(N^2) scan inner op): encoder features
@@ -75,10 +83,10 @@ def bench_pair_forwards(img_size, patch_size, depth, c_depth, embed_dim, num_hea
     pj = jnp.asarray(rng.integers(0, n, size=batch), jnp.int32)
 
     sec = _timed_scan(
-        lambda p, f, t, i, j: model.apply(
+        lambda f, p, t, i, j: model.apply(
             {"params": p}, jnp.take(f, i, axis=0), jnp.take(t, j, axis=0),
             method=model.score_tokens),
-        (params, feats, tokens, pi, pj), iters)
+        (feats, params, tokens, pi, pj), iters)
     decode_rate = batch / sec
 
     return full_rate, decode_rate
