@@ -311,6 +311,7 @@ def default_config() -> ConfigNode:
     c.TPU.USE_PALLAS_ATTENTION = True
     c.TPU.MAX_TRAIN_PAIRS = 0      # 0 -> auto (static padded pair buffer size)
     c.TPU.DONATE_STATE = True
+    c.TPU.PROFILE_DIR = ""         # non-empty -> jax profiler traces land here
 
     return c
 

@@ -376,21 +376,37 @@ class Trainer:
         raise NotImplementedError()
 
     def throughput(self):
-        """50 warmup + 30 timed forwards -> img/s (engine.py:266-283)."""
+        """50 warmup + 30 timed forwards -> img/s (engine.py:266-283).
+
+        Iterations run device-side under one lax.scan with a carry
+        dependence (remote backends may otherwise hoist the loop-invariant
+        body or return before the compute completes). With
+        TPU.PROFILE_DIR set, a jax profiler trace of the timed region is
+        written for TensorBoard."""
+        from vit_ed_tpu.utils.profiler import maybe_trace
+
         data_loader = self.get_dataloader("validation")
-        fwd = jax.jit(lambda p, x: self.model.apply({"params": p}, x))
+
+        def multi(n, x, p):
+            def body(acc, _):
+                xi = x + acc.astype(x.dtype) * 1e-24
+                out = self.model.apply({"params": p}, xi)
+                return jnp.sum(out.astype(jnp.float32)) * 1e-12, None
+
+            acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), None, length=n)
+            return acc
+
+        jmulti = jax.jit(multi, static_argnums=0)
         for images, _ in data_loader:
             images = jnp.asarray(images)
             batch_size = images.shape[0]
-            for _ in range(50):
-                out = fwd(self.params, images)
-            out.block_until_ready()
+            np.asarray(jmulti(30, images, self.params))  # compile + warm
+            np.asarray(jmulti(30, images, self.params))
             self.logger.info("throughput averaged with 30 times")
-            tic1 = time.time()
-            for _ in range(30):
-                out = fwd(self.params, images)
-            out.block_until_ready()
-            tic2 = time.time()
+            with maybe_trace(self.config.TPU.PROFILE_DIR, "throughput"):
+                tic1 = time.time()
+                np.asarray(jmulti(30, images, self.params))
+                tic2 = time.time()
             throughput_val = 30 * batch_size / (tic2 - tic1)
             self.logger.info(f"batch_size {batch_size} throughput {throughput_val}")
             return throughput_val
