@@ -1,0 +1,59 @@
+"""Native C++ placement core vs the Python reference solver."""
+
+import numpy as np
+import pytest
+
+from vit_ed_tpu import native
+from vit_ed_tpu.solver.distance import classical_distance_matrix
+from vit_ed_tpu.solver.importer import PuzzleTester, PuzzleType
+from vit_ed_tpu.solver.solver import PaikinTalSolver
+
+pytestmark = pytest.mark.skipif(not native.is_available(),
+                                reason="no C++ toolchain")
+
+
+def _python_solve(distances, fixed_dims):
+    pieces = PuzzleTester.build_dummy_puzzle().pieces  # ids/locs reused
+    n = distances.shape[1]
+    pieces = pieces[:n]
+    solver = PaikinTalSolver(1, pieces, None, PuzzleType.type1, 0.0, fixed_dims,
+                             distances=distances)
+    solver.run()
+    rows = np.full(n, -1)
+    cols = np.full(n, -1)
+    for p in pieces:
+        rows[p.id_number] = p.location[0]
+        cols[p.id_number] = p.location[1]
+    rows -= rows.min()
+    cols -= cols.min()
+    return rows, cols
+
+
+def test_native_matches_python_on_dummy():
+    puzzle = PuzzleTester.build_dummy_puzzle()
+    D = classical_distance_matrix(puzzle.pieces)
+    rows_p, cols_p = _python_solve(D.copy(), puzzle.grid_size)
+    rows_n, cols_n, pids = native.pt_solve(D, puzzle.grid_size, 1, 0.0)
+    np.testing.assert_array_equal(rows_n, rows_p)
+    np.testing.assert_array_equal(cols_n, cols_p)
+    assert (pids == 0).all()
+
+
+def test_native_matches_python_on_random():
+    rng = np.random.default_rng(0)
+    n = 9
+    for trial in range(5):
+        D = rng.uniform(1.0, 100.0, size=(4, n, n))
+        rows_p, cols_p = _python_solve(D.copy(), None)
+        rows_n, cols_n, _ = native.pt_solve(D, None, 1, 0.0)
+        np.testing.assert_array_equal(rows_n, rows_p, err_msg=f"trial {trial}")
+        np.testing.assert_array_equal(cols_n, cols_p, err_msg=f"trial {trial}")
+
+
+def test_native_perfect_reassembly():
+    puzzle = PuzzleTester.build_dummy_puzzle()
+    D = classical_distance_matrix(puzzle.pieces)
+    rows, cols, pids = native.pt_solve(D, puzzle.grid_size, 1, 0.0)
+    # sequential-pixel puzzle must reassemble exactly
+    for i in range(9):
+        assert (rows[i], cols[i]) == (i // 3, i % 3)

@@ -1,0 +1,93 @@
+"""Native (C++) runtime components.
+
+Builds ``paikin_tal.cc`` into a shared library on first use (g++ -O3) and
+exposes it via ctypes. Falls back gracefully when no compiler is available
+— callers must check ``is_available()``.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "paikin_tal.cc")
+_LIB_PATH = os.path.join(_HERE, "libpaikin_tal.so")
+_lock = threading.Lock()
+_lib = None
+_build_failed = False
+
+
+def _build() -> Optional[str]:
+    if os.path.exists(_LIB_PATH) and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC):
+        return _LIB_PATH
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+             _SRC, "-o", _LIB_PATH],
+            check=True, capture_output=True, timeout=120)
+        return _LIB_PATH
+    except Exception:
+        return None
+
+
+def _load():
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None or _build_failed:
+            return _lib
+        path = _build()
+        if path is None:
+            _build_failed = True
+            return None
+        lib = ctypes.CDLL(path)
+        lib.pt_solve.restype = ctypes.c_int
+        lib.pt_solve.argtypes = [
+            ctypes.c_int,
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_double,
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ]
+        _lib = lib
+        return _lib
+
+
+def is_available() -> bool:
+    return _load() is not None
+
+
+def pt_solve(distances: np.ndarray, fixed_puzzle_dimensions=None,
+             numb_puzzles: int = 1, new_board_mutual_compatibility: float = 0.5
+             ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Run the native Paikin-Tal placement.
+
+    Args:
+        distances: [4, N, N] float array (type-1 side pairing).
+    Returns:
+        (rows, cols, puzzle_ids) int32 arrays of length N, locations
+        normalized per output puzzle.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native solver unavailable (no compiler?)")
+    D = np.ascontiguousarray(distances, np.float64)
+    assert D.ndim == 3 and D.shape[0] == 4 and D.shape[1] == D.shape[2]
+    n = D.shape[1]
+    rows = np.empty(n, np.int32)
+    cols = np.empty(n, np.int32)
+    pids = np.empty(n, np.int32)
+    fr, fc = (0, 0)
+    if fixed_puzzle_dimensions is not None:
+        fr, fc = int(fixed_puzzle_dimensions[0]), int(fixed_puzzle_dimensions[1])
+    rc = lib.pt_solve(n, D.reshape(-1), fr, fc, int(numb_puzzles),
+                      float(new_board_mutual_compatibility), rows, cols, pids)
+    if rc != 0:
+        raise RuntimeError(f"native solver failed with code {rc}")
+    return rows, cols, pids

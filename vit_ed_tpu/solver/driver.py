@@ -14,12 +14,23 @@ from .solver import PaikinTalSolver
 def paikin_tal_driver(pieces: Sequence[PuzzlePiece], piece_width: int,
                       distance_fn: Optional[Callable] = None,
                       fixed_puzzle_dimensions=None,
-                      distances: Optional[np.ndarray] = None) -> Puzzle:
+                      distances: Optional[np.ndarray] = None,
+                      use_native: Optional[bool] = None) -> Puzzle:
     """Build the solver, run it, reconstruct the single output puzzle.
 
     ``distances`` may carry a precomputed [4, N, N] tensor (e.g. batched
     NN pair scores computed on device) — the TPU-native fast path replacing
-    the per-pair distance_function callbacks."""
+    the per-pair distance_function callbacks. With a precomputed tensor the
+    placement loop runs in the native C++ core (vit_ed_tpu/native) when
+    available; pass use_native=False to force the Python reference loop."""
+    if use_native is None:
+        use_native = distances is not None
+    if use_native and distances is not None:
+        from vit_ed_tpu import native
+
+        if native.is_available():
+            return _native_driver(pieces, piece_width, distances,
+                                  fixed_puzzle_dimensions)
     solver = PaikinTalSolver(1, pieces, distance_fn, PuzzleType.type1, 0,
                              fixed_puzzle_dimensions, distances=distances)
     solver.run()
@@ -27,3 +38,24 @@ def paikin_tal_driver(pieces: Sequence[PuzzlePiece], piece_width: int,
     puzzle_pieces = paikin_tal_results[0]
     puzzle_id = puzzle_pieces[0].puzzle_id
     return Puzzle.reconstruct_from_pieces(puzzle_pieces, piece_width, puzzle_id)
+
+
+def _native_driver(pieces, piece_width, distances, fixed_puzzle_dimensions):
+    from vit_ed_tpu import native
+    from .piece import PuzzlePieceRotation
+
+    for i, piece in enumerate(pieces):
+        piece.id_number = i
+    rows, cols, pids = native.pt_solve(distances, fixed_puzzle_dimensions,
+                                       numb_puzzles=1,
+                                       new_board_mutual_compatibility=0.0)
+    placed = []
+    for i, piece in enumerate(pieces):
+        if pids[i] < 0:
+            continue
+        piece.puzzle_id = int(pids[i])
+        piece.location = (int(rows[i]), int(cols[i]))
+        piece.rotation = PuzzlePieceRotation.degree_0
+        placed.append(piece)
+    puzzle_id = placed[0].puzzle_id
+    return Puzzle.reconstruct_from_pieces(placed, piece_width, puzzle_id)
