@@ -35,7 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 _INTERPRET = False  # flipped by tests to run kernels on CPU
 
-DEFAULT_BLOCK_Q = 128
+DEFAULT_BLOCK_Q = 512  # see scripts/bench_attention.py: bq512 ~2x XLA at S=1024
 LANE = 128
 
 
@@ -301,7 +301,10 @@ def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        # Short sequences (e.g. 64 tokens at patch8_64) fit XLA's batched-GEMM
+        # attention better than a kernel launch per (batch, head); the Pallas
+        # kernel pays off once the key axis is a few lanes wide.
+        use_pallas = jax.default_backend() == "tpu" and k.shape[2] >= 256
     if not use_pallas:
         return reference_attention(q, k, v, scale)
 

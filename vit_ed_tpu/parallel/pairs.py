@@ -55,7 +55,7 @@ class PairwiseScorer:
     """
 
     def __init__(self, model, params, mesh: Mesh, num_outputs: int = 1,
-                 pair_chunk: int = 4096, dtype=np.float16):
+                 pair_chunk: int = 512, dtype=np.float16):
         self.model = model
         self.params = params
         self.mesh = mesh
@@ -189,8 +189,14 @@ class PairwiseScorer:
         if world_size > 1:
             from jax.experimental.multihost_utils import process_allgather
 
-            gathered = process_allgather(sim)  # [world, N, N, C]
-            sim = np.asarray(gathered).sum(axis=0).astype(self.dtype)
+            # gather only each process's row slab (padded to the max slab
+            # height), not the full N x N matrix per process
+            max_rows = max(r.stop - r.start for r in ranges)
+            slab = np.zeros((max_rows,) + sim.shape[1:], self.dtype)
+            slab[: my_rows.stop - my_rows.start] = sim[my_rows.start:my_rows.stop]
+            gathered = np.asarray(process_allgather(slab))  # [world, max_rows, N, C]
+            for r_i, rng_i in enumerate(ranges):
+                sim[rng_i.start:rng_i.stop] = gathered[r_i, : rng_i.stop - rng_i.start]
 
         # mirror to the lower triangle
         out = sim if self.num_outputs > 1 else sim[..., 0]

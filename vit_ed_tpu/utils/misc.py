@@ -109,6 +109,25 @@ def split_list_by_ratios(lst, ratios):
     return sublists
 
 
+def get_repeated_indexes(input_size: int, output_size: int) -> np.ndarray:
+    """Shuffled index vector covering input_size repeated to output_size
+    (misc/utils.py:365-369)."""
+    n_times = -(-output_size // input_size)
+    res = np.concatenate([np.arange(input_size) for _ in range(n_times)])
+    return np.random.permutation(res)[:output_size]
+
+
+def n_batches(size: int, current_batch: int = -1) -> int:
+    """Count of upper-triangle batch pairs before current_batch
+    (misc/utils.py:158-167)."""
+    total = 0
+    for i in range(size):
+        if i == current_batch:
+            return total
+        total += size - i
+    return total
+
+
 def get_combinations(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Cartesian product of two index vectors -> [len(a)*len(b), 2]
     (misc/utils.py:372-377)."""
