@@ -124,7 +124,8 @@ def test_train_end_to_end(div2k_env, monkeypatch):
 
 def test_auto_resume(div2k_env):
     """Second Trainer in the same OUTPUT must auto-resume from the newest
-    checkpoint (misc/utils.py:170-180 semantics)."""
+    checkpoint (misc/utils.py:170-180 semantics) and restore the full
+    train state through orbax."""
     from main import DefaultTrainer
 
     tmp, data, cfg = div2k_env
@@ -134,3 +135,26 @@ def test_auto_resume(div2k_env):
     args.output = str(tmp / "out")
     trainer = DefaultTrainer(args)
     assert trainer.config.MODEL.RESUME  # picked up the checkpoint
+    state = trainer.train()             # restores; START_EPOCH==EPOCHS -> no new epochs
+    assert trainer.start_epoch == 1
+    assert int(state.step) > 0          # optimizer step counter restored
+
+
+def test_remat_model_gradients():
+    """TRAIN.USE_CHECKPOINT maps to nn.remat; gradients must flow."""
+    import jax
+    import jax.numpy as jnp
+
+    from vit_ed_tpu.models.vit_ed import ViTED
+
+    m = ViTED(img_size=64, patch_size=32, num_classes=4, embed_dim=16,
+              depth=1, c_depth=1, num_heads=2, use_pallas=False, remat=True)
+    x = jnp.ones((2, 2, 64, 64, 3))
+    variables = m.init(jax.random.PRNGKey(0), x)
+
+    def loss(p):
+        return jnp.sum(m.apply({"params": p}, x) ** 2)
+
+    g = jax.grad(loss)(variables["params"])
+    total = sum(float(jnp.sum(jnp.abs(l))) for l in jax.tree.leaves(g))
+    assert np.isfinite(total) and total > 0
