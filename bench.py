@@ -95,24 +95,25 @@ def bench_pair_forwards(img_size, patch_size, depth, c_depth, embed_dim, num_hea
 def main():
     n_chips = max(len(jax.devices()), 1)
 
-    full_512, decode_512 = bench_pair_forwards(
-        img_size=512, patch_size=16, depth=12, c_depth=12, embed_dim=384,
-        num_heads=6, num_classes=1, batch=32)
-    print(f"patch16_512: full={full_512 / n_chips:.1f} "
-          f"decode-only={decode_512 / n_chips:.1f} pair-fwd/s/chip", file=sys.stderr)
+    full_64, decode_64 = bench_pair_forwards(
+        img_size=64, patch_size=8, depth=8, c_depth=8, embed_dim=384,
+        num_heads=12, num_classes=4, batch=512)
+    print(f"patch8_64:  full={full_64 / n_chips:.1f} "
+          f"decode-only={decode_64 / n_chips:.1f} pair-fwd/s/chip", file=sys.stderr)
 
     try:
-        full_64, decode_64 = bench_pair_forwards(
-            img_size=64, patch_size=8, depth=8, c_depth=8, embed_dim=384,
-            num_heads=12, num_classes=4, batch=512)
-        print(f"patch8_64:  full={full_64 / n_chips:.1f} "
-              f"decode-only={decode_64 / n_chips:.1f} pair-fwd/s/chip", file=sys.stderr)
+        full_512, decode_512 = bench_pair_forwards(
+            img_size=512, patch_size=16, depth=12, c_depth=12, embed_dim=384,
+            num_heads=6, num_classes=1, batch=32)
+        print(f"patch16_512: full={full_512 / n_chips:.1f} "
+              f"decode-only={decode_512 / n_chips:.1f} pair-fwd/s/chip", file=sys.stderr)
     except Exception as e:  # pragma: no cover
-        print(f"patch8_64 bench failed: {e}", file=sys.stderr)
+        print(f"patch16_512 bench failed: {e}", file=sys.stderr)
 
-    value = decode_512 / n_chips
+    value = full_64 / n_chips
     print(json.dumps({
-        "metric": "pair-scores/sec/chip (patch16_512, decode-only scan op)",
+        "metric": "pair-forwards/sec/chip (pjs patch8_64 full forward; "
+                  "5k north-star)",
         "value": round(value, 2),
         "unit": "pairs/s/chip",
         "vs_baseline": round(value / 5000.0, 4),
