@@ -1,0 +1,86 @@
+"""Tensor-parallel sharding: a 2-D (data x model) mesh must produce the
+same outputs as the replicated model, with params actually sharded."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vit_ed_tpu.models.vit_ed import ViTED
+from vit_ed_tpu.parallel.mesh import create_mesh
+from vit_ed_tpu.parallel.tp import shard_params_tp, tp_param_specs
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+def _model_and_params():
+    model = ViTED(img_size=32, patch_size=16, num_classes=4, embed_dim=32,
+                  depth=2, c_depth=2, num_heads=4, use_pallas=False)
+    x = jnp.zeros((4, 2, 32, 32, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    return model, variables["params"], x
+
+
+def test_tp_specs_layout():
+    _model, params, _x = _model_and_params()
+    specs = tp_param_specs(params)
+    assert specs["blocks_0"]["attn"]["qkv"]["kernel"] == P(None, "model")
+    assert specs["blocks_0"]["attn"]["proj"]["kernel"] == P("model", None)
+    assert specs["blocks_0"]["mlp"]["fc1"]["kernel"] == P(None, "model")
+    assert specs["blocks_0"]["mlp"]["fc2"]["kernel"] == P("model", None)
+    assert specs["cross_blocks_0"]["cross_attn"]["kv"]["kernel"] == P(None, "model")
+    assert specs["norm"]["scale"] == P()
+    assert specs["pos_embed"] == P()
+
+
+def test_tp_matches_replicated():
+    model, params, _ = _model_and_params()
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(4, 2, 32, 32, 3)), jnp.float32)
+
+    out_rep = np.asarray(model.apply({"params": params}, x))
+
+    mesh = create_mesh((2, 4), axis_names=("data", "model"))
+    tp_params = shard_params_tp(params, mesh)
+    # verify at least one leaf is actually sharded over 'model'
+    qkv = tp_params["blocks_0"]["attn"]["qkv"]["kernel"]
+    assert isinstance(qkv.sharding, NamedSharding)
+    assert qkv.sharding.spec == P(None, "model")
+
+    fwd = jax.jit(
+        lambda p, x: model.apply({"params": p}, x),
+        in_shardings=(jax.tree.map(lambda a: a.sharding, tp_params),
+                      NamedSharding(mesh, P("data"))),
+    )
+    out_tp = np.asarray(fwd(tp_params, jax.device_put(
+        x, NamedSharding(mesh, P("data")))))
+    np.testing.assert_allclose(out_tp, out_rep, atol=2e-5, rtol=1e-4)
+
+
+def test_tp_training_step():
+    """A grad step with TP-sharded params must run and stay sharded."""
+    import optax
+
+    from vit_ed_tpu.train.engine import TrainState, make_train_step
+    from vit_ed_tpu.train.losses import bce_with_logits
+
+    model, params, _ = _model_and_params()
+    mesh = create_mesh((2, 4), axis_names=("data", "model"))
+    tp_params = shard_params_tp(params, mesh)
+
+    tx = optax.adamw(1e-3)
+    state = TrainState(params=tp_params, opt_state=tx.init(tp_params),
+                       step=jnp.zeros((), jnp.int32))
+    step_fn = make_train_step(model, tx, bce_with_logits, accum_steps=1)
+
+    rng = np.random.default_rng(1)
+    batch = {
+        "samples": jax.device_put(
+            jnp.asarray(rng.normal(size=(1, 8, 2, 32, 32, 3)), jnp.float32),
+            NamedSharding(mesh, P(None, "data"))),
+        "targets": jax.device_put(
+            jnp.asarray(rng.random(size=(1, 8, 4)) > 0.5, jnp.float32),
+            NamedSharding(mesh, P(None, "data"))),
+    }
+    state, metrics = step_fn(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    qkv = state.params["blocks_0"]["attn"]["qkv"]["kernel"]
+    assert qkv.sharding.spec == P(None, "model")  # sharding preserved

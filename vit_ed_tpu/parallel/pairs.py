@@ -85,12 +85,18 @@ class PairwiseScorer:
 
     # ------------------------------------------------------------------
     def score_pairs_block(self, feats, tokens, pair_i: np.ndarray,
-                          pair_j: np.ndarray) -> np.ndarray:
+                          pair_j: np.ndarray, max_in_flight: int = 4
+                          ) -> np.ndarray:
         """Score an arbitrary list of (local-i, local-j) pairs in fixed-shape
-        chunks. Returns [len(pairs), num_outputs] float32."""
+        chunks. Returns [len(pairs), num_outputs] float32.
+
+        Chunk dispatches are pipelined: up to ``max_in_flight`` compiled
+        calls are queued on the device before the oldest result is fetched,
+        hiding dispatch latency behind compute."""
         n_pairs = len(pair_i)
         out = np.empty((n_pairs, self.num_outputs), np.float32)
         chunk = self.pair_chunk
+        in_flight = []  # (lo, hi, device_array)
         for lo in range(0, n_pairs, chunk):
             hi = min(lo + chunk, n_pairs)
             pi = np.zeros(chunk, np.int32)
@@ -99,7 +105,12 @@ class PairwiseScorer:
             pj[: hi - lo] = pair_j[lo:hi]
             logits = self._score(self.params, feats, tokens,
                                  jnp.asarray(pi), jnp.asarray(pj))
-            out[lo:hi] = np.asarray(logits, np.float32)[: hi - lo]
+            in_flight.append((lo, hi, logits))
+            if len(in_flight) >= max_in_flight:
+                flo, fhi, fl = in_flight.pop(0)
+                out[flo:fhi] = np.asarray(fl, np.float32)[: fhi - flo]
+        for flo, fhi, fl in in_flight:
+            out[flo:fhi] = np.asarray(fl, np.float32)[: fhi - flo]
         return out
 
     # ------------------------------------------------------------------
