@@ -17,10 +17,22 @@ pay tunnel latency per step.
 """
 
 import json
+import os
 import sys
 import time
 
 import jax
+
+# Persistent compilation cache: remote compiles take minutes; repeated
+# bench runs (and the driver's run) reuse them.
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", _CACHE)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+except Exception:
+    pass
+
 import jax.numpy as jnp
 import numpy as np
 

@@ -55,6 +55,7 @@ def parse_option():
 class HisfragTrainer(Trainer):
     NEG_PAIR_RATIO = 2.0          # hisfrag.py:143
     LOSS_REDUCTION = "mean"       # michigan.py uses "sum"
+    NEG_FULL_ROW = False          # michigan.py:142 mines negs over the full row
 
     def get_criterion(self):
         return bce_with_logits
@@ -119,7 +120,10 @@ class HisfragTrainer(Trainer):
             pos_j = np.flatnonzero(pos_mask[i, i:]) + i
             if len(pos_j):
                 pos_groups.append(np.stack([np.full(len(pos_j), i), pos_j], 1))
-            neg_j = np.flatnonzero(neg_mask[i, i:]) + i
+            if self.NEG_FULL_ROW:
+                neg_j = np.flatnonzero(neg_mask[i, :])
+            else:
+                neg_j = np.flatnonzero(neg_mask[i, i:]) + i
             if len(neg_j):
                 neg_groups.append(np.stack([np.full(len(neg_j), i), neg_j], 1))
         pos_groups = np.concatenate(pos_groups, 0) if pos_groups else np.zeros((0, 2), int)

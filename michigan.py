@@ -51,6 +51,7 @@ def parse_option():
 class MichiganTrainer(HisfragTrainer):
     NEG_PAIR_RATIO = 1.0       # michigan.py:150
     LOSS_REDUCTION = "sum"     # michigan.py:65-66
+    NEG_FULL_ROW = True        # michigan.py:142: negatives over the full row
     geshaem_data_path = None
 
     def get_transforms(self):
