@@ -47,9 +47,10 @@ def compute_map(precision_at, sorted_retrievals):
 
 
 def compute_pr_a_k(sorted_retrievals, k):
-    """wi19_evaluate.py:7-9."""
-    pr_a_k = (sorted_retrievals[:, :k].sum(axis=1)
-              / np.minimum(sorted_retrievals.sum(axis=1), k))
+    """wi19_evaluate.py:7-9 (singleton queries yield nan, as upstream)."""
+    with np.errstate(divide="ignore", invalid="ignore"):
+        pr_a_k = (sorted_retrievals[:, :k].sum(axis=1)
+                  / np.minimum(sorted_retrievals.sum(axis=1), k))
     return pr_a_k.sum() / len(pr_a_k)
 
 
