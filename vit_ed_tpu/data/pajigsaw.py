@@ -97,13 +97,20 @@ class Pajigsaw:
             else:
                 raise Exception(f"Incorrect entries {first_entry} and {second_entry}")
         else:
-            if random.random() < 0.5 and len(first_entry["negative"]) > 0:
+            cross_image_possible = len(self.im_names) > 1
+            if (random.random() < 0.5 or not cross_image_possible) \
+                    and len(first_entry["negative"]) > 0:
                 second_entry = random.choice(first_entry["negative"])
-            else:
+            elif cross_image_possible:
                 target_im_name = im_name
                 while target_im_name == im_name:
                     target_im_name = random.choice(self.im_names)
                 second_entry = random.choice(self.entries[target_im_name])
+            else:
+                # single-image manifest with no in-image negatives: fall back
+                # to any other fragment (still non-adjacent -> negative)
+                second_entry = random.choice(
+                    [e for e in self.entries[im_name] if e is not first_entry])
             label = [0.0, 0.0, 0.0, 0.0]
 
         with Image.open(os.path.join(self.root, first_entry["im_path"])) as f:

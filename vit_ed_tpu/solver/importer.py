@@ -243,8 +243,13 @@ class Puzzle:
         if not piece.is_correctly_placed((0, 0)):
             piece_bgr = cv2.copyMakeBorder(piece_bgr, 1, 1, 1, 1, cv2.BORDER_CONSTANT,
                                            value=[0, 0, 255])
-            p = pad_size - 1
+            p = max(pad_size - 1, 0)
             piece_bgr = cv2.copyMakeBorder(piece_bgr, p, p, p, p, cv2.BORDER_CONSTANT)
+            if piece_bgr.shape[0] > self._piece_width:
+                # zero-erosion pieces: the red marker border would overflow
+                # the cell; crop back to the cell size
+                piece_bgr = Puzzle.centre_crop(piece_bgr,
+                                               (self._piece_width, self._piece_width))
         else:
             p = pad_size
             piece_bgr = cv2.copyMakeBorder(piece_bgr, p, p, p, p, cv2.BORDER_CONSTANT)
