@@ -54,58 +54,85 @@ class TrainState(struct.PyTreeNode):
     params: Any
     opt_state: Any
     step: jax.Array
+    batch_stats: Any = None   # BatchNorm running stats (SimSiam/ResNet models)
 
-    def apply_gradients(self, grads, tx):
+    def apply_gradients(self, grads, tx, batch_stats=None):
         updates, new_opt = tx.update(grads, self.opt_state, self.params)
         return self.replace(
             params=optax.apply_updates(self.params, updates),
             opt_state=new_opt,
             step=self.step + 1,
+            batch_stats=batch_stats if batch_stats is not None else self.batch_stats,
         )
 
 
 def make_train_step(model, tx, criterion: Callable, accum_steps: int,
-                    loss_fn: Optional[Callable] = None):
+                    loss_fn: Optional[Callable] = None,
+                    has_batch_stats: bool = False):
     """Build the jitted train step.
 
     ``loss_fn(model, params, batch, rng) -> loss`` defaults to the plain
     supervised pair loss. The returned function takes a batch whose leaves
     have a leading [accum_steps, ...] axis and returns (state, metrics).
+
+    With ``has_batch_stats`` (BatchNorm models: SimSiam/ResNet baselines),
+    the loss runs with a mutable ``batch_stats`` collection and the updated
+    running stats are threaded through the state. Under jit-over-mesh the
+    batch statistics are computed over the GLOBAL batch — the TPU
+    equivalent of SyncBatchNorm (reference models/build.py:53 etc.).
     """
 
     if loss_fn is None:
-        def loss_fn(model, params, batch, rng):
-            samples, targets = batch["samples"], batch["targets"]
-            logits = model.apply({"params": params}, samples, train=True,
-                                 rngs={"dropout": rng})
-            return criterion(logits.astype(jnp.float32), targets)
+        if has_batch_stats:
+            def loss_fn(model, params, batch, rng, batch_stats):
+                samples, targets = batch["samples"], batch["targets"]
+                out, mutated = model.apply(
+                    {"params": params, "batch_stats": batch_stats},
+                    samples, train=True, rngs={"dropout": rng},
+                    mutable=["batch_stats"])
+                logits = out[0] if isinstance(out, tuple) else out
+                return (criterion(logits.astype(jnp.float32), targets),
+                        mutated["batch_stats"])
+        else:
+            def loss_fn(model, params, batch, rng):
+                samples, targets = batch["samples"], batch["targets"]
+                logits = model.apply({"params": params}, samples, train=True,
+                                     rngs={"dropout": rng})
+                return criterion(logits.astype(jnp.float32), targets)
 
-    def micro_grads(params, micro, rng):
+    def micro_grads(params, micro, rng, batch_stats=None):
+        if has_batch_stats:
+            (loss, new_stats), grads = jax.value_and_grad(
+                lambda p: loss_fn(model, p, micro, rng, batch_stats),
+                has_aux=True)(params)
+            return loss, grads, new_stats
         loss, grads = jax.value_and_grad(
             lambda p: loss_fn(model, p, micro, rng))(params)
-        return loss, grads
+        return loss, grads, None
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch, rng):
         rngs = jax.random.split(rng, accum_steps)
         if accum_steps == 1:
             micro = jax.tree.map(lambda x: x[0], batch)
-            loss, grads = micro_grads(state.params, micro, rngs[0])
+            loss, grads, new_stats = micro_grads(state.params, micro, rngs[0],
+                                                 state.batch_stats)
         else:
             def body(carry, xs):
                 micro, r = xs
-                l, g = micro_grads(state.params, micro, r)
-                acc_loss, acc_g = carry
-                return (acc_loss + l, jax.tree.map(jnp.add, acc_g, g)), None
+                acc_loss, acc_g, stats = carry
+                l, g, new_stats = micro_grads(state.params, micro, r, stats)
+                return (acc_loss + l, jax.tree.map(jnp.add, acc_g, g),
+                        new_stats), None
 
             zero = jax.tree.map(jnp.zeros_like, state.params)
-            (loss_sum, grad_sum), _ = jax.lax.scan(
-                body, (jnp.zeros(()), zero), (batch, rngs))
+            (loss_sum, grad_sum, new_stats), _ = jax.lax.scan(
+                body, (jnp.zeros(()), zero, state.batch_stats), (batch, rngs))
             loss = loss_sum / accum_steps
             grads = jax.tree.map(lambda g: g / accum_steps, grad_sum)
 
         grad_norm = optax.global_norm(grads)
-        state = state.apply_gradients(grads, tx)
+        state = state.apply_gradients(grads, tx, batch_stats=new_stats)
         return state, {"loss": loss, "grad_norm": grad_norm}
 
     return train_step
