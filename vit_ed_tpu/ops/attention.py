@@ -188,6 +188,77 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, dk_ref, dv_ref, *,
     ).astype(dk_ref.dtype)
 
 
+def _fwd_kernel_heads(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int,
+                      n_heads: int):
+    """Variant: one program per (batch, q_block) computing ALL heads.
+
+    Loads K/V for every head once per q block (fewer, larger DMAs and
+    fewer program setups than the per-(batch, head) grid)."""
+    for h in range(n_heads):
+        q = q_ref[0, h]                  # [block_q, d]
+        k = k_ref[0, h]                  # [sk_pad, d]
+        v = v_ref[0, h]
+
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        sk_pad = logits.shape[-1]
+        if kv_len < sk_pad:
+            col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+            logits = jnp.where(col < kv_len, logits, -jnp.inf)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m)
+        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
+        o_ref[0, h] = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(o_ref.dtype)
+
+
+def _pallas_fwd_heads(q, k, v, scale, kv_len, block_q, n_heads):
+    b, h, sq_pad, d = q.shape
+    _, _, sk_pad, _ = k.shape
+    grid = (b, _cdiv(sq_pad, block_q))
+    kernel = functools.partial(_fwd_kernel_heads, scale=scale, kv_len=kv_len,
+                               n_heads=n_heads)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, h, block_q, d), lambda bi, i: (bi, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, sk_pad, d), lambda bi, i: (bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, sk_pad, d), lambda bi, i: (bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h, block_q, d), lambda bi, i: (bi, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        interpret=_INTERPRET,
+    )(q, k, v)
+
+
+def fused_attention_heads(q: jax.Array, k: jax.Array, v: jax.Array,
+                          scale: Optional[float] = None,
+                          block_q: int = DEFAULT_BLOCK_Q) -> jax.Array:
+    """Experimental heads-batched forward (no custom VJP; eval-only)."""
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    b, h, sq, d = q.shape
+    _, _, sk, _ = k.shape
+    sq_pad = _round_up(max(sq, 8), min(block_q, LANE))
+    sq_pad = _round_up(sq_pad, 8)
+    sk_pad = _round_up(max(sk, LANE), LANE)
+    block_q = min(block_q, sq_pad)
+    if sq_pad != sq:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, sq_pad - sq), (0, 0)))
+    if sk_pad != sk:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, sk_pad - sk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, sk_pad - sk), (0, 0)))
+    out = _pallas_fwd_heads(q, k, v, scale, sk, block_q, h)
+    return out[:, :, :sq, :]
+
+
 # ---------------------------------------------------------------------------
 # pallas_call wrappers
 # ---------------------------------------------------------------------------
@@ -288,15 +359,47 @@ def _fused_bwd(scale_and_lens, res, g):
 _fused_attention_padded.defvjp(_fused_fwd, _fused_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _fused_attention_padded_v2(q, k, v, meta):
+    """4-D [B, H, S, D] path: heads-batched forward kernel, per-(b,h)
+    backward kernels (probs recomputed, so the forward variant is free to
+    differ)."""
+    scale, q_len, kv_len, block_q, n_heads = meta
+    return _pallas_fwd_heads(q, k, v, scale, kv_len, block_q, n_heads)
+
+
+def _fused_v2_fwd(q, k, v, meta):
+    return _fused_attention_padded_v2(q, k, v, meta), (q, k, v)
+
+
+def _fused_v2_bwd(meta, res, g):
+    scale, q_len, kv_len, block_q, _n_heads = meta
+    q, k, v = res
+    b, h, sq_pad, d = q.shape
+    sk_pad = k.shape[2]
+    qf = q.reshape(b * h, sq_pad, d)
+    kf = k.reshape(b * h, sk_pad, d)
+    vf = v.reshape(b * h, sk_pad, d)
+    gf = g.reshape(b * h, sq_pad, d)
+    dq = _pallas_dq(qf, kf, vf, gf, scale, q_len, kv_len, block_q)
+    dk, dv = _pallas_dkv(qf, kf, vf, gf, scale, q_len, kv_len)
+    return (dq.reshape(q.shape), dk.reshape(k.shape), dv.reshape(v.shape))
+
+
+_fused_attention_padded_v2.defvjp(_fused_v2_fwd, _fused_v2_bwd)
+
+
 def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                     scale: Optional[float] = None,
-                    block_q: int = DEFAULT_BLOCK_Q,
+                    block_q: Optional[int] = None,
                     use_pallas: Optional[bool] = None) -> jax.Array:
     """Fused attention: softmax(q k^T * scale) v.
 
     Shapes: q [B, H, Sq, D], k/v [B, H, Sk, D] -> [B, H, Sq, D].
     Dispatches to the Pallas TPU kernel when running on TPU (or when forced
-    via ``use_pallas``); otherwise uses the XLA reference path.
+    via ``use_pallas``); otherwise uses the XLA reference path. The forward
+    uses the heads-batched kernel (all heads of a (batch, q-block) program;
+    ~25% faster than per-(batch, head) programs — scripts/bench_attention.py).
     """
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
@@ -310,20 +413,18 @@ def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 
     b, h, sq, d = q.shape
     _, _, sk, _ = k.shape
-    # Pad sequence dims to lane multiples, head dim to 128 if needed.
-    sq_pad = _round_up(max(sq, 8), min(block_q, LANE))
-    sq_pad = _round_up(sq_pad, 8)
+    sq_pad = _round_up(max(sq, 8), 128)
     sk_pad = _round_up(max(sk, LANE), LANE)
+    if block_q is None:
+        # bq512 wins when it divides the padded q axis; bq256 otherwise
+        block_q = 512 if sq_pad % 512 == 0 else 256
     block_q = min(block_q, sq_pad)
 
-    qp = q.reshape(b * h, sq, d)
-    kp = k.reshape(b * h, sk, d)
-    vp = v.reshape(b * h, sk, d)
     if sq_pad != sq:
-        qp = jnp.pad(qp, ((0, 0), (0, sq_pad - sq), (0, 0)))
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, sq_pad - sq), (0, 0)))
     if sk_pad != sk:
-        kp = jnp.pad(kp, ((0, 0), (0, sk_pad - sk), (0, 0)))
-        vp = jnp.pad(vp, ((0, 0), (0, sk_pad - sk), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, sk_pad - sk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, sk_pad - sk), (0, 0)))
 
-    out = _fused_attention_padded(qp, kp, vp, (scale, sq, sk, block_q))
-    return out[:, :sq, :].reshape(b, h, sq, d)
+    out = _fused_attention_padded_v2(q, k, v, (scale, sq, sk, block_q, h))
+    return out[:, :, :sq, :]
