@@ -1,31 +1,35 @@
-"""Convert a similarity-matrix CSV into the wi19 evaluator's
-distance-matrix + ground-truth CSV format
-(re-creates /root/reference/scripts/convert_wi19.py)."""
+"""Export a similarity-matrix CSV into the wi19 evaluator's input format.
+
+Produces ``distance_matrix.csv`` (1 - similarity) and ``gt.csv`` mapping
+each file to its writer group (the prefix before the first underscore).
+"""
+
+from __future__ import annotations
 
 import argparse
 import csv
 
 import pandas as pd
 
-parser = argparse.ArgumentParser("wi19 conversion script", add_help=False)
-parser.add_argument("--similarity_file", type=str, required=True,
-                    help="path to similarity matrix")
+
+def writer_group_of(name: str) -> str:
+    return name.split("_")[0]
 
 
-def main(args):
-    similarity_map = pd.read_csv(args.similarity_file, index_col=0)
-    gt_data = []
-    for key in similarity_map.index:
-        group = key.split("_")[0]
-        gt_data.append({"file": key, "group": group})
+def export(similarity_file: str, distance_out: str = "distance_matrix.csv",
+           gt_out: str = "gt.csv") -> None:
+    similarity = pd.read_csv(similarity_file, index_col=0)
 
-    with open("gt.csv", "w") as f:
-        writer = csv.DictWriter(f, fieldnames=["file", "group"])
-        writer.writerows(gt_data)
+    with open(gt_out, "w", newline="") as f:
+        writer = csv.writer(f)
+        for key in similarity.index:
+            writer.writerow([key, writer_group_of(key)])
 
-    distance_map = 1.0 - similarity_map
-    distance_map.to_csv("distance_matrix.csv")
+    (1.0 - similarity).to_csv(distance_out)
 
 
 if __name__ == "__main__":
-    main(parser.parse_args())
+    parser = argparse.ArgumentParser("wi19 export", add_help=False)
+    parser.add_argument("--similarity_file", type=str, required=True)
+    args = parser.parse_args()
+    export(args.similarity_file)
