@@ -109,10 +109,13 @@ class ConfigNode(dict):
             node = self
             parts = key.split(".")
             for p in parts[:-1]:
+                if p not in node:
+                    raise KeyError(f"Non-existent config key: {key}")
                 node = node[p]
             leaf = parts[-1]
-            old = node[leaf] if leaf in node else None
-            node[leaf] = _coerce(value, old)
+            if leaf not in node:
+                raise KeyError(f"Non-existent config key: {key}")
+            node[leaf] = _coerce(value, node[leaf])
         if frozen:
             self.freeze()
 
