@@ -212,17 +212,28 @@ class Trainer:
     def _example_input(self):
         """Dummy input for parameter init, keyed on model type."""
         s = self.config.DATA.IMG_SIZE
-        if self.config.MODEL.TYPE == "pjs":
+        if self.config.MODEL.TYPE in ("pjs", "ss"):
             return (jnp.zeros((1, 2, s, s, 3), jnp.float32),)
         return (jnp.zeros((1, s, s, 3), jnp.float32),)
 
     def _init_params(self):
         rng = jax.random.PRNGKey(self.config.SEED)
         variables = jax.jit(self.model.init)(rng, *self._example_input())
-        params = variables["params"]
-        # replicate across the mesh
+        # replicate across the mesh; keep any BatchNorm running-stats
+        # collection (SimSiam/ResNet model types) alongside the params
         rep = replicated_sharding(self.mesh)
-        return jax.tree.map(lambda x: jax.device_put(x, rep), params)
+        put = lambda tree: jax.tree.map(lambda x: jax.device_put(x, rep), tree)
+        self.batch_stats = (put(variables["batch_stats"])
+                            if "batch_stats" in variables else None)
+        return put(variables["params"])
+
+    def model_variables(self):
+        """The variables dict for inference-mode ``model.apply`` — includes
+        BatchNorm running stats when the model carries them."""
+        variables = {"params": self.params}
+        if getattr(self, "batch_stats", None) is not None:
+            variables["batch_stats"] = self.batch_stats
+        return variables
 
     # ------------------------------------------------------------- data hooks
     def get_transforms(self):
@@ -284,17 +295,24 @@ class Trainer:
         schedule = build_schedule(config, steps_per_epoch)
         self.tx = build_optimizer(config, schedule, self.params)
         self.schedule = schedule
+        has_batch_stats = self.batch_stats is not None
         state = TrainState(params=self.params,
                            opt_state=self.tx.init(self.params),
-                           step=jnp.zeros((), jnp.int32))
+                           step=jnp.zeros((), jnp.int32),
+                           batch_stats=self.batch_stats)
 
         criterion = self.get_criterion()
+        # BatchNorm models (SimSiam/ResNet types) thread the running-stats
+        # collection through the step; a custom make_loss_fn for such a model
+        # must take (model, params, batch, rng, batch_stats) and return
+        # (loss, new_batch_stats).
         self.train_step = make_train_step(self.model, self.tx, criterion, accum,
-                                          self.make_loss_fn(criterion))
+                                          self.make_loss_fn(criterion),
+                                          has_batch_stats=has_batch_stats)
 
         if config.MODEL.RESUME:
             state, self.min_loss, self.start_epoch = self._load_resume(state)
-            self.params = state.params
+            self.params, self.batch_stats = state.params, state.batch_stats
             loss = self.validate()
             self.min_loss = min(loss, self.min_loss)
             self.logger.info(f"Loss of the network on the val set: {loss:.4f}")
@@ -306,10 +324,12 @@ class Trainer:
         self.logger.info(f"Init loss: {loss}")
         for epoch in range(self.start_epoch, config.TRAIN.EPOCHS):
             state = self.train_one_epoch(epoch, data_loader, state, criterion)
-            self.params = state.params
+            self.params, self.batch_stats = state.params, state.batch_stats
 
-            if self.rank == 0 and (epoch % config.SAVE_FREQ == 0
-                                   or epoch == config.TRAIN.EPOCHS - 1):
+            # every process participates: orbax coordinates multi-host saves
+            # of sharded arrays only when all processes call save together
+            if (epoch % config.SAVE_FREQ == 0
+                    or epoch == config.TRAIN.EPOCHS - 1):
                 self._save(state, epoch, "checkpoint")
 
             loss = self.validate()
@@ -325,6 +345,8 @@ class Trainer:
     def _save(self, state: TrainState, epoch: int, name: str):
         tree = {"params": state.params, "opt_state": state.opt_state,
                 "step": state.step}
+        if state.batch_stats is not None:
+            tree["batch_stats"] = state.batch_stats
         ckpt.save_checkpoint(self.config, epoch, tree, self.min_loss,
                              self.logger, name)
 
@@ -332,9 +354,12 @@ class Trainer:
         self.logger.info(f"==============> Resuming from {self.config.MODEL.RESUME}....")
         abstract = {"params": state.params, "opt_state": state.opt_state,
                     "step": state.step}
+        if state.batch_stats is not None:
+            abstract["batch_stats"] = state.batch_stats
         tree = ckpt.load_checkpoint(self.config.MODEL.RESUME, abstract)
         new_state = TrainState(params=tree["params"], opt_state=tree["opt_state"],
-                               step=tree["step"])
+                               step=tree["step"],
+                               batch_stats=tree.get("batch_stats"))
         min_loss = float(tree.get("min_loss", 99999.0))
         start_epoch = int(tree.get("epoch", -1)) + 1
         self.logger.info(f"=> loaded successfully (epoch {start_epoch - 1})")
@@ -414,25 +439,27 @@ class Trainer:
 
         data_loader = self.get_dataloader("validation")
 
-        def multi(n, x, p):
+        def multi(n, x, variables):
             def body(acc, _):
                 xi = x + acc.astype(x.dtype) * 1e-24
-                out = self.model.apply({"params": p}, xi)
+                out = self.model.apply(variables, xi)
+                out = out[0] if isinstance(out, tuple) else out
                 return jnp.sum(out.astype(jnp.float32)) * 1e-12, None
 
             acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), None, length=n)
             return acc
 
         jmulti = jax.jit(multi, static_argnums=0)
+        variables = self.model_variables()
         for images, _ in data_loader:
             images = jnp.asarray(images)
             batch_size = images.shape[0]
-            np.asarray(jmulti(30, images, self.params))  # compile + warm
-            np.asarray(jmulti(30, images, self.params))
+            np.asarray(jmulti(30, images, variables))  # compile + warm
+            np.asarray(jmulti(30, images, variables))
             self.logger.info("throughput averaged with 30 times")
             with maybe_trace(self.config.TPU.PROFILE_DIR, "throughput"):
                 tic1 = time.time()
-                np.asarray(jmulti(30, images, self.params))
+                np.asarray(jmulti(30, images, variables))
                 tic2 = time.time()
             throughput_val = 30 * batch_size / (tic2 - tic1)
             self.logger.info(f"batch_size {batch_size} throughput {throughput_val}")
