@@ -80,6 +80,70 @@ def classical_distance_matrix(pieces: Sequence[PuzzlePiece],
     return D
 
 
+# Reversal rule of PuzzlePiece.calculate_asymmetric_distance
+# (puzzle_piece.py:571-598): j's border is index-reversed iff both sides are
+# horizontal-ish (top/right) or both vertical-ish (bottom/left).
+_REVERSE = np.array([[(s < 2) == (t < 2) for t in range(4)] for s in range(4)])
+
+
+def classical_distance_matrix_type2(pieces: Sequence[PuzzlePiece],
+                                    chunk: int = 256) -> np.ndarray:
+    """All-pairs classical distance over ALL 16 side pairings.
+
+    Returns D [4, N, 4, N] float64 where D[s, i, t, j] equals
+    PuzzlePiece.calculate_asymmetric_distance(pieces[i], side s, pieces[j],
+    side t) — the type-2 pairing set (inter_piece_distance.py:325-369,
+    puzzle_piece.py:534-609 including the border-reversal rule).
+    """
+    n = len(pieces)
+    w = pieces[0].width
+    imgs = np.stack([p.lab_image for p in pieces]).astype(np.int16)
+
+    border = np.empty((4, n, w, 3), np.int16)
+    second = np.empty((4, n, w, 3), np.int16)
+    border[TOP] = imgs[:, 0, :, :]
+    second[TOP] = imgs[:, 1, :, :]
+    border[RIGHT] = imgs[:, :, w - 1, :]
+    second[RIGHT] = imgs[:, :, w - 2, :]
+    border[BOTTOM] = imgs[:, w - 1, :, :]
+    second[BOTTOM] = imgs[:, w - 2, :, :]
+    border[LEFT] = imgs[:, :, 0, :]
+    second[LEFT] = imgs[:, :, 1, :]
+
+    predicted = (2 * border.astype(np.int32) - second.astype(np.int32))
+
+    D = np.empty((4, n, 4, n), np.float64)
+    for s in range(4):
+        pi = predicted[s].reshape(n, -1)                     # [N, W*3]
+        for t in range(4):
+            bj = border[t]
+            if _REVERSE[s, t]:
+                bj = bj[:, ::-1, :]
+            pj = bj.astype(np.int32).reshape(n, -1)
+            for lo in range(0, n, chunk):
+                hi = min(lo + chunk, n)
+                diff = np.abs(pi[lo:hi, None, :] - pj[None, :, :])
+                D[s, lo:hi, t] = diff.sum(axis=2)
+    return D
+
+
+def distance_matrix_from_function_type2(pieces: Sequence[PuzzlePiece],
+                                        distance_function: Callable) -> np.ndarray:
+    """Brute-force [4, N, 4, N] tensor from a reference-style function."""
+    n = len(pieces)
+    D = np.full((4, n, 4, n), np.inf, np.float64)
+    sides = PuzzlePieceSide.get_all_sides()
+    for i in range(n):
+        for s in sides:
+            for j in range(n):
+                if i == j:
+                    continue
+                for t in sides:
+                    D[s.value, i, t.value, j] = distance_function(
+                        pieces[i], s, pieces[j], t)
+    return D
+
+
 def distance_matrix_from_predictions(preds: np.ndarray,
                                      scale: float = 1000.0) -> np.ndarray:
     """Build D [4, N, N] from 4-bin pair predictions.
@@ -269,6 +333,13 @@ class CompatibilityEngine:
         self._assert_type1(p_i_side, p_j_side)
         return float(self.mutual[p_i_side.value, p_i, p_j])
 
+    def mutual_for_slot(self, next_side: PuzzlePieceSide, neighbor_id: int,
+                        neighbor_side: PuzzlePieceSide) -> np.ndarray:
+        """Mutual compatibility of every candidate piece (on ``next_side``)
+        against a placed neighbor's open ``neighbor_side`` — the vector the
+        solver argmaxes when the best-buddy pool runs dry."""
+        return self.mutual[next_side.value, :, neighbor_id]
+
     @staticmethod
     def _assert_type1(p_i_side, p_j_side):
         assert p_i_side.complementary_side == p_j_side
@@ -280,3 +351,161 @@ class CompatibilityEngine:
         if puzzle_type == PuzzleType.type1:
             return [p_i_side.complementary_side]
         return PuzzlePieceSide.get_all_sides()
+
+
+class CompatibilityEngine2:
+    """Type-2 (rotation-aware) compatibility over a [4, N, 4, N] tensor.
+
+    ``D[s, i, t, j]`` is the distance of placing piece j's side t against
+    piece i's side s. Minimum / second-best run over the JOINT (side, piece)
+    candidate space, exactly as the reference's per-pairing update loop
+    (inter_piece_distance.py:189-369 with the type-2 pairing set); best
+    buddies are mutually-unique (piece, side) argmin pairs.
+    """
+
+    def __init__(self, distances: np.ndarray):
+        assert distances.ndim == 4 and distances.shape[0] == 4 \
+            and distances.shape[2] == 4
+        self.n = distances.shape[1]
+        self.D = distances.astype(np.float64).copy()
+        idx = np.arange(self.n)
+        self.D[:, idx, :, idx] = np.inf
+        self.min_d = None            # [4, N]
+        self.second_d = None         # [4, N]
+        self.candidate = None        # [4, N] flat (t*n + j) unique argmin or -1
+        self.acompat = None          # [4, N, 4, N]
+        self.mutual = None           # [4, N, 4, N]
+        self.bb = None               # [4, N] flat (t*n + j) best buddy or -1
+        self.start_piece_ordering: List[Tuple[int, int, float]] = []
+        self.recompute(None)
+        self.find_best_buddies()
+        self.find_start_piece_candidates()
+
+    def _flat(self):
+        """View D as [4, N, 4*N] with flat index t*n + j."""
+        return self.D.reshape(4, self.n, 4 * self.n)
+
+    def _min_second(self, mask_j: Optional[np.ndarray]):
+        D = self._flat()
+        if mask_j is not None:
+            D = np.where(np.tile(np.asarray(mask_j, bool), 4)[None, None, :],
+                         np.inf, D)
+        part = np.sort(D, axis=2)
+        valid = np.isfinite(D).sum(axis=2)
+        min_d = np.where(valid >= 1, part[:, :, 0], _SENTINEL_MIN)
+        second_d = np.where(valid >= 2, part[:, :, 1], _MAXSIZE)
+        second_d = np.where(valid == 1, _SENTINEL_MIN, second_d)
+        second_d = np.where(valid >= 2, part[:, :, 1], second_d)
+        second_d = np.where(valid == 0, _MAXSIZE, second_d)
+
+        is_min = (D == min_d[:, :, None]) & np.isfinite(D)
+        n_min = is_min.sum(axis=2)
+        argmin = np.argmax(is_min, axis=2)
+        candidate = np.where(n_min == 1, argmin, -1)
+        return min_d, second_d, candidate
+
+    def recompute(self, placed: Optional[np.ndarray],
+                  placed_no_open: Optional[np.ndarray] = None):
+        if placed_no_open is None:
+            placed_no_open = placed
+        self.min_d, self.second_d, self.candidate = self._min_second(placed)
+
+        second = self.second_d[:, :, None, None]           # [4, N, 1, 1]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ac = 1.0 - self.D / second
+        ac = np.where(self.D == 0, 1.0, ac)
+        ac = np.where((second == 0) & (self.D != 0), -_MAXSIZE, ac)
+        ac = np.where(np.isfinite(self.D), ac, -np.inf)
+        if placed_no_open is not None:
+            ac = np.where(np.asarray(placed_no_open, bool)[None, None, None, :],
+                          -np.inf, ac)
+        self.acompat = ac
+
+        # mutual[s, i, t, j] = (ac[s, i, t, j] + ac[t, j, s, i]) / 2
+        self.mutual = (ac + ac.transpose(2, 3, 0, 1)) / 2.0
+
+    def recalculate_remaining_piece_compatibilities(self, is_piece_placed,
+                                                    is_piece_placed_with_no_open_neighbors):
+        placed = np.asarray(is_piece_placed, bool)
+        placed_no_open = np.asarray(is_piece_placed_with_no_open_neighbors, bool)
+        self.recompute(placed, placed_no_open)
+
+    def find_best_buddies(self, is_piece_placed: Optional[np.ndarray] = None):
+        """(t, j) is the best buddy of (s, i) iff both are each other's
+        unique joint argmin (inter_piece_distance.py:623-648)."""
+        cand = self.candidate                               # [4, N] flat
+        n = self.n
+        bb = np.full((4, n), -1, np.int64)
+        i_flat = np.arange(n)
+        for s in range(4):
+            c = cand[s]                                     # [N]
+            valid = c >= 0
+            cc = np.where(valid, c, 0)
+            t = cc // n
+            j = cc % n
+            back = cand[t, j]                               # candidate of (t, j)
+            mutual = back == (s * n + i_flat)
+            bb[s] = np.where(valid & mutual, cc, -1)
+        if is_piece_placed is not None:
+            bb[:, np.asarray(is_piece_placed, bool)] = -1
+        self.bb = bb
+
+    def best_buddies(self, p_i: int, p_i_side: PuzzlePieceSide):
+        flat = self.bb[p_i_side.value, p_i]
+        if flat < 0:
+            return []
+        return [(int(flat % self.n), PuzzlePieceSide(int(flat // self.n)))]
+
+    def find_start_piece_candidates(self, is_piece_placed: Optional[np.ndarray] = None):
+        placed = (np.asarray(is_piece_placed, bool) if is_piece_placed is not None
+                  else np.zeros(self.n, bool))
+        bb = self.bb
+        n = self.n
+        has_bb = bb >= 0
+        n_bb = has_bb.sum(axis=0)
+        total_compat = np.zeros(n, np.float64)
+        numb_bb_neighbors = 4 * n_bb.astype(np.int64)
+        i_flat = np.arange(n)
+        for s in range(4):
+            flat = bb[s]
+            valid = flat >= 0
+            ff = np.where(valid, flat, 0)
+            t = ff // n
+            j = ff % n
+            mc = self.mutual[s, i_flat, t, j]
+            total_compat += np.where(valid, mc, 0.0)
+            numb_bb_neighbors += np.where(valid, n_bb[j], 0)
+
+        order = [(i, int(numb_bb_neighbors[i]), float(total_compat[i]))
+                 for i in range(n) if not placed[i]]
+        order.sort(key=lambda t_: (t_[1], t_[2]), reverse=True)
+        self.start_piece_ordering = order
+
+    def next_starting_piece(self, placed_pieces: Optional[Sequence[bool]] = None) -> int:
+        if placed_pieces is None:
+            return self.start_piece_ordering[0][0]
+        i = 0
+        while placed_pieces[self.start_piece_ordering[i][0]]:
+            i += 1
+        return self.start_piece_ordering[i][0]
+
+    # ------------------------------------------------------------- accessors
+    def asymmetric_distance(self, p_i, p_i_side: PuzzlePieceSide, p_j,
+                            p_j_side: PuzzlePieceSide):
+        return self.D[p_i_side.value, p_i, p_j_side.value, p_j]
+
+    def asymmetric_compatibility(self, p_i, p_i_side: PuzzlePieceSide, p_j,
+                                 p_j_side: PuzzlePieceSide):
+        return self.acompat[p_i_side.value, p_i, p_j_side.value, p_j]
+
+    def mutual_compatibility(self, p_i, p_i_side: PuzzlePieceSide, p_j,
+                             p_j_side: PuzzlePieceSide):
+        return float(self.mutual[p_i_side.value, p_i, p_j_side.value, p_j])
+
+    def mutual_for_slot(self, next_side: PuzzlePieceSide, neighbor_id: int,
+                        neighbor_side: PuzzlePieceSide) -> np.ndarray:
+        return self.mutual[next_side.value, :, neighbor_side.value, neighbor_id]
+
+    @staticmethod
+    def get_valid_neighbor_sides(puzzle_type, p_i_side: PuzzlePieceSide):
+        return CompatibilityEngine.get_valid_neighbor_sides(puzzle_type, p_i_side)

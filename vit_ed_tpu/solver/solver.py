@@ -25,8 +25,11 @@ import numpy as np
 
 from .distance import (
     CompatibilityEngine,
+    CompatibilityEngine2,
     classical_distance_matrix,
+    classical_distance_matrix_type2,
     distance_matrix_from_function,
+    distance_matrix_from_function_type2,
 )
 from .piece import PuzzlePiece, PuzzlePieceRotation, PuzzlePieceSide
 
@@ -107,14 +110,22 @@ class PaikinTalSolver:
         self._heap_counter = itertools.count()
         self._numb_puzzles = 0
 
+        type2 = self._puzzle_type == PuzzleType.type2
         if distances is None:
             if distance_function is PuzzlePiece.calculate_asymmetric_distance:
-                distances = classical_distance_matrix(self._pieces)
+                distances = (classical_distance_matrix_type2(self._pieces) if type2
+                             else classical_distance_matrix(self._pieces))
             elif distance_function is not None:
-                distances = distance_matrix_from_function(self._pieces, distance_function)
+                distances = (distance_matrix_from_function_type2(
+                                 self._pieces, distance_function) if type2
+                             else distance_matrix_from_function(
+                                 self._pieces, distance_function))
             else:
                 raise ValueError("Either distances or distance_function is required")
-        self._engine = CompatibilityEngine(distances)
+        if type2 and distances.ndim != 4:
+            raise ValueError("Type-2 puzzles need a [4, N, 4, N] distance tensor")
+        self._engine = (CompatibilityEngine2(distances) if distances.ndim == 4
+                        else CompatibilityEngine(distances))
 
     @property
     def engine(self) -> CompatibilityEngine:
@@ -187,7 +198,6 @@ class PaikinTalSolver:
         """Vectorized exhaustive scoring of unplaced pieces against open
         slots (replaces the triple loop of solver.py:456-499)."""
         best = None
-        mutual = self._engine.mutual  # [4, N, N]
         unplaced = np.asarray(unplaced_pieces)
         for open_slot in self._open_locations:
             if not self._is_slot_open(open_slot.puzzle_id, open_slot.location):
@@ -197,7 +207,8 @@ class PaikinTalSolver:
             for next_side in self._engine.get_valid_neighbor_sides(
                     self._puzzle_type, neighbor_side):
                 # mutual_compat(next_piece, next_side, neighbor, neighbor_side)
-                compats = mutual[next_side.value, unplaced, neighbor_id]
+                compats = self._engine.mutual_for_slot(
+                    next_side, neighbor_id, neighbor_side)[unplaced]
                 k = int(np.argmax(compats))
                 if best is None or compats[k] > best.mutual_compatibility:
                     best = NextPieceToPlace(open_slot.puzzle_id, open_slot.location,
