@@ -104,6 +104,14 @@ def bench_pair_forwards(img_size, patch_size, depth, c_depth, embed_dim, num_hea
     return full_rate, decode_rate
 
 
+# Decoder FLOPs per pair at patch16_512 (ViT-S 12 cross blocks, 1025 query
+# tokens, 1024 context tokens): per block self-attn (qkv proj 0.907G +
+# attn 1.614G + out proj 0.302G) + cross-attn (q 0.302G + kv 0.604G +
+# attn 1.613G + out 0.302G) + MLP 2.418G  = 8.06 GF; x12 = 96.7 GF/pair.
+DECODE_GFLOPS_PATCH16_512 = 96.7
+V5E_BF16_PEAK_TFLOPS = 197.0
+
+
 def main():
     n_chips = max(len(jax.devices()), 1)
 
@@ -113,19 +121,27 @@ def main():
     print(f"patch8_64:  full={full_64 / n_chips:.1f} "
           f"decode-only={decode_64 / n_chips:.1f} pair-fwd/s/chip", file=sys.stderr)
 
-    try:
-        full_512, decode_512 = bench_pair_forwards(
-            img_size=512, patch_size=16, depth=12, c_depth=12, embed_dim=384,
-            num_heads=6, num_classes=1, batch=32)
-        print(f"patch16_512: full={full_512 / n_chips:.1f} "
-              f"decode-only={decode_512 / n_chips:.1f} pair-fwd/s/chip", file=sys.stderr)
-    except Exception as e:  # pragma: no cover
-        print(f"patch16_512 bench failed: {e}", file=sys.stderr)
+    full_512, decode_512 = bench_pair_forwards(
+        img_size=512, patch_size=16, depth=12, c_depth=12, embed_dim=384,
+        num_heads=6, num_classes=1, batch=32)
+    decode_tfs = decode_512 / n_chips * DECODE_GFLOPS_PATCH16_512 / 1000.0
+    mfu = decode_tfs / V5E_BF16_PEAK_TFLOPS
+    print(f"patch16_512: full={full_512 / n_chips:.1f} "
+          f"decode-only={decode_512 / n_chips:.1f} pair-fwd/s/chip "
+          f"({DECODE_GFLOPS_PATCH16_512} GF/pair -> {decode_tfs:.1f} TF/s "
+          f"effective, {mfu * 100:.1f}% MFU of {V5E_BF16_PEAK_TFLOPS} TF/s "
+          f"bf16 peak)", file=sys.stderr)
 
-    value = full_64 / n_chips
+    # Headline: the flagship-config decode rate (the inner op of the
+    # HisFrag O(N^2) retrieval scan) against the 5k north star. Note the
+    # literal 5k target is beyond this chip's physics at 96.7 GF/pair
+    # (it would need 480+ TF/s, over the 197 TF/s bf16 peak); MFU above is
+    # the honest efficiency statement. patch8_64 is reported on stderr.
+    value = decode_512 / n_chips
     print(json.dumps({
-        "metric": "pair-forwards/sec/chip (pjs patch8_64 full forward; "
-                  "5k north-star)",
+        "metric": "pair-forwards/sec/chip (pjs patch16_512 decode, the "
+                  "O(N^2) scan inner op; 5k north-star; "
+                  f"{mfu * 100:.1f}% MFU)",
         "value": round(value, 2),
         "unit": "pairs/s/chip",
         "vs_baseline": round(value / 5000.0, 4),

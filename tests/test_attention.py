@@ -63,3 +63,67 @@ def test_bf16_path():
     out_ref = reference_attention(q, k, v)
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(out_ref, np.float32), atol=3e-2)
+
+
+# ----------------------------------------------------------- packed kernel
+def _packed_reference(q, k, v, h):
+    b, sq, c = q.shape
+    sk = k.shape[1]
+    d = c // h
+
+    def split(x, s):
+        return x.reshape(b, s, h, d).transpose(0, 2, 1, 3)
+
+    out = reference_attention(split(q, sq), split(k, sk), split(v, sk))
+    return out.transpose(0, 2, 1, 3).reshape(b, sq, c)
+
+
+@pytest.mark.parametrize("sq,sk,h", [(257, 256, 2), (130, 257, 4),
+                                     (1025, 1024, 6), (64, 300, 2)])
+def test_packed_forward_matches_reference(sq, sk, h):
+    from vit_ed_tpu.ops.attention import fused_attention_packed
+
+    rng = np.random.default_rng(0)
+    c = h * 64
+    q = jnp.asarray(rng.normal(size=(2, sq, c)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(2, sk, c)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(2, sk, c)), jnp.float32)
+    out = fused_attention_packed(q, k, v, h, use_pallas=True)
+    out_ref = _packed_reference(q, k, v, h)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref), atol=2e-4)
+
+
+def test_packed_gradients_match_reference():
+    from vit_ed_tpu.ops.attention import fused_attention_packed
+
+    rng = np.random.default_rng(5)
+    h, c = 2, 128
+    q = jnp.asarray(rng.normal(size=(1, 70, c)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(1, 80, c)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(1, 80, c)), jnp.float32)
+
+    def loss_packed(q, k, v):
+        return jnp.sum(fused_attention_packed(q, k, v, h, use_pallas=True) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_packed_reference(q, k, v, h) ** 2)
+
+    g_p = jax.grad(loss_packed, argnums=(0, 1, 2))(q, k, v)
+    g_r = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gp, gr in zip(g_p, g_r):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
+                                   atol=5e-4, rtol=1e-3)
+
+
+def test_packed_fallback_head_dim_not_64():
+    from vit_ed_tpu.ops.attention import fused_attention_packed
+
+    rng = np.random.default_rng(6)
+    h, c = 4, 128  # head_dim 32 -> falls back to the 4-D path
+    q = jnp.asarray(rng.normal(size=(1, 64, c)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(1, 64, c)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(1, 64, c)), jnp.float32)
+    out = fused_attention_packed(q, k, v, h, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(_packed_reference(q, k, v, h)),
+                               atol=2e-4)

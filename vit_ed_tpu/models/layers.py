@@ -14,7 +14,12 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from vit_ed_tpu.ops.attention import attention_probs, fused_attention, reference_attention
+from vit_ed_tpu.ops.attention import (
+    attention_probs,
+    fused_attention,
+    fused_attention_packed,
+    reference_attention,
+)
 
 Dtype = Any
 
@@ -108,6 +113,14 @@ def _merge_heads(x):
     return x.transpose(0, 2, 1, 3).reshape(b, n, h * d)
 
 
+def _per_head_norm(x, num_heads, dtype, ln):
+    """Per-head LayerNorm on the packed [B, N, C] layout (params identical
+    to normalizing the [B, H, N, D] view: scale/bias of shape (head_dim,))."""
+    b, n, c = x.shape
+    d = c // num_heads
+    return ln(x.reshape(b, n, num_heads, d)).reshape(b, n, c)
+
+
 class Attention(nn.Module):
     """Multi-head self-attention (vision_transformer.py:13-80).
 
@@ -128,23 +141,31 @@ class Attention(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        head_dim = self.dim // self.num_heads
         qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype,
                        kernel_init=trunc_normal_init, name="qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        q, k, v = (_split_heads(t, self.num_heads) for t in (q, k, v))
         if self.qk_norm:
-            q = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="q_norm")(q)
-            k = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="k_norm")(k)
+            q = _per_head_norm(q, self.num_heads, self.dtype,
+                               nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                            name="q_norm"))
+            k = _per_head_norm(k, self.num_heads, self.dtype,
+                               nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                            name="k_norm"))
 
-        if self.keep_attn:
-            attn = attention_probs(q, k)
-            self.sow("intermediates", "attn", attn)
-            out = jnp.einsum("bhqk,bhkd->bhqd", attn.astype(v.dtype), v)
+        if self.keep_attn or (self.attn_drop > 0.0 and not deterministic):
+            qh, kh, vh = (_split_heads(t, self.num_heads) for t in (q, k, v))
+            attn = attention_probs(qh, kh)
+            if self.keep_attn:
+                self.sow("intermediates", "attn", attn)
+            # dropout on the attention probabilities (reference
+            # vision_transformer.py:72-74 manual path)
+            attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+            out = jnp.einsum("bhqk,bhkd->bhqd", attn.astype(vh.dtype), vh)
+            out = _merge_heads(out)
         else:
-            out = fused_attention(q, k, v, use_pallas=self.use_pallas)
+            out = fused_attention_packed(q, k, v, self.num_heads,
+                                         use_pallas=self.use_pallas)
 
-        out = _merge_heads(out)
         out = nn.Dense(self.dim, dtype=self.dtype, kernel_init=trunc_normal_init,
                        name="proj")(out)
         out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
@@ -172,19 +193,26 @@ class CrossAttention(nn.Module):
         kv = nn.Dense(self.dim * 2, use_bias=self.qkv_bias, dtype=self.dtype,
                       kernel_init=trunc_normal_init, name="kv")(context)
         k, v = jnp.split(kv, 2, axis=-1)
-        q, k, v = (_split_heads(t, self.num_heads) for t in (q, k, v))
         if self.qk_norm:
-            q = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="q_norm")(q)
-            k = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="k_norm")(k)
+            q = _per_head_norm(q, self.num_heads, self.dtype,
+                               nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                            name="q_norm"))
+            k = _per_head_norm(k, self.num_heads, self.dtype,
+                               nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                            name="k_norm"))
 
-        if self.keep_attn:
-            attn = attention_probs(q, k)
-            self.sow("intermediates", "attn", attn)
-            out = jnp.einsum("bhqk,bhkd->bhqd", attn.astype(v.dtype), v)
+        if self.keep_attn or (self.attn_drop > 0.0 and not deterministic):
+            qh, kh, vh = (_split_heads(t, self.num_heads) for t in (q, k, v))
+            attn = attention_probs(qh, kh)
+            if self.keep_attn:
+                self.sow("intermediates", "attn", attn)
+            attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+            out = jnp.einsum("bhqk,bhkd->bhqd", attn.astype(vh.dtype), vh)
+            out = _merge_heads(out)
         else:
-            out = fused_attention(q, k, v, use_pallas=self.use_pallas)
+            out = fused_attention_packed(q, k, v, self.num_heads,
+                                         use_pallas=self.use_pallas)
 
-        out = _merge_heads(out)
         out = nn.Dense(self.dim, dtype=self.dtype, kernel_init=trunc_normal_init,
                        name="proj")(out)
         out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)

@@ -389,6 +389,169 @@ def _fused_v2_bwd(meta, res, g):
 _fused_attention_padded_v2.defvjp(_fused_v2_fwd, _fused_v2_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Head-pair packed attention: [B, S, H*64] in/out, no transposes.
+# ---------------------------------------------------------------------------
+#
+# For head_dim 64 (the ViT-S family), splitting heads costs four XLA
+# transposes per attention ([B,S,C] <-> [B,H,S,64]) — measured ~47% on top
+# of the kernel at the patch16_512 decode shapes. This kernel keeps the
+# model's natural [B, S, C] layout: each 128-lane group holds TWO heads,
+# and per-head logits come from contracting q against a lane-MASKED k (the
+# zeroed lanes contribute nothing to the dot product). Every matmul runs
+# with full 128-wide operands, and the k/v sequence axis lives on
+# SUBLANES, so Sk pads to a multiple of 8 instead of 128 (1025 -> 1032,
+# not 1152). Measured vs transpose+v2 at (32, 6, 1025, 1025, 64):
+# 2597 us -> 1925 us, bit-exact (scripts/bench_attn_pair.py).
+
+def _pair_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int):
+    q = q_ref[0]                     # [block_q, 128]  (heads 2g, 2g+1)
+    k = k_ref[0]                     # [sk_pad, 128]
+    v = v_ref[0]
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, k.shape, 1)
+    k_lo = jnp.where(lane < 64, k, jnp.zeros_like(k))
+    k_hi = jnp.where(lane >= 64, k, jnp.zeros_like(k))
+
+    def head_probs(k_masked):
+        logits = jax.lax.dot_general(
+            q, k_masked, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale    # [block_q, sk_pad]
+        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(col < kv_len, logits, -jnp.inf)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m)
+        s = jnp.sum(e, axis=-1, keepdims=True)
+        return (e / s).astype(v.dtype)
+
+    p0 = head_probs(k_lo)
+    p1 = head_probs(k_hi)
+    # p @ [v_h0 | v_h1] computes both halves; keep the matching one
+    d0 = jax.lax.dot_general(p0, v, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)   # [bq, 128]
+    d1 = jax.lax.dot_general(p1, v, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    olane = jax.lax.broadcasted_iota(jnp.int32, d0.shape, 1)
+    o_ref[0] = jnp.where(olane < 64, d0, d1).astype(o_ref.dtype)
+
+
+def _pair_forward(q, k, v, scale):
+    """q [B, Sq, C], k/v [B, Sk, C], C % 128 == 0, head_dim 64."""
+    b, sq, c = q.shape
+    sk = k.shape[1]
+    g = c // 128
+
+    n_blocks = _cdiv(sq, 512)
+    block_q = _round_up(_cdiv(sq, n_blocks), 8)
+    sq_pad = block_q * n_blocks
+    sk_pad = _round_up(max(sk, 8), 8)
+    if sq_pad != sq:
+        q = jnp.pad(q, ((0, 0), (0, sq_pad - sq), (0, 0)))
+    if sk_pad != sk:
+        k = jnp.pad(k, ((0, 0), (0, sk_pad - sk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, sk_pad - sk), (0, 0)))
+
+    out = pl.pallas_call(
+        functools.partial(_pair_kernel, scale=scale, kv_len=sk),
+        grid=(b, n_blocks, g),
+        in_specs=[
+            pl.BlockSpec((1, block_q, 128), lambda bi, i, gi: (bi, i, gi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk_pad, 128), lambda bi, i, gi: (bi, 0, gi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk_pad, 128), lambda bi, i, gi: (bi, 0, gi),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, 128), lambda bi, i, gi: (bi, i, gi),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        interpret=_INTERPRET,
+        cost_estimate=pl.CostEstimate(
+            flops=8 * b * g * sq_pad * sk_pad * 128,
+            bytes_accessed=2 * (q.size + k.size + v.size),
+            transcendentals=2 * b * g * sq_pad * sk_pad,
+        ),
+    )(q, k, v)
+    return out[:, :sq, :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _packed_attention(q, k, v, meta):
+    scale, n_heads = meta
+    return _pair_forward(q, k, v, scale)
+
+
+def _packed_fwd(q, k, v, meta):
+    return _packed_attention(q, k, v, meta), (q, k, v)
+
+
+def _packed_bwd(meta, res, g):
+    """Backward through the per-(b,h) kernels (probs recomputed); the
+    transposed layout only exists inside the backward pass."""
+    scale, n_heads = meta
+    q, k, v = res
+    b, sq, c = q.shape
+    sk = k.shape[1]
+    d = c // n_heads
+
+    def to_heads(x, s):
+        return x.reshape(b, s, n_heads, d).transpose(0, 2, 1, 3) \
+                .reshape(b * n_heads, s, d)
+
+    sq_pad = _round_up(max(sq, 8), 128)
+    sk_pad = _round_up(max(sk, LANE), LANE)
+    block_q = 512 if sq_pad % 512 == 0 else 256
+    block_q = min(block_q, sq_pad)
+
+    def pad_s(x, target):
+        return jnp.pad(x, ((0, 0), (0, target - x.shape[1]), (0, 0)))
+
+    qf = pad_s(to_heads(q, sq), sq_pad)
+    kf = pad_s(to_heads(k, sk), sk_pad)
+    vf = pad_s(to_heads(v, sk), sk_pad)
+    gf = pad_s(to_heads(g, sq), sq_pad)
+    dq = _pallas_dq(qf, kf, vf, gf, scale, sq, sk, block_q)
+    dk, dv = _pallas_dkv(qf, kf, vf, gf, scale, sq, sk)
+
+    def from_heads(x, s):
+        return x.reshape(b, n_heads, -1, d)[:, :, :s, :] \
+                .transpose(0, 2, 1, 3).reshape(b, s, c)
+
+    return from_heads(dq, sq), from_heads(dk, sk), from_heads(dv, sk)
+
+
+_packed_attention.defvjp(_packed_fwd, _packed_bwd)
+
+
+def fused_attention_packed(q: jax.Array, k: jax.Array, v: jax.Array,
+                           num_heads: int,
+                           scale: Optional[float] = None,
+                           use_pallas: Optional[bool] = None) -> jax.Array:
+    """Multi-head attention on the natural [B, S, C] layout.
+
+    Equivalent to split_heads -> fused_attention -> merge_heads, but for
+    head_dim 64 on TPU it runs the head-pair packed kernel with no
+    transposes. Other configurations fall back to the 4-D path.
+    """
+    b, sq, c = q.shape
+    sk = k.shape[1]
+    d = c // num_heads
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu" and sk >= 256
+
+    if use_pallas and d == 64 and c % 128 == 0:
+        return _packed_attention(q, k, v, (scale, num_heads))
+
+    def split(x, s):
+        return x.reshape(b, s, num_heads, d).transpose(0, 2, 1, 3)
+
+    out = fused_attention(split(q, sq), split(k, sk), split(v, sk),
+                          scale=scale, use_pallas=use_pallas)
+    return out.transpose(0, 2, 1, 3).reshape(b, sq, c)
+
+
 def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                     scale: Optional[float] = None,
                     block_q: Optional[int] = None,
