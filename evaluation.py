@@ -98,6 +98,17 @@ def testing(config, model, params, logger):
         results_information.calculate_accuracies(puzzles)
         result, perfect_puzzles = results_information.collect_results()
 
+        # per-piece result-colored reconstructions (reference color table,
+        # puzzle_importer.py:1151-1159)
+        output_dir = os.path.join("output", "reconstructed", subset)
+        for res, puzzle, img_path in zip(results_information.results, puzzles,
+                                         images):
+            if res.standard_direct_accuracy is not None:
+                puzzle.build_direct_accuracy_image(
+                    res.standard_direct_accuracy,
+                    os.path.join(output_dir,
+                                 "accuracy_" + os.path.basename(img_path)))
+
         out = "Average_Results:\t"
         for key in result:
             out += f"{key}: {round(sum(result[key]) / len(result[key]), 4)}\t"

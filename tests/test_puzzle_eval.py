@@ -100,3 +100,47 @@ def test_native_and_python_driver_agree(tmp_path):
     loc_n = sorted((p.original_piece_id, p.location) for p in p_native.pieces)
     loc_p = sorted((p.original_piece_id, p.location) for p in p_python.pieces)
     assert loc_n == loc_p
+
+
+def test_best_buddy_accuracy_and_color_image(tmp_path):
+    """BestBuddyAccuracy (puzzle_importer.py:1630+) + color-coded
+    direct-accuracy rendering on a classically-solved smooth puzzle."""
+    y = np.linspace(10, 120, 96)[:, None, None]
+    x = np.linspace(0, 80, 96)[None, :, None]
+    c = np.arange(3)[None, None, :] * 12.0
+    img = (y + 0.7 * x + c + 8 * np.sin(y / 17) * np.cos(x / 23)).astype(np.uint8)
+    img_path = str(tmp_path / "smooth.png")
+    Image.fromarray(img[..., ::-1]).save(img_path)  # BGR->RGB for PIL
+
+    from vit_ed_tpu.solver.piece import PuzzlePiece
+
+    puzzle = Puzzle(0, img_path, 32, starting_piece_id=0, erosion=0)
+    pieces = list(puzzle.pieces)
+    random.shuffle(pieces)
+    new_puzzle = paikin_tal_driver(pieces, 32,
+                                   PuzzlePiece.calculate_asymmetric_distance,
+                                   puzzle.grid_size)
+    assert new_puzzle.best_buddy_pairs  # driver attaches engine BBs
+
+    results = PuzzleResultsCollection(PuzzleSolver.PaikinTal, PuzzleType.type1,
+                                      [new_puzzle.pieces], [img_path])
+    results.calculate_accuracies([new_puzzle])
+    result, perfect = results.collect_results()
+    assert "best_buddy" in result
+    # a clean smooth puzzle: every best buddy is a true neighbor
+    assert result["best_buddy"][0] == 1.0
+    bb_acc = results.results[0].best_buddy_accuracy
+    assert bb_acc.numb_wrong_best_buddies == 0
+    assert bb_acc.numb_correct_best_buddies == bb_acc.total_best_buddies
+    # interior piece has BBs on all 4 sides: 3x3 grid -> 2*2*3 + ... >= 12
+    assert bb_acc.total_best_buddies == 24  # 12 adjacent pairs, both directions
+
+    # color-coded direct-accuracy image
+    acc_img_path = str(tmp_path / "acc.png")
+    acc_img = new_puzzle.build_direct_accuracy_image(
+        results.results[0].standard_direct_accuracy, acc_img_path)
+    assert os.path.exists(acc_img_path)
+    assert acc_img.shape == (96, 96, 3)
+    # perfect solve -> green borders present
+    green = np.array([0, 204, 0])
+    assert (np.all(acc_img == green, axis=-1)).any()

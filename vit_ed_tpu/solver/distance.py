@@ -280,6 +280,17 @@ class CompatibilityEngine:
             return []
         return [(int(j), p_i_side.complementary_side)]
 
+    def best_buddy_pairs(self):
+        """All (piece_id, side, buddy_id, buddy_side) relations — the input
+        of the BestBuddyAccuracy metric (importer.py)."""
+        out = []
+        for s in range(4):
+            side = PuzzlePieceSide(s)
+            for i in range(self.n):
+                for j, t in self.best_buddies(i, side):
+                    out.append((i, side, j, t))
+        return out
+
     # ------------------------------------------------------------ start pieces
     def find_start_piece_candidates(self, is_piece_placed: Optional[np.ndarray] = None):
         """Ordering by best-buddy richness (inter_piece_distance.py:650-735)."""
@@ -455,6 +466,8 @@ class CompatibilityEngine2:
         if flat < 0:
             return []
         return [(int(flat % self.n), PuzzlePieceSide(int(flat // self.n)))]
+
+    best_buddy_pairs = CompatibilityEngine.best_buddy_pairs
 
     def find_start_piece_candidates(self, is_piece_placed: Optional[np.ndarray] = None):
         placed = (np.asarray(is_piece_placed, bool) if is_piece_placed is not None

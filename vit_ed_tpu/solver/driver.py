@@ -25,19 +25,24 @@ def paikin_tal_driver(pieces: Sequence[PuzzlePiece], piece_width: int,
     available; pass use_native=False to force the Python reference loop."""
     if use_native is None:
         use_native = distances is not None
-    if use_native and distances is not None:
+    if use_native and distances is not None and distances.ndim == 3:
         from vit_ed_tpu import native
 
         if native.is_available():
             return _native_driver(pieces, piece_width, distances,
                                   fixed_puzzle_dimensions)
-    solver = PaikinTalSolver(1, pieces, distance_fn, PuzzleType.type1, 0,
+    puzzle_type = (PuzzleType.type2
+                   if distances is not None and distances.ndim == 4
+                   else PuzzleType.type1)
+    solver = PaikinTalSolver(1, pieces, distance_fn, puzzle_type, 0,
                              fixed_puzzle_dimensions, distances=distances)
     solver.run()
     paikin_tal_results, _ = solver.get_solved_puzzles()
     puzzle_pieces = paikin_tal_results[0]
     puzzle_id = puzzle_pieces[0].puzzle_id
-    return Puzzle.reconstruct_from_pieces(puzzle_pieces, piece_width, puzzle_id)
+    puzzle = Puzzle.reconstruct_from_pieces(puzzle_pieces, piece_width, puzzle_id)
+    puzzle.best_buddy_pairs = solver.engine.best_buddy_pairs()
+    return puzzle
 
 
 def _native_driver(pieces, piece_width, distances, fixed_puzzle_dimensions):
@@ -58,4 +63,11 @@ def _native_driver(pieces, piece_width, distances, fixed_puzzle_dimensions):
         piece.rotation = PuzzlePieceRotation.degree_0
         placed.append(piece)
     puzzle_id = placed[0].puzzle_id
-    return Puzzle.reconstruct_from_pieces(placed, piece_width, puzzle_id)
+    puzzle = Puzzle.reconstruct_from_pieces(placed, piece_width, puzzle_id)
+    # best buddies for the accuracy metric come from the (vectorized)
+    # Python engine over the same distance tensor; the solve itself stays
+    # in the native core
+    from .distance import CompatibilityEngine
+
+    puzzle.best_buddy_pairs = CompatibilityEngine(distances).best_buddy_pairs()
+    return puzzle

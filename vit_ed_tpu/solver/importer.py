@@ -66,6 +66,15 @@ class PieceSideNeighborAccuracyResult(Enum):
     different_puzzle_id = (255, 0, 0)
 
 
+class PieceSideBestBuddyAccuracyResult(Enum):
+    """puzzle_importer.py:38-47."""
+
+    wrong_best_buddy = (0, 0, 255)
+    correct_best_buddy = (0, 204, 0)
+    open_best_buddy = (255, 0, 0)
+    no_best_buddy = (255, 255, 255)
+
+
 class Puzzle:
     """A jigsaw puzzle: image -> grid of eroded LAB pieces
     (puzzle_importer.py:82-232)."""
@@ -86,6 +95,9 @@ class Puzzle:
         self._img_width = None
         self._img_height = None
         self._pieces: List[PuzzlePiece] = []
+        # (piece_id, side, buddy_id, buddy_side) tuples attached by the
+        # solver driver for the best-buddy accuracy metric
+        self.best_buddy_pairs = None
 
         if image_filename is None:
             self._filename = ""
@@ -273,6 +285,43 @@ class Puzzle:
         import cv2
 
         cv2.imwrite(filename, self._img)
+
+    def build_direct_accuracy_image(self, direct_acc, filename=None):
+        """Render the solved board with each piece framed in its
+        direct-accuracy result color (green correct / red wrong location /
+        orange wrong rotation / blue different puzzle — the color table at
+        puzzle_importer.py:1151-1159 used by the reference's accuracy image
+        output)."""
+        import cv2
+
+        size = (self._grid_size[0] * self._piece_width,
+                self._grid_size[1] * self._piece_width)
+        img = Puzzle.create_solid_bgr_image(size, ImageColor.black)
+        for piece in self._pieces:
+            result = direct_acc.get_piece_result(piece.id_number)
+            color = np.asarray(result.value, np.uint8)
+            piece_bgr = piece.bgr_image().copy()
+            # paint the marker border inside the piece so zero-erosion
+            # pieces keep it after fitting into the cell
+            piece_bgr[:2] = color
+            piece_bgr[-2:] = color
+            piece_bgr[:, :2] = color
+            piece_bgr[:, -2:] = color
+            if piece_bgr.shape[0] < self._piece_width:
+                p0 = (self._piece_width - piece_bgr.shape[0] + 1) // 2
+                p1 = (self._piece_width - piece_bgr.shape[1] + 1) // 2
+                piece_bgr = cv2.copyMakeBorder(
+                    piece_bgr, p0, self._piece_width - piece_bgr.shape[0] - p0,
+                    p1, self._piece_width - piece_bgr.shape[1] - p1,
+                    cv2.BORDER_CONSTANT)
+            if piece.rotation is not None and piece.rotation != PuzzlePieceRotation.degree_0:
+                piece_bgr = np.rot90(piece_bgr, piece.rotation.value // 90)
+            upper_left = (piece.location[0] * self._piece_width,
+                          piece.location[1] * self._piece_width)
+            Puzzle.insert_subimage(img, upper_left, piece_bgr)
+        if filename is not None:
+            cv2.imwrite(filename, img)
+        return img
 
     # ------------------------------------------------------------ accuracies
     def determine_standard_direct_accuracy(self, expected_puzzle_id,
@@ -467,6 +516,96 @@ class ModifiedNeighborAccuracy:
                 or (best_accuracy == new_accuracy and best_correct < new_correct))
 
 
+class BestBuddyAccuracy:
+    """Best-buddy accuracy for one solved puzzle (puzzle_importer.py:1630+).
+
+    Each (piece, side) best-buddy relation is classified: CORRECT when the
+    best buddy is the piece's actual original neighbor on that side, WRONG
+    otherwise, OPEN when the partner was never placed into this puzzle, and
+    EXCLUDED for pieces outside the scored region.
+    """
+
+    _PERFORM_ASSERT_CHECK = True
+
+    def __init__(self, puzzle_id):
+        self.puzzle_id = puzzle_id
+        self._open_best_buddies = {}
+        self._wrong_best_buddies = {}
+        self._correct_best_buddies = {}
+        self._excluded_best_buddies = {}
+
+    @staticmethod
+    def piece_side_tuple_key(piece_id, side):
+        return f"{piece_id}_{side.value}"
+
+    @staticmethod
+    def add_piece_side_tuple_to_dict(d, piece_id, side):
+        d[BestBuddyAccuracy.piece_side_tuple_key(piece_id, side)] = (piece_id, side)
+
+    @staticmethod
+    def check_if_piece_side_tuple_in_dict(d, piece_id, side):
+        return BestBuddyAccuracy.piece_side_tuple_key(piece_id, side) in d
+
+    def add_excluded_best_buddy(self, piece_id, side):
+        self.add_piece_side_tuple_to_dict(self._excluded_best_buddies, piece_id, side)
+
+    def add_open_best_buddy(self, piece_id, side):
+        self.add_piece_side_tuple_to_dict(self._open_best_buddies, piece_id, side)
+
+    def delete_open_best_buddy(self, piece_id, side):
+        if self.exists_open_best_buddy(piece_id, side):
+            del self._open_best_buddies[self.piece_side_tuple_key(piece_id, side)]
+
+    def exists_open_best_buddy(self, piece_id, side):
+        return self.check_if_piece_side_tuple_in_dict(self._open_best_buddies,
+                                                      piece_id, side)
+
+    def exists_wrong_best_buddy(self, piece_id, side):
+        return self.check_if_piece_side_tuple_in_dict(self._wrong_best_buddies,
+                                                      piece_id, side)
+
+    def exists_correct_best_buddy(self, piece_id, side):
+        return self.check_if_piece_side_tuple_in_dict(self._correct_best_buddies,
+                                                      piece_id, side)
+
+    def add_wrong_best_buddy(self, piece_id, side):
+        self.add_piece_side_tuple_to_dict(self._wrong_best_buddies, piece_id, side)
+
+    def add_correct_best_buddy(self, piece_id, side):
+        self.add_piece_side_tuple_to_dict(self._correct_best_buddies, piece_id, side)
+
+    def get_piece_side_result(self, piece_id, side):
+        if self.exists_wrong_best_buddy(piece_id, side):
+            return PieceSideBestBuddyAccuracyResult.wrong_best_buddy
+        if self.exists_correct_best_buddy(piece_id, side):
+            return PieceSideBestBuddyAccuracyResult.correct_best_buddy
+        if self.exists_open_best_buddy(piece_id, side):
+            return PieceSideBestBuddyAccuracyResult.open_best_buddy
+        return PieceSideBestBuddyAccuracyResult.no_best_buddy
+
+    @property
+    def numb_open_best_buddies(self):
+        return len(self._open_best_buddies)
+
+    @property
+    def numb_wrong_best_buddies(self):
+        return len(self._wrong_best_buddies)
+
+    @property
+    def numb_correct_best_buddies(self):
+        return len(self._correct_best_buddies)
+
+    @property
+    def total_best_buddies(self):
+        return (self.numb_open_best_buddies + self.numb_wrong_best_buddies
+                + self.numb_correct_best_buddies)
+
+    @property
+    def accuracy(self):
+        total = self.total_best_buddies
+        return self.numb_correct_best_buddies / total if total else 0.0
+
+
 class PuzzleResultsInformation:
     """Accuracy results for one original puzzle (puzzle_importer.py:846-1148)."""
 
@@ -477,6 +616,35 @@ class PuzzleResultsInformation:
         self.standard_direct_accuracy = None
         self.modified_direct_accuracy = None
         self.modified_neighbor_accuracy = None
+        self.best_buddy_accuracy = None
+
+    def resolve_best_buddy_accuracy(self, solved_puzzle: Puzzle, best_buddy_pairs):
+        """Classify engine best-buddy relations against ground truth.
+
+        ``best_buddy_pairs``: iterable of (piece_id, side, buddy_id,
+        buddy_side) in UNROTATED piece frames (the space the compatibility
+        engine works in; see CompatibilityEngine.find_best_buddies).
+        """
+        info = BestBuddyAccuracy(solved_puzzle.id_number)
+        by_id = {p.id_number: p for p in solved_puzzle.pieces}
+        for piece_id, side, buddy_id, buddy_side in best_buddy_pairs:
+            piece = by_id.get(piece_id)
+            buddy = by_id.get(buddy_id)
+            if piece is None or piece.original_puzzle_id != self.original_id_number:
+                if piece is not None:
+                    info.add_excluded_best_buddy(piece_id, side)
+                continue
+            if buddy is None:
+                info.add_open_best_buddy(piece_id, side)
+                continue
+            expected = piece.original_neighbor_id_numbers_and_sides[side.value]
+            correct = (expected[0] == buddy.original_piece_id
+                       and buddy_side == side.complementary_side)
+            if correct:
+                info.add_correct_best_buddy(piece_id, side)
+            else:
+                info.add_wrong_best_buddy(piece_id, side)
+        self.best_buddy_accuracy = info
 
     @property
     def numb_pieces(self):
@@ -599,10 +767,21 @@ class PuzzleResultsCollection:
         self._puzzle_results = sorted(self._puzzle_results,
                                       key=lambda r: r.original_id_number)
 
-    def calculate_accuracies(self, solved_puzzles):
-        for puzzle_results, puzzle in zip(self._puzzle_results, solved_puzzles):
+    def calculate_accuracies(self, solved_puzzles, best_buddy_pairs=None):
+        """``best_buddy_pairs``: optional per-puzzle lists of (piece_id,
+        side, buddy_id, buddy_side) tuples from the compatibility engine
+        (or the ``best_buddy_pairs`` attribute the solver driver attaches
+        to reconstructed puzzles); enables the best-buddy accuracy metric
+        (puzzle_importer.py:1630+)."""
+        if best_buddy_pairs is None:
+            best_buddy_pairs = [getattr(p, "best_buddy_pairs", None)
+                                for p in solved_puzzles]
+        for puzzle_results, puzzle, pairs in zip(self._puzzle_results,
+                                                 solved_puzzles, best_buddy_pairs):
             puzzle_results.resolve_direct_accuracies(puzzle)
             puzzle_results.resolve_neighbor_accuracies(puzzle)
+            if pairs is not None:
+                puzzle_results.resolve_best_buddy_accuracy(puzzle, pairs)
 
     @property
     def results(self):
@@ -635,6 +814,10 @@ class PuzzleResultsCollection:
             weight = neighbor_acc.numb_pieces_in_original_puzzle + neighbor_acc.wrong_puzzle_id
             weight *= PuzzlePieceSide.get_numb_sides()
             result["neighbor"].append(neighbor_acc.correct_neighbor_count / weight)
+
+            if results.best_buddy_accuracy is not None:
+                result.setdefault("best_buddy", []).append(
+                    results.best_buddy_accuracy.accuracy)
         return result, perfect_puzzles
 
 
