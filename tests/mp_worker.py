@@ -1,0 +1,129 @@
+"""Worker process for the multi-process (multi-host) CPU tests.
+
+Launched by tests/test_multiprocess.py with RANK/WORLD_SIZE/MASTER_* env
+vars; each process gets 4 virtual CPU devices, so the pair covers the
+2-host x 4-device topology. Verifies, in order:
+
+1. maybe_init_distributed env:// rendezvous (mesh.py)
+2. a data-parallel train step over the GLOBAL mesh with per-process local
+   batches (shard_host_batch) — params must stay identical across ranks
+3. the PairwiseScorer row-range split + process_allgather slab merge
+4. collective orbax checkpointing: EVERY process calls save, then restore
+
+Results are written to <outdir>/rank<i>_<name>.npy for the parent to check.
+"""
+
+import os
+import sys
+
+
+def main():
+    outdir = sys.argv[1]
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (flags +
+                                   " --xla_force_host_platform_device_count=4").strip()
+
+    from vit_ed_tpu.parallel.mesh import (
+        create_mesh,
+        maybe_init_distributed,
+        replicated_sharding,
+        shard_host_batch,
+    )
+
+    maybe_init_distributed()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import PartitionSpec as P
+
+    rank = jax.process_index()
+    world = jax.process_count()
+    assert world == 2, f"expected 2 processes, got {world}"
+    assert len(jax.devices()) == 8, jax.devices()
+    assert len(jax.local_devices()) == 4
+
+    from vit_ed_tpu.models.vit_ed import ViTED
+    from vit_ed_tpu.parallel.pairs import PairwiseScorer
+    from vit_ed_tpu.train.engine import TrainState, make_train_step
+    from vit_ed_tpu.train.losses import bce_with_logits
+    from vit_ed_tpu.train.optim import build_optimizer, cosine_schedule
+    from vit_ed_tpu.config import default_config
+
+    mesh = create_mesh()
+
+    model = ViTED(img_size=32, patch_size=16, num_classes=2, embed_dim=32,
+                  depth=1, c_depth=1, num_heads=2, use_pallas=False)
+    x0 = jnp.zeros((1, 2, 32, 32, 3), jnp.float32)
+    host_params = jax.device_get(
+        jax.jit(model.init)(jax.random.PRNGKey(0), x0))["params"]
+    rep = replicated_sharding(mesh)
+    params = jax.tree.map(lambda a: jax.device_put(a, rep), host_params)
+
+    # ---- 2. DP train step over the global mesh -------------------------
+    cfg = default_config()
+    tx = build_optimizer(cfg, cosine_schedule(1e-3, 1e-5, 1e-6, 100, 10), params)
+    state = TrainState(params=params, opt_state=tx.init(params),
+                       step=jnp.zeros((), jnp.int32))
+    step = make_train_step(model, tx, bce_with_logits, accum_steps=1)
+
+    rng = np.random.default_rng(100 + rank)  # DIFFERENT local data per rank
+    local = {
+        "samples": rng.normal(size=(1, 4, 2, 32, 32, 3)).astype(np.float32),
+        "targets": (rng.random(size=(1, 4, 2)) > 0.5).astype(np.float32),
+    }
+    batch = shard_host_batch(local, mesh, P(None, "data"))
+    assert batch["samples"].shape == (1, 8, 2, 32, 32, 3)  # global batch
+    state, metrics = step(state, batch, jax.random.PRNGKey(7))
+    loss = float(jax.device_get(metrics["loss"]))
+    assert np.isfinite(loss)
+    leaf = np.asarray(jax.device_get(jax.tree.leaves(state.params)[0]))
+    np.save(os.path.join(outdir, f"rank{rank}_param_leaf.npy"), leaf)
+    np.save(os.path.join(outdir, f"rank{rank}_loss.npy"), np.float64(loss))
+
+    # ---- 3. sharded pairwise scan + allgather merge --------------------
+    img_rng = np.random.default_rng(0)  # SAME dataset on every process
+    imgs = img_rng.normal(size=(10, 32, 32, 3)).astype(np.float32)
+
+    class _DS:
+        def __getitem__(self, i):
+            return imgs[i], i
+
+        def __len__(self):
+            return len(imgs)
+
+    scorer = PairwiseScorer(model, state.params, mesh, num_outputs=2,
+                            pair_chunk=8)
+    sim = scorer.score_dataset(_DS(), batch_size=4, rank=rank,
+                               world_size=world, num_workers=0)
+    np.save(os.path.join(outdir, f"rank{rank}_sim.npy"), sim)
+
+    # ---- 4. collective orbax save/restore ------------------------------
+    from vit_ed_tpu.train import checkpoint as ckpt
+
+    class _Logger:
+        def info(self, *a, **k):
+            pass
+
+    cfg.defrost()
+    cfg.OUTPUT = outdir
+    cfg.freeze()
+    tree = {"params": state.params, "opt_state": state.opt_state,
+            "step": state.step}
+    ckpt.save_checkpoint(cfg, 3, tree, 0.5, _Logger(), "mp_ckpt")
+
+    abstract = {"params": state.params, "opt_state": state.opt_state,
+                "step": state.step}
+    restored = ckpt.load_checkpoint(os.path.join(outdir, "mp_ckpt.ckpt"), abstract)
+    r_leaf = np.asarray(jax.device_get(jax.tree.leaves(restored["params"])[0]))
+    np.testing.assert_allclose(r_leaf, leaf, rtol=1e-6)
+    assert int(restored["epoch"]) == 3
+
+    with open(os.path.join(outdir, f"rank{rank}_ok"), "w") as f:
+        f.write("ok")
+
+
+if __name__ == "__main__":
+    main()

@@ -25,11 +25,13 @@ def maybe_init_distributed() -> None:
     COORDINATOR_ADDRESS / MASTER_ADDR, process count/id from env or SLURM.
     Single-host runs skip initialisation entirely.
     """
-    if jax.process_count() > 1:
-        return  # already initialised
     num_proc = os.environ.get("JAX_NUM_PROCESSES") or os.environ.get("WORLD_SIZE")
     if not num_proc or int(num_proc) <= 1:
-        return
+        return  # single-process launch; don't touch the backend
+    from jax._src import distributed as _dist
+
+    if _dist.global_state.coordinator_address is not None:
+        return  # already initialised
     coordinator = os.environ.get("COORDINATOR_ADDRESS")
     if coordinator is None:
         addr = os.environ.get("MASTER_ADDR", "localhost")
@@ -73,3 +75,38 @@ def shard_batch(batch, mesh: Mesh):
     sharding = batch_sharding(mesh)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch)
+
+
+def shard_host_batch(batch, mesh: Mesh, spec: P):
+    """Build GLOBAL arrays from per-process local batches.
+
+    Single-process this is a plain sharded device_put. Multi-process, each
+    process holds only its local slice of the global batch (the DDP data
+    semantic, reference misc/engine.py:156-187), so the global array is
+    assembled with make_array_from_process_local_data — device_put of a
+    local array with a global sharding would mis-declare the global shape.
+    """
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sharding) if np.ndim(x) > 1 else x,
+            batch)
+    return jax.tree_util.tree_map(
+        lambda x: (jax.make_array_from_process_local_data(sharding, np.asarray(x))
+                   if np.ndim(x) > 1 else x),
+        batch)
+
+
+def local_mesh(mesh: Mesh) -> Mesh:
+    """A single-process mesh over this process's devices from ``mesh``.
+
+    Per-process independent jit programs (e.g. the pairwise scorer's row
+    ranges, where every process computes DIFFERENT data) must not be
+    launched over a multi-process mesh — under SPMD all processes must
+    execute one consistent global computation. This collapses the mesh to
+    the local devices, keeping the first axis name.
+    """
+    if all(d.process_index == jax.process_index() for d in mesh.devices.flat):
+        return mesh
+    devs = [d for d in mesh.devices.flat if d.process_index == jax.process_index()]
+    return Mesh(np.asarray(devs), (mesh.axis_names[0],))

@@ -56,8 +56,20 @@ class PairwiseScorer:
 
     def __init__(self, model, params, mesh: Mesh, num_outputs: int = 1,
                  pair_chunk: int = 512, dtype=np.float16):
+        from vit_ed_tpu.parallel.mesh import local_mesh
+
+        # Every process scores a DIFFERENT row range, so the jit programs
+        # here are per-process computations over the LOCAL devices; the
+        # cross-process merge is the process_allgather in score_dataset.
+        lmesh = local_mesh(mesh)
+        if lmesh is not mesh:
+            # re-home replicated params from the global mesh onto the
+            # local one (via host; every process holds full replicas)
+            params = jax.tree.map(lambda a: np.asarray(jax.device_get(a)), params)
+        mesh = lmesh
         self.model = model
-        self.params = params
+        self.params = jax.tree.map(
+            lambda a: jax.device_put(a, NamedSharding(mesh, P())), params)
         self.mesh = mesh
         self.num_outputs = num_outputs
         self.n_devices = mesh.devices.size

@@ -154,6 +154,9 @@ class Trainer:
         seed = self.config.SEED + self.rank
         set_seed(seed)
         self.rng = jax.random.PRNGKey(seed)
+        # rng for the jitted train step: common across processes (one
+        # global SPMD program); per-rank randomness stays in data/aug
+        self.step_rng = jax.random.PRNGKey(self.config.SEED)
 
         # linear LR scaling by global batch / 256 (+ accumulation), matching
         # misc/engine.py:33-47 with world_size -> number of mesh devices.
@@ -378,9 +381,11 @@ class Trainer:
         norm_meter = AverageMeter()
 
         # leaves carry a leading [accum, batch, ...] axis; shard the BATCH axis
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        from jax.sharding import PartitionSpec as P
 
-        sharding = NamedSharding(self.mesh, P(None, "data"))
+        from vit_ed_tpu.parallel.mesh import shard_host_batch
+
+        spec = P(None, "data")
         start = time.time()
         end = time.time()
 
@@ -393,10 +398,13 @@ class Trainer:
 
             batch = self._collate_accum(micro_acc)
             micro_acc = []
-            batch = jax.tree.map(
-                lambda x: jax.device_put(x, sharding) if x.ndim > 1 else x, batch)
+            # each process contributes its local slice of the global batch
+            batch = shard_host_batch(batch, self.mesh, spec)
 
-            self.rng, step_rng = jax.random.split(self.rng)
+            # the step rng must be IDENTICAL on every process: the jitted
+            # step is one global SPMD program (a per-rank rng would hand
+            # inconsistent replicated arguments to it)
+            self.step_rng, step_rng = jax.random.split(self.step_rng)
             state, metrics = self.train_step(state, batch, step_rng)
             opt_idx += 1
 
