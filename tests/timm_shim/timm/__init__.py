@@ -1,0 +1,10 @@
+"""Minimal timm shim: just enough surface for the reference
+models/vision_transformer.py to import and run under plain torch.
+
+Semantics mirror timm's PatchEmbed / Mlp / DropPath / VisionTransformer
+for the configurations the reference model actually uses (token pooling,
+class_token=True, no_embed_class=False, no pre-norm, no patch dropout).
+Only used by the parity tests — NOT a runtime dependency.
+"""
+
+from . import layers, models  # noqa: F401

@@ -140,15 +140,24 @@ def params_to_torch_state_dict(params: Dict[str, Any]) -> Dict[str, np.ndarray]:
             put_ln(prefix + ".norm1", p["norm1"])
             put_linear(prefix + ".attn.qkv", p["attn"]["qkv"])
             put_linear(prefix + ".attn.proj", p["attn"]["proj"])
+            if "q_norm" in p["attn"]:
+                put_ln(prefix + ".attn.q_norm", p["attn"]["q_norm"])
+                put_ln(prefix + ".attn.k_norm", p["attn"]["k_norm"])
             put_ln(prefix + ".norm2", p["norm2"])
             put_linear(prefix + ".mlp.fc1", p["mlp"]["fc1"])
             put_linear(prefix + ".mlp.fc2", p["mlp"]["fc2"])
+            for ls in ("ls1", "ls2", "ls_cross"):
+                if ls in p:
+                    sd[f"{prefix}.{ls}.gamma"] = np.asarray(p[ls]["gamma"])
             if "cross_attn" in p:
                 put_ln(prefix + ".norm_cross", p["norm_cross"])
                 put_ln(prefix + ".norm_context", p["norm_context"])
                 put_linear(prefix + ".cross_attn.q", p["cross_attn"]["q"])
                 put_linear(prefix + ".cross_attn.kv", p["cross_attn"]["kv"])
                 put_linear(prefix + ".cross_attn.proj", p["cross_attn"]["proj"])
+                if "q_norm" in p["cross_attn"]:
+                    put_ln(prefix + ".cross_attn.q_norm", p["cross_attn"]["q_norm"])
+                    put_ln(prefix + ".cross_attn.k_norm", p["cross_attn"]["k_norm"])
 
     put_ln("norm", params["norm"])
     if "head" in params:
