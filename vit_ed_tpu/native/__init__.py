@@ -55,6 +55,16 @@ def _load():
             np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
             np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
         ]
+        lib.pt_solve2.restype = ctypes.c_int
+        lib.pt_solve2.argtypes = [
+            ctypes.c_int,
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_double,
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ]
         _lib = lib
         return _lib
 
@@ -91,3 +101,36 @@ def pt_solve(distances: np.ndarray, fixed_puzzle_dimensions=None,
     if rc != 0:
         raise RuntimeError(f"native solver failed with code {rc}")
     return rows, cols, pids
+
+
+def pt_solve2(distances: np.ndarray, fixed_puzzle_dimensions=None,
+              numb_puzzles: int = 1, new_board_mutual_compatibility: float = 0.5
+              ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Run the native TYPE-2 (rotation-aware) Paikin-Tal placement.
+
+    Args:
+        distances: [4, N, 4, N] float array (all 16 side pairings).
+    Returns:
+        (rows, cols, puzzle_ids, rotations) int32 arrays; rotations are in
+        quarter turns (0..3), locations normalized per output puzzle.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native solver unavailable (no compiler?)")
+    D = np.ascontiguousarray(distances, np.float64)
+    assert D.ndim == 4 and D.shape[0] == 4 and D.shape[2] == 4 \
+        and D.shape[1] == D.shape[3]
+    n = D.shape[1]
+    rows = np.empty(n, np.int32)
+    cols = np.empty(n, np.int32)
+    pids = np.empty(n, np.int32)
+    rots = np.empty(n, np.int32)
+    fr, fc = (0, 0)
+    if fixed_puzzle_dimensions is not None:
+        fr, fc = int(fixed_puzzle_dimensions[0]), int(fixed_puzzle_dimensions[1])
+    rc = lib.pt_solve2(n, D.reshape(-1), fr, fc, int(numb_puzzles),
+                       float(new_board_mutual_compatibility), rows, cols,
+                       pids, rots)
+    if rc != 0:
+        raise RuntimeError(f"native type-2 solver failed with code {rc}")
+    return rows, cols, pids, rots

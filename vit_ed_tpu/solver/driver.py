@@ -25,7 +25,7 @@ def paikin_tal_driver(pieces: Sequence[PuzzlePiece], piece_width: int,
     available; pass use_native=False to force the Python reference loop."""
     if use_native is None:
         use_native = distances is not None
-    if use_native and distances is not None and distances.ndim == 3:
+    if use_native and distances is not None:
         from vit_ed_tpu import native
 
         if native.is_available():
@@ -51,23 +51,30 @@ def _native_driver(pieces, piece_width, distances, fixed_puzzle_dimensions):
 
     for i, piece in enumerate(pieces):
         piece.id_number = i
-    rows, cols, pids = native.pt_solve(distances, fixed_puzzle_dimensions,
-                                       numb_puzzles=1,
-                                       new_board_mutual_compatibility=0.0)
+    if distances.ndim == 4:
+        rows, cols, pids, rots = native.pt_solve2(
+            distances, fixed_puzzle_dimensions, numb_puzzles=1,
+            new_board_mutual_compatibility=0.0)
+    else:
+        rows, cols, pids = native.pt_solve(distances, fixed_puzzle_dimensions,
+                                           numb_puzzles=1,
+                                           new_board_mutual_compatibility=0.0)
+        rots = np.zeros(len(pieces), np.int32)
     placed = []
     for i, piece in enumerate(pieces):
         if pids[i] < 0:
             continue
         piece.puzzle_id = int(pids[i])
         piece.location = (int(rows[i]), int(cols[i]))
-        piece.rotation = PuzzlePieceRotation.degree_0
+        piece.rotation = PuzzlePieceRotation(int(rots[i]) * 90)
         placed.append(piece)
     puzzle_id = placed[0].puzzle_id
     puzzle = Puzzle.reconstruct_from_pieces(placed, piece_width, puzzle_id)
     # best buddies for the accuracy metric come from the (vectorized)
     # Python engine over the same distance tensor; the solve itself stays
     # in the native core
-    from .distance import CompatibilityEngine
+    from .distance import CompatibilityEngine, CompatibilityEngine2
 
-    puzzle.best_buddy_pairs = CompatibilityEngine(distances).best_buddy_pairs()
+    engine_cls = CompatibilityEngine2 if distances.ndim == 4 else CompatibilityEngine
+    puzzle.best_buddy_pairs = engine_cls(distances).best_buddy_pairs()
     return puzzle
