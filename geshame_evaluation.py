@@ -41,6 +41,7 @@ def eval_standard(config, trainer, logger, world_size, rank):
                             num_workers=config.DATA.NUM_WORKERS)
 
     fwd = jax.jit(lambda p, x: trainer.model.apply({"params": p}, x))
+    params = trainer.local_params()
 
     predicts = []
     my_indices = list(iter(sampler))
@@ -48,7 +49,7 @@ def eval_standard(config, trainer, logger, world_size, rank):
     end = time.time()
     pos = 0
     for idx, (images, pair_labels) in enumerate(dataloader):
-        output = np.asarray(fwd(trainer.params, jnp.asarray(images)),
+        output = np.asarray(fwd(params, jnp.asarray(images)),
                             np.float32).reshape(-1)
         batch_indices = my_indices[pos: pos + len(output)]
         pos += len(output)

@@ -104,11 +104,12 @@ class HisfragVitTrainer(PairHisfragTrainer):
         import jax.numpy as jnp
 
         fwd = jax.jit(lambda p, x: self.model.apply({"params": p}, x))
+        params = self.local_params()
         batch_time = AverageMeter()
         end = time.time()
         embeddings, labels = [], []
         for idx, (images, targets) in enumerate(data_loader):
-            embs = np.asarray(fwd(self.params, jnp.asarray(images)), np.float32)
+            embs = np.asarray(fwd(params, jnp.asarray(images)), np.float32)
             embeddings.append(embs)
             labels.append(np.asarray(targets))
             batch_time.update(time.time() - end)

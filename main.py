@@ -63,12 +63,13 @@ class DefaultTrainer(Trainer):
         recall_meter = AverageMeter()
 
         fwd = jax.jit(lambda p, x: self.model.apply({"params": p}, x))
+        params = self.local_params()
 
         start = time.time()
         end = time.time()
         for idx, (images, target) in enumerate(data_loader):
             images = jnp.asarray(images)
-            output = np.asarray(fwd(self.params, images), np.float32)
+            output = np.asarray(fwd(params, images), np.float32)
             loss = float(np.asarray(
                 criterion(jnp.asarray(output), jnp.asarray(target))))
 

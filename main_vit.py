@@ -115,6 +115,7 @@ class VitTripletTrainer(Trainer):
 
         config = self.config
         emb_fn = jax.jit(lambda p, x: self.model.apply({"params": p}, x))
+        params = self.local_params()
 
         for subset in ["Cho", "McGill", "BGU"]:
             images = glob.glob(os.path.join(config.DATA.DATA_PATH, subset, "*.jpg"))
@@ -134,7 +135,7 @@ class VitTripletTrainer(Trainer):
                 distance_map = {}
                 for batch_images, targets in loader:
                     b, s, h, w, c = batch_images.shape   # s = 8 (4 pairings x 2)
-                    emb = np.asarray(emb_fn(self.params,
+                    emb = np.asarray(emb_fn(params,
                                             jnp.asarray(batch_images.reshape(
                                                 b * s, h, w, c))), np.float32)
                     emb = emb.reshape(b, s // 2, 2, -1)

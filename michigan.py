@@ -126,6 +126,7 @@ class MichiganTrainer(HisfragTrainer):
         import jax.numpy as jnp
 
         fwd = jax.jit(lambda p, x: self.model.apply({"params": p}, x))
+        params = self.local_params()
         loader = DataLoader(dataset, batch_size=self.config.DATA.TEST_BATCH_SIZE,
                             num_workers=self.config.DATA.NUM_WORKERS)
 
@@ -135,7 +136,7 @@ class MichiganTrainer(HisfragTrainer):
         index_to_fragment = {i: x for i, x in enumerate(dataset.fragments)}
         frag_of = np.asarray([dataset.data_labels[i] for i in range(len(dataset.data))])
         for idx, (images, pairs) in enumerate(loader):
-            output = np.asarray(fwd(self.params, jnp.asarray(images)),
+            output = np.asarray(fwd(params, jnp.asarray(images)),
                                 np.float32).reshape(-1)
             for pair, score in zip(np.asarray(pairs), output):
                 i_lbl, j_lbl = int(pair[0]), int(pair[1])

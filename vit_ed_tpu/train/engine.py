@@ -238,6 +238,20 @@ class Trainer:
             variables["batch_stats"] = self.batch_stats
         return variables
 
+    def local_params(self):
+        """Params re-homed to this process's default device.
+
+        Per-rank independent eval loops (each process forwards DIFFERENT
+        batches) must not feed global-mesh arrays into their local jit
+        programs — under SPMD a global-mesh computation has to be identical
+        on every process. Single-process this is effectively a no-op."""
+        if jax.process_count() == 1:
+            return self.params
+        return jax.tree.map(
+            lambda a: jax.device_put(np.asarray(jax.device_get(a)),
+                                     jax.local_devices()[0]),
+            self.params)
+
     # ------------------------------------------------------------- data hooks
     def get_transforms(self):
         transform = TwoImgSyncEval(self.config.DATA.IMG_SIZE)
