@@ -77,3 +77,31 @@ def test_plain_vit():
     variables = m.init(jax.random.PRNGKey(0), x)
     out = m.apply(variables, x)
     assert out.shape == (2, 16)
+
+
+def test_attn_drop_applied_in_training():
+    """Non-zero attention dropout must change training-mode outputs
+    (reference applies dropout to the probabilities in both paths;
+    round-1 silently ignored it)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vit_ed_tpu.models.layers import Attention
+
+    attn = Attention(dim=32, num_heads=2, qkv_bias=True, attn_drop=0.5,
+                     use_pallas=False)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 16, 32)),
+                    jnp.float32)
+    params = attn.init({"params": jax.random.PRNGKey(0),
+                        "dropout": jax.random.PRNGKey(1)}, x, False)["params"]
+    eval_out = attn.apply({"params": params}, x, True)
+    train1 = attn.apply({"params": params}, x, False,
+                        rngs={"dropout": jax.random.PRNGKey(2)})
+    train2 = attn.apply({"params": params}, x, False,
+                        rngs={"dropout": jax.random.PRNGKey(3)})
+    assert not np.allclose(np.asarray(train1), np.asarray(eval_out))
+    assert not np.allclose(np.asarray(train1), np.asarray(train2))
+    # deterministic mode ignores dropout entirely
+    eval_out2 = attn.apply({"params": params}, x, True)
+    np.testing.assert_array_equal(np.asarray(eval_out), np.asarray(eval_out2))

@@ -1,3 +1,3 @@
-from .attention import fused_attention, reference_attention
+from .attention import fused_attention, fused_attention_packed, reference_attention
 
-__all__ = ["fused_attention", "reference_attention"]
+__all__ = ["fused_attention", "fused_attention_packed", "reference_attention"]
