@@ -315,6 +315,7 @@ def default_config() -> ConfigNode:
     c.TPU.MAX_TRAIN_PAIRS = 0      # 0 -> auto (static padded pair buffer size)
     c.TPU.DONATE_STATE = True
     c.TPU.PROFILE_DIR = ""         # non-empty -> jax profiler traces land here
+    c.TPU.PEAK_TFLOPS = 197.0      # per-chip bf16 peak for the MFU report (v5e)
 
     return c
 

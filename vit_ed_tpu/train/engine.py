@@ -419,6 +419,7 @@ class Trainer:
             # step is one global SPMD program (a per-rank rng would hand
             # inconsistent replicated arguments to it)
             self.step_rng, step_rng = jax.random.split(self.step_rng)
+            self._capture_step_flops(state, batch, step_rng)
             state, metrics = self.train_step(state, batch, step_rng)
             opt_idx += 1
 
@@ -442,8 +443,39 @@ class Trainer:
         epoch_time = time.time() - start
         self.logger.info(
             f"EPOCH {epoch} training takes {datetime.timedelta(seconds=int(epoch_time))}")
+        self._log_mfu(batch_time.avg * accum)
         loss_meter.all_reduce()
         return state
+
+    def _capture_step_flops(self, state, batch, rng):
+        """FLOPs of the jitted train step from the lowered HLO's cost
+        analysis (no extra compile). Unavailable on some backends."""
+        if getattr(self, "_step_flops", None) is not None \
+                or getattr(self, "_mfu_failed", False):
+            return
+        try:
+            lowered = self.train_step.lower(state, batch, rng)
+            analysis = lowered.cost_analysis()
+            if analysis is None:
+                # some backends (e.g. the axon remote) only report cost on
+                # the compiled executable; this reuses the compilation cache
+                analysis = lowered.compile().cost_analysis()
+            if isinstance(analysis, (list, tuple)):
+                analysis = analysis[0]
+            self._step_flops = float(analysis["flops"])
+        except Exception:
+            self._mfu_failed = True
+
+    def _log_mfu(self, step_time: float):
+        """Per-epoch MFU report: step FLOPs / measured step time / peak."""
+        if getattr(self, "_step_flops", None) and step_time > 0:
+            tfs = self._step_flops / step_time / 1e12
+            peak = self.config.TPU.PEAK_TFLOPS * self.n_devices
+            self.logger.info(
+                f"Model FLOPs utilisation: {self._step_flops / 1e9:.3f} GF/step"
+                f" / {step_time * 1e3:.1f} ms (incl. host input time) = "
+                f"{tfs:.2f} TF/s ({tfs / peak * 100:.1f}% MFU of "
+                f"{peak:.0f} TF/s peak)")
 
     # ------------------------------------------------------------------- eval
     def validate(self):
