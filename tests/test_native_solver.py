@@ -33,7 +33,7 @@ def test_native_matches_python_on_dummy():
     puzzle = PuzzleTester.build_dummy_puzzle()
     D = classical_distance_matrix(puzzle.pieces)
     rows_p, cols_p = _python_solve(D.copy(), puzzle.grid_size)
-    rows_n, cols_n, pids = native.pt_solve(D, puzzle.grid_size, 1, 0.0)
+    rows_n, cols_n, pids, _bb = native.pt_solve(D, puzzle.grid_size, 1, 0.0)
     np.testing.assert_array_equal(rows_n, rows_p)
     np.testing.assert_array_equal(cols_n, cols_p)
     assert (pids == 0).all()
@@ -45,7 +45,7 @@ def test_native_matches_python_on_random():
     for trial in range(5):
         D = rng.uniform(1.0, 100.0, size=(4, n, n))
         rows_p, cols_p = _python_solve(D.copy(), None)
-        rows_n, cols_n, _ = native.pt_solve(D, None, 1, 0.0)
+        rows_n, cols_n, _, _bb = native.pt_solve(D, None, 1, 0.0)
         np.testing.assert_array_equal(rows_n, rows_p, err_msg=f"trial {trial}")
         np.testing.assert_array_equal(cols_n, cols_p, err_msg=f"trial {trial}")
 
@@ -53,7 +53,7 @@ def test_native_matches_python_on_random():
 def test_native_perfect_reassembly():
     puzzle = PuzzleTester.build_dummy_puzzle()
     D = classical_distance_matrix(puzzle.pieces)
-    rows, cols, pids = native.pt_solve(D, puzzle.grid_size, 1, 0.0)
+    rows, cols, pids, _bb = native.pt_solve(D, puzzle.grid_size, 1, 0.0)
     # sequential-pixel puzzle must reassemble exactly
     for i in range(9):
         assert (rows[i], cols[i]) == (i // 3, i % 3)
@@ -87,7 +87,7 @@ def test_native_type2_matches_python_on_random():
     for trial in range(5):
         D = rng.uniform(1.0, 100.0, size=(4, n, 4, n))
         rows_p, cols_p, rots_p = _python_solve2(D.copy(), None, n)
-        rows_n, cols_n, pids, rots_n = native.pt_solve2(D, None, 1, 0.0)
+        rows_n, cols_n, pids, rots_n, _bb = native.pt_solve2(D, None, 1, 0.0)
         np.testing.assert_array_equal(rows_n, rows_p, err_msg=f"trial {trial}")
         np.testing.assert_array_equal(cols_n, cols_p, err_msg=f"trial {trial}")
         np.testing.assert_array_equal(rots_n, rots_p, err_msg=f"trial {trial}")
@@ -104,7 +104,7 @@ def test_native_type2_recovers_physical_rotations():
     ks = rng.integers(0, 4, size=12)
     pieces = _make_pieces(img, 8, rotations=ks)
     D = classical_distance_matrix_type2(pieces)
-    rows, cols, pids, rots = native.pt_solve2(D, None, 1, 0.0)
+    rows, cols, pids, rots, _bb = native.pt_solve2(D, None, 1, 0.0)
     for i, p in enumerate(pieces):
         p.puzzle_id = int(pids[i])
         p.location = (int(rows[i]), int(cols[i]))

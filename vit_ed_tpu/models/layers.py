@@ -113,7 +113,7 @@ def _merge_heads(x):
     return x.transpose(0, 2, 1, 3).reshape(b, n, h * d)
 
 
-def _per_head_norm(x, num_heads, dtype, ln):
+def _per_head_norm(x, num_heads, ln):
     """Per-head LayerNorm on the packed [B, N, C] layout (params identical
     to normalizing the [B, H, N, D] view: scale/bias of shape (head_dim,))."""
     b, n, c = x.shape
@@ -127,6 +127,11 @@ class Attention(nn.Module):
     When ``keep_attn`` the explicit attention matrix is computed, sown into
     the 'intermediates' collection (for Chefer-style relevancy rollout), and
     used for the output — matching the reference's manual path.
+
+    NOTE: a non-zero ``attn_drop`` in training also takes the explicit
+    path (the fused kernel has no prob-dropout), materialising the full
+    [B, H, Sq, Sk] probabilities — correct but memory-heavy at large
+    sequence lengths. All shipped configs use attn_drop 0.0.
     """
 
     dim: int
@@ -145,10 +150,10 @@ class Attention(nn.Module):
                        kernel_init=trunc_normal_init, name="qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         if self.qk_norm:
-            q = _per_head_norm(q, self.num_heads, self.dtype,
+            q = _per_head_norm(q, self.num_heads,
                                nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
                                             name="q_norm"))
-            k = _per_head_norm(k, self.num_heads, self.dtype,
+            k = _per_head_norm(k, self.num_heads,
                                nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
                                             name="k_norm"))
 
@@ -194,10 +199,10 @@ class CrossAttention(nn.Module):
                       kernel_init=trunc_normal_init, name="kv")(context)
         k, v = jnp.split(kv, 2, axis=-1)
         if self.qk_norm:
-            q = _per_head_norm(q, self.num_heads, self.dtype,
+            q = _per_head_norm(q, self.num_heads,
                                nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
                                             name="q_norm"))
-            k = _per_head_norm(k, self.num_heads, self.dtype,
+            k = _per_head_norm(k, self.num_heads,
                                nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
                                             name="k_norm"))
 

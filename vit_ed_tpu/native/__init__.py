@@ -54,6 +54,7 @@ def _load():
             np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
             np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
             np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
         ]
         lib.pt_solve2.restype = ctypes.c_int
         lib.pt_solve2.argtypes = [
@@ -64,6 +65,7 @@ def _load():
             np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
             np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
             np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
         ]
         _lib = lib
         return _lib
@@ -81,8 +83,9 @@ def pt_solve(distances: np.ndarray, fixed_puzzle_dimensions=None,
     Args:
         distances: [4, N, N] float array (type-1 side pairing).
     Returns:
-        (rows, cols, puzzle_ids) int32 arrays of length N, locations
-        normalized per output puzzle.
+        (rows, cols, puzzle_ids, bb) — int32 arrays of length N (locations
+        normalized per output puzzle) and the initial best buddies
+        bb[s*n+i] = buddy id or -1 (int64, length 4N).
     """
     lib = _load()
     if lib is None:
@@ -93,14 +96,16 @@ def pt_solve(distances: np.ndarray, fixed_puzzle_dimensions=None,
     rows = np.empty(n, np.int32)
     cols = np.empty(n, np.int32)
     pids = np.empty(n, np.int32)
+    bb = np.empty(4 * n, np.int64)
     fr, fc = (0, 0)
     if fixed_puzzle_dimensions is not None:
         fr, fc = int(fixed_puzzle_dimensions[0]), int(fixed_puzzle_dimensions[1])
     rc = lib.pt_solve(n, D.reshape(-1), fr, fc, int(numb_puzzles),
-                      float(new_board_mutual_compatibility), rows, cols, pids)
+                      float(new_board_mutual_compatibility), rows, cols, pids,
+                      bb)
     if rc != 0:
         raise RuntimeError(f"native solver failed with code {rc}")
-    return rows, cols, pids
+    return rows, cols, pids, bb
 
 
 def pt_solve2(distances: np.ndarray, fixed_puzzle_dimensions=None,
@@ -111,8 +116,9 @@ def pt_solve2(distances: np.ndarray, fixed_puzzle_dimensions=None,
     Args:
         distances: [4, N, 4, N] float array (all 16 side pairings).
     Returns:
-        (rows, cols, puzzle_ids, rotations) int32 arrays; rotations are in
-        quarter turns (0..3), locations normalized per output puzzle.
+        (rows, cols, puzzle_ids, rotations, bb): int32 arrays; rotations in
+        quarter turns (0..3), locations normalized per output puzzle; bb is
+        the initial best-buddy table, bb[s*n+i] = flat t*n+j or -1 (int64).
     """
     lib = _load()
     if lib is None:
@@ -125,12 +131,13 @@ def pt_solve2(distances: np.ndarray, fixed_puzzle_dimensions=None,
     cols = np.empty(n, np.int32)
     pids = np.empty(n, np.int32)
     rots = np.empty(n, np.int32)
+    bb = np.empty(4 * n, np.int64)
     fr, fc = (0, 0)
     if fixed_puzzle_dimensions is not None:
         fr, fc = int(fixed_puzzle_dimensions[0]), int(fixed_puzzle_dimensions[1])
     rc = lib.pt_solve2(n, D.reshape(-1), fr, fc, int(numb_puzzles),
                        float(new_board_mutual_compatibility), rows, cols,
-                       pids, rots)
+                       pids, rots, bb)
     if rc != 0:
         raise RuntimeError(f"native type-2 solver failed with code {rc}")
-    return rows, cols, pids, rots
+    return rows, cols, pids, rots, bb

@@ -338,7 +338,7 @@ struct Solver {
   }
 
   int solve(const double* dist, int n_, int fr, int fc, int np_, double nbc,
-            int* rows, int* cols, int* pids) {
+            int* rows, int* cols, int* pids, long long* out_bb) {
     n = n_;
     fixed_rows = fr;
     fixed_cols = fc;
@@ -353,6 +353,8 @@ struct Solver {
     board_dim = 2 * n + 3;
     unplaced = n;
     cur_puzzle = -1;
+    if (out_bb != nullptr)   // initial best buddies, before any recalc
+      for (int idx = 0; idx < 4 * n; ++idx) out_bb[idx] = eng.bb[idx];
     seed_board();
 
     while (unplaced > 0) {
@@ -707,7 +709,7 @@ struct Solver2 {
   }
 
   int solve(const double* dist, int n_, int fr, int fc, int np_, double nbc,
-            int* rows, int* cols, int* pids, int* rots) {
+            int* rows, int* cols, int* pids, int* rots, long long* out_bb) {
     n = n_;
     fixed_rows = fr;
     fixed_cols = fc;
@@ -723,6 +725,8 @@ struct Solver2 {
     board_dim = 2 * n + 3;
     unplaced = n;
     cur_puzzle = -1;
+    if (out_bb != nullptr)
+      for (int idx = 0; idx < 4 * n; ++idx) out_bb[idx] = eng.bb[idx];
     seed_board();
 
     while (unplaced > 0) {
@@ -773,27 +777,32 @@ struct Solver2 {
 
 extern "C" {
 
+// out_bb (nullable): initial best buddies for the BestBuddyAccuracy
+// metric; type-1: out_bb[s*n+i] = buddy piece id or -1.
 int pt_solve(int n, const double* D, int fixed_rows, int fixed_cols,
              int numb_puzzles, double new_board_compat,
-             int* out_rows, int* out_cols, int* out_puzzle_id) {
+             int* out_rows, int* out_cols, int* out_puzzle_id,
+             long long* out_bb) {
   try {
     Solver s;
     return s.solve(D, n, fixed_rows, fixed_cols, numb_puzzles,
-                   new_board_compat, out_rows, out_cols, out_puzzle_id);
+                   new_board_compat, out_rows, out_cols, out_puzzle_id,
+                   out_bb);
   } catch (...) {
     return 2;
   }
 }
 
+// Type-2; out_bb (nullable): out_bb[s*n+i] = flat t*n+j or -1.
 int pt_solve2(int n, const double* D, int fixed_rows, int fixed_cols,
               int numb_puzzles, double new_board_compat,
               int* out_rows, int* out_cols, int* out_puzzle_id,
-              int* out_rotation) {
+              int* out_rotation, long long* out_bb) {
   try {
     Solver2 s;
     return s.solve(D, n, fixed_rows, fixed_cols, numb_puzzles,
                    new_board_compat, out_rows, out_cols, out_puzzle_id,
-                   out_rotation);
+                   out_rotation, out_bb);
   } catch (...) {
     return 2;
   }

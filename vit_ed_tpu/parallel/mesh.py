@@ -28,10 +28,15 @@ def maybe_init_distributed() -> None:
     num_proc = os.environ.get("JAX_NUM_PROCESSES") or os.environ.get("WORLD_SIZE")
     if not num_proc or int(num_proc) <= 1:
         return  # single-process launch; don't touch the backend
-    from jax._src import distributed as _dist
+    already = False
+    try:
+        already = jax.distributed.is_initialized()
+    except AttributeError:  # older jax: fall back to the internal state
+        from jax._src import distributed as _dist
 
-    if _dist.global_state.coordinator_address is not None:
-        return  # already initialised
+        already = _dist.global_state.coordinator_address is not None
+    if already:
+        return
     coordinator = os.environ.get("COORDINATOR_ADDRESS")
     if coordinator is None:
         addr = os.environ.get("MASTER_ADDR", "localhost")

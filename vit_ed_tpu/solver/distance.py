@@ -214,7 +214,6 @@ class CompatibilityEngine:
         second_d = np.where(valid >= 2, part[:, :, 1], _MAXSIZE)
         # only one valid j: second best stays at the pushed-down sentinel
         second_d = np.where(valid == 1, _SENTINEL_MIN, second_d)
-        second_d = np.where(valid >= 2, part[:, :, 1], second_d)
         second_d = np.where(valid == 0, _MAXSIZE, second_d)
 
         is_min = (D == min_d[:, :, None]) & np.isfinite(D)
@@ -406,7 +405,6 @@ class CompatibilityEngine2:
         min_d = np.where(valid >= 1, part[:, :, 0], _SENTINEL_MIN)
         second_d = np.where(valid >= 2, part[:, :, 1], _MAXSIZE)
         second_d = np.where(valid == 1, _SENTINEL_MIN, second_d)
-        second_d = np.where(valid >= 2, part[:, :, 1], second_d)
         second_d = np.where(valid == 0, _MAXSIZE, second_d)
 
         is_min = (D == min_d[:, :, None]) & np.isfinite(D)

@@ -45,6 +45,24 @@ def paikin_tal_driver(pieces: Sequence[PuzzlePiece], piece_width: int,
     return puzzle
 
 
+def _bb_pairs_from_table(bb: np.ndarray, n: int, type2: bool):
+    """Flat native best-buddy table -> (i, side, j, j_side) tuples."""
+    from .piece import PuzzlePieceSide
+
+    pairs = []
+    for s in range(4):
+        side = PuzzlePieceSide(s)
+        for i in range(n):
+            flat = int(bb[s * n + i])
+            if flat < 0:
+                continue
+            if type2:
+                pairs.append((i, side, flat % n, PuzzlePieceSide(flat // n)))
+            else:
+                pairs.append((i, side, flat, side.complementary_side))
+    return pairs
+
+
 def _native_driver(pieces, piece_width, distances, fixed_puzzle_dimensions):
     from vit_ed_tpu import native
     from .piece import PuzzlePieceRotation
@@ -52,13 +70,13 @@ def _native_driver(pieces, piece_width, distances, fixed_puzzle_dimensions):
     for i, piece in enumerate(pieces):
         piece.id_number = i
     if distances.ndim == 4:
-        rows, cols, pids, rots = native.pt_solve2(
+        rows, cols, pids, rots, bb = native.pt_solve2(
             distances, fixed_puzzle_dimensions, numb_puzzles=1,
             new_board_mutual_compatibility=0.0)
     else:
-        rows, cols, pids = native.pt_solve(distances, fixed_puzzle_dimensions,
-                                           numb_puzzles=1,
-                                           new_board_mutual_compatibility=0.0)
+        rows, cols, pids, bb = native.pt_solve(
+            distances, fixed_puzzle_dimensions, numb_puzzles=1,
+            new_board_mutual_compatibility=0.0)
         rots = np.zeros(len(pieces), np.int32)
     placed = []
     for i, piece in enumerate(pieces):
@@ -70,11 +88,6 @@ def _native_driver(pieces, piece_width, distances, fixed_puzzle_dimensions):
         placed.append(piece)
     puzzle_id = placed[0].puzzle_id
     puzzle = Puzzle.reconstruct_from_pieces(placed, piece_width, puzzle_id)
-    # best buddies for the accuracy metric come from the (vectorized)
-    # Python engine over the same distance tensor; the solve itself stays
-    # in the native core
-    from .distance import CompatibilityEngine, CompatibilityEngine2
-
-    engine_cls = CompatibilityEngine2 if distances.ndim == 4 else CompatibilityEngine
-    puzzle.best_buddy_pairs = engine_cls(distances).best_buddy_pairs()
+    puzzle.best_buddy_pairs = _bb_pairs_from_table(bb, len(pieces),
+                                                   distances.ndim == 4)
     return puzzle

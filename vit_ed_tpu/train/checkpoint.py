@@ -33,10 +33,12 @@ def save_checkpoint(config, epoch: int, state: Dict[str, Any], min_loss: float,
     tree["epoch"] = np.asarray(epoch, np.int64)
     tree["min_loss"] = np.asarray(min_loss, np.float64)
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, tree, force=True)
+    ckptr.save(path, tree, force=True)   # collective: every process calls
     ckptr.wait_until_finished()
-    with open(os.path.join(config.OUTPUT, "config.yaml"), "w") as f:
-        f.write(config.dump())
+    if jax.process_index() == 0:
+        # the yaml dump is a plain file write — single writer only
+        with open(os.path.join(config.OUTPUT, "config.yaml"), "w") as f:
+            f.write(config.dump())
     logger.info(f"{path} saved !!!")
     return path
 

@@ -456,10 +456,13 @@ class Trainer:
         try:
             lowered = self.train_step.lower(state, batch, rng)
             analysis = lowered.cost_analysis()
+            self._flops_per_device = False  # lowered HLO: whole-module FLOPs
             if analysis is None:
                 # some backends (e.g. the axon remote) only report cost on
-                # the compiled executable; this reuses the compilation cache
+                # the compiled executable, which is PER-DEVICE; this reuses
+                # the compilation cache
                 analysis = lowered.compile().cost_analysis()
+                self._flops_per_device = True
             if isinstance(analysis, (list, tuple)):
                 analysis = analysis[0]
             self._step_flops = float(analysis["flops"])
@@ -470,7 +473,9 @@ class Trainer:
         """Per-epoch MFU report: step FLOPs / measured step time / peak."""
         if getattr(self, "_step_flops", None) and step_time > 0:
             tfs = self._step_flops / step_time / 1e12
-            peak = self.config.TPU.PEAK_TFLOPS * self.n_devices
+            peak = self.config.TPU.PEAK_TFLOPS
+            if not self._flops_per_device:
+                peak *= self.n_devices
             self.logger.info(
                 f"Model FLOPs utilisation: {self._step_flops / 1e9:.3f} GF/step"
                 f" / {step_time * 1e3:.1f} ms (incl. host input time) = "
