@@ -391,6 +391,7 @@ class Trainer:
         accum = max(config.TRAIN.ACCUMULATION_STEPS, 1)
         num_steps = len(data_loader)
         batch_time = AverageMeter()
+        steady_time = AverageMeter()   # excludes the first (compile) step
         loss_meter = AverageMeter()
         norm_meter = AverageMeter()
 
@@ -429,6 +430,8 @@ class Trainer:
                 norm_meter.update(metrics["grad_norm"])
                 lr = float(self.schedule(state.step - 1))
                 batch_time.update((time.time() - end) / accum)
+                if opt_idx > 1:
+                    steady_time.update((time.time() - end) / accum)
                 etas = batch_time.avg * (num_steps - idx)
                 self.logger.info(
                     f"Train: [{epoch}/{config.TRAIN.EPOCHS}][{idx}/{num_steps}]\t"
@@ -438,12 +441,15 @@ class Trainer:
                     f"grad_norm {norm_meter.val:.4f} ({norm_meter.avg:.4f})")
             else:
                 batch_time.update((time.time() - end) / accum)
+                if opt_idx > 1:
+                    steady_time.update((time.time() - end) / accum)
             end = time.time()
 
         epoch_time = time.time() - start
         self.logger.info(
             f"EPOCH {epoch} training takes {datetime.timedelta(seconds=int(epoch_time))}")
-        self._log_mfu(batch_time.avg * accum)
+        self._log_mfu((steady_time.avg if steady_time.count else batch_time.avg)
+                      * accum)
         loss_meter.all_reduce()
         return state
 
