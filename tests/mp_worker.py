@@ -100,6 +100,27 @@ def main():
                                world_size=world, num_workers=0)
     np.save(os.path.join(outdir, f"rank{rank}_sim.npy"), sim)
 
+    # ---- 3b. multi-host tensor parallelism: 2-D (data=2, model=4) mesh,
+    # Megatron column/row sharded params across BOTH processes ------------
+    from vit_ed_tpu.parallel.mesh import create_mesh as _cm
+    from vit_ed_tpu.parallel.tp import shard_params_tp
+
+    mesh2d = _cm((2, 4), axis_names=("data", "model"))
+    tp_params = shard_params_tp(host_params, mesh2d)
+    tp_state = TrainState(params=tp_params, opt_state=tx.init(tp_params),
+                          step=jnp.zeros((), jnp.int32))
+    rng_tp = np.random.default_rng(200 + rank)
+    tp_local = {
+        "samples": rng_tp.normal(size=(1, 1, 2, 32, 32, 3)).astype(np.float32),
+        "targets": (rng_tp.random(size=(1, 1, 2)) > 0.5).astype(np.float32),
+    }
+    tp_batch = shard_host_batch(tp_local, mesh2d, P(None, "data"))
+    assert tp_batch["samples"].shape == (1, 2, 2, 32, 32, 3)
+    tp_state, tp_metrics = step(tp_state, tp_batch, jax.random.PRNGKey(9))
+    tp_loss = float(jax.device_get(tp_metrics["loss"]))
+    assert np.isfinite(tp_loss)
+    np.save(os.path.join(outdir, f"rank{rank}_tp_loss.npy"), np.float64(tp_loss))
+
     # ---- 4. collective orbax save/restore ------------------------------
     from vit_ed_tpu.train import checkpoint as ckpt
 

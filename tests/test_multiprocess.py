@@ -135,3 +135,12 @@ def test_collective_checkpoint_restored(mp_outputs):
     # worker already asserted restore equality; the checkpoint dir must be
     # a valid single coordinated save
     assert os.path.isdir(os.path.join(mp_outputs, "mp_ckpt.ckpt"))
+
+
+def test_multihost_tp_step_consistent(mp_outputs):
+    """2-D (data=2, model=4) mesh spanning both processes: the TP train
+    step runs and yields the same loss on every rank."""
+    tp0 = np.load(os.path.join(mp_outputs, "rank0_tp_loss.npy"))
+    tp1 = np.load(os.path.join(mp_outputs, "rank1_tp_loss.npy"))
+    assert tp0 == tp1
+    assert np.isfinite(tp0)
