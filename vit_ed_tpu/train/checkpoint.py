@@ -10,7 +10,9 @@ YAML. ``auto_resume_helper`` picks the newest checkpoint in OUTPUT by mtime;
 
 from __future__ import annotations
 
+import atexit
 import os
+import threading
 from typing import Any, Dict, Optional
 
 import jax
@@ -19,27 +21,55 @@ import orbax.checkpoint as ocp
 
 CKPT_SUFFIX = ".ckpt"
 
+# One long-lived async checkpointer: saves return immediately and complete
+# in the background (orbax StandardCheckpointer is an AsyncCheckpointer);
+# the next save/load/exit waits for the in-flight one. Hides the
+# multi-second per-epoch save stall behind the next epoch's compute.
+_ckptr = None
+_ckptr_lock = threading.Lock()
+
+
+def _get_ckptr() -> ocp.StandardCheckpointer:
+    global _ckptr
+    with _ckptr_lock:
+        if _ckptr is None:
+            _ckptr = ocp.StandardCheckpointer()
+            atexit.register(_ckptr.wait_until_finished)
+        return _ckptr
+
+
+def wait_for_pending_saves() -> None:
+    if _ckptr is not None:
+        _ckptr.wait_until_finished()
+
 
 def _ckpt_path(output_dir: str, name: str) -> str:
     return os.path.abspath(os.path.join(output_dir, name + CKPT_SUFFIX))
 
 
 def save_checkpoint(config, epoch: int, state: Dict[str, Any], min_loss: float,
-                    logger, name: str) -> str:
-    """Save {params, opt_state, step} + scalars to OUTPUT/<name>.ckpt."""
+                    logger, name: str, block: bool = False) -> str:
+    """Save {params, opt_state, step} + scalars to OUTPUT/<name>.ckpt.
+
+    Asynchronous by default: the call returns once the device arrays are
+    snapshotted; serialization overlaps subsequent training. Pass
+    ``block=True`` (or call wait_for_pending_saves) to force completion.
+    """
     path = _ckpt_path(config.OUTPUT, name)
     logger.info(f"{path} saving......")
     tree = dict(state)
     tree["epoch"] = np.asarray(epoch, np.int64)
     tree["min_loss"] = np.asarray(min_loss, np.float64)
-    ckptr = ocp.StandardCheckpointer()
+    ckptr = _get_ckptr()
+    ckptr.wait_until_finished()          # serialize with any in-flight save
     ckptr.save(path, tree, force=True)   # collective: every process calls
-    ckptr.wait_until_finished()
+    if block:
+        ckptr.wait_until_finished()
     if jax.process_index() == 0:
         # the yaml dump is a plain file write — single writer only
         with open(os.path.join(config.OUTPUT, "config.yaml"), "w") as f:
             f.write(config.dump())
-    logger.info(f"{path} saved !!!")
+    logger.info(f"{path} save dispatched" if not block else f"{path} saved !!!")
     return path
 
 
@@ -47,7 +77,8 @@ def load_checkpoint(path: str, abstract_state: Optional[Dict[str, Any]] = None
                     ) -> Dict[str, Any]:
     """Restore a checkpoint tree; with abstract_state, restores with matching
     shardings/dtypes."""
-    ckptr = ocp.StandardCheckpointer()
+    ckptr = _get_ckptr()
+    ckptr.wait_until_finished()          # a pending save may target this path
     if abstract_state is not None:
         tree = dict(abstract_state)
         tree.setdefault("epoch", np.asarray(0, np.int64))

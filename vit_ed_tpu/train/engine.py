@@ -355,6 +355,7 @@ class Trainer:
                 self.logger.info(f"Loss is reduced from {self.min_loss} to {loss}")
             self.min_loss = min(self.min_loss, loss)
 
+        ckpt.wait_for_pending_saves()   # async saves must land before return
         total_time = str(datetime.timedelta(seconds=int(time.time() - start_time)))
         self.logger.info(f"Training time {total_time}")
         return state
