@@ -68,12 +68,12 @@ def _timed_scan(fn, args, iters):
 
 
 def bench_pair_forwards(img_size, patch_size, depth, c_depth, embed_dim, num_heads,
-                        num_classes, batch, iters=20):
+                        num_classes, batch, iters=20, fast_gelu=False):
     from vit_ed_tpu.models.vit_ed import ViTED
 
     model = ViTED(img_size=img_size, patch_size=patch_size, num_classes=num_classes,
                   embed_dim=embed_dim, depth=depth, c_depth=c_depth,
-                  num_heads=num_heads, dtype=jnp.bfloat16)
+                  num_heads=num_heads, dtype=jnp.bfloat16, fast_gelu=fast_gelu)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(batch, 2, img_size, img_size, 3)), jnp.float32)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), x[:1])
@@ -123,7 +123,7 @@ def main():
 
     full_512, decode_512 = bench_pair_forwards(
         img_size=512, patch_size=16, depth=12, c_depth=12, embed_dim=384,
-        num_heads=6, num_classes=1, batch=32)
+        num_heads=6, num_classes=1, batch=64)
     decode_tfs = decode_512 / n_chips * DECODE_GFLOPS_PATCH16_512 / 1000.0
     mfu = decode_tfs / V5E_BF16_PEAK_TFLOPS
     print(f"patch16_512: full={full_512 / n_chips:.1f} "
@@ -131,6 +131,20 @@ def main():
           f"({DECODE_GFLOPS_PATCH16_512} GF/pair -> {decode_tfs:.1f} TF/s "
           f"effective, {mfu * 100:.1f}% MFU of {V5E_BF16_PEAK_TFLOPS} TF/s "
           f"bf16 peak)", file=sys.stderr)
+
+    try:
+        # deployment mode: TPU.FAST_GELU (tanh) — not bit-parity with the
+        # reference's exact-erf GELU, reported as a secondary number
+        _, decode_fast = bench_pair_forwards(
+            img_size=512, patch_size=16, depth=12, c_depth=12, embed_dim=384,
+            num_heads=6, num_classes=1, batch=32, fast_gelu=True)
+        fast_mfu = (decode_fast / n_chips * DECODE_GFLOPS_PATCH16_512
+                    / 1000.0 / V5E_BF16_PEAK_TFLOPS)
+        print(f"patch16_512 FAST_GELU decode={decode_fast / n_chips:.1f} "
+              f"pair-fwd/s/chip ({fast_mfu * 100:.1f}% MFU; tanh GELU, "
+              f"not bit-parity)", file=sys.stderr)
+    except Exception as e:  # pragma: no cover
+        print(f"fast-gelu bench failed: {e}", file=sys.stderr)
 
     # Headline: the flagship-config decode rate (the inner op of the
     # HisFrag O(N^2) retrieval scan) against the 5k north star. Note the

@@ -127,3 +127,51 @@ def test_packed_fallback_head_dim_not_64():
     np.testing.assert_allclose(np.asarray(out),
                                np.asarray(_packed_reference(q, k, v, h)),
                                atol=2e-4)
+
+
+@pytest.mark.parametrize("s,h", [(257, 2), (1025, 6)])
+def test_packed_qkv_matches_split_path(s, h):
+    from vit_ed_tpu.ops.attention import (fused_attention_packed,
+                                          fused_attention_packed_qkv)
+
+    rng = np.random.default_rng(7)
+    c = h * 64
+    qkv = jnp.asarray(rng.normal(size=(2, s, 3 * c)), jnp.float32)
+    out = fused_attention_packed_qkv(qkv, h, use_pallas=True)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    ref = fused_attention_packed(q, k, v, h, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_packed_kv_matches_split_path():
+    from vit_ed_tpu.ops.attention import (fused_attention_packed,
+                                          fused_attention_packed_kv)
+
+    rng = np.random.default_rng(8)
+    h, c = 2, 128
+    q = jnp.asarray(rng.normal(size=(2, 261, c)), jnp.float32)
+    kv = jnp.asarray(rng.normal(size=(2, 300, 2 * c)), jnp.float32)
+    out = fused_attention_packed_kv(q, kv, h, use_pallas=True)
+    k, v = jnp.split(kv, 2, axis=-1)
+    ref = fused_attention_packed(q, k, v, h, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_packed_qkv_gradients():
+    from vit_ed_tpu.ops.attention import fused_attention_packed_qkv
+
+    rng = np.random.default_rng(9)
+    h, c = 2, 128
+    qkv = jnp.asarray(rng.normal(size=(1, 280, 3 * c)), jnp.float32)
+
+    def loss_fused(t):
+        return jnp.sum(fused_attention_packed_qkv(t, h, use_pallas=True) ** 2)
+
+    def loss_ref(t):
+        q, k, v = jnp.split(t, 3, axis=-1)
+        return jnp.sum(_packed_reference(q, k, v, h) ** 2)
+
+    gf = jax.grad(loss_fused)(qkv)
+    gr = jax.grad(loss_ref)(qkv)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                               atol=5e-4, rtol=1e-3)

@@ -316,6 +316,7 @@ def default_config() -> ConfigNode:
     c.TPU.DONATE_STATE = True
     c.TPU.PROFILE_DIR = ""         # non-empty -> jax profiler traces land here
     c.TPU.PEAK_TFLOPS = 197.0      # per-chip bf16 peak for the MFU report (v5e)
+    c.TPU.FAST_GELU = False        # tanh GELU (~+15%% decode); not bit-parity
 
     return c
 

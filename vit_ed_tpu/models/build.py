@@ -33,6 +33,7 @@ def build_model(config):
             keep_attn=config.MODEL.PJS.KEEP_ATTN,
             use_pallas=None if config.TPU.USE_PALLAS_ATTENTION else False,
             remat=config.TRAIN.USE_CHECKPOINT,
+            fast_gelu=config.TPU.FAST_GELU,
             dtype=dtype,
         )
     if model_type == "vit":

@@ -18,6 +18,8 @@ from vit_ed_tpu.ops.attention import (
     attention_probs,
     fused_attention,
     fused_attention_packed,
+    fused_attention_packed_kv,
+    fused_attention_packed_qkv,
     reference_attention,
 )
 
@@ -29,6 +31,13 @@ trunc_normal_init = nn.initializers.truncated_normal(stddev=0.02)
 def gelu_exact(x):
     """Exact (erf) GELU — torch nn.GELU default, unlike jax.nn.gelu's tanh."""
     return jax.nn.gelu(x, approximate=False)
+
+
+# Measured on v5e (see docs/PERFORMANCE.md): the exact-erf GELU costs
+# ~6.5 ms of a 42.8 ms patch16_512 decode call (the erf polynomial is
+# VPU-serial inside the fc2 fusion). The tanh approximation is ~free but
+# deviates from exact by up to ~2 bf16 ulps mid-range — opt in via
+# TPU.FAST_GELU when bit-parity with reference checkpoints is not needed.
 
 
 class DropPath(nn.Module):
@@ -78,12 +87,13 @@ class Mlp(nn.Module):
     out_dim: int
     dropout: float = 0.0
     dtype: Dtype = jnp.float32
+    fast_gelu: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         x = nn.Dense(self.hidden_dim, dtype=self.dtype, kernel_init=trunc_normal_init,
                      name="fc1")(x)
-        x = gelu_exact(x)
+        x = jax.nn.gelu(x, approximate=True) if self.fast_gelu else gelu_exact(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         x = nn.Dense(self.out_dim, dtype=self.dtype, kernel_init=trunc_normal_init,
                      name="fc2")(x)
@@ -148,28 +158,34 @@ class Attention(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype,
                        kernel_init=trunc_normal_init, name="qkv")(x)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        if self.qk_norm:
-            q = _per_head_norm(q, self.num_heads,
-                               nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
-                                            name="q_norm"))
-            k = _per_head_norm(k, self.num_heads,
-                               nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
-                                            name="k_norm"))
-
-        if self.keep_attn or (self.attn_drop > 0.0 and not deterministic):
-            qh, kh, vh = (_split_heads(t, self.num_heads) for t in (q, k, v))
-            attn = attention_probs(qh, kh)
-            if self.keep_attn:
-                self.sow("intermediates", "attn", attn)
-            # dropout on the attention probabilities (reference
-            # vision_transformer.py:72-74 manual path)
-            attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
-            out = jnp.einsum("bhqk,bhkd->bhqd", attn.astype(vh.dtype), vh)
-            out = _merge_heads(out)
+        explicit = self.keep_attn or (self.attn_drop > 0.0 and not deterministic)
+        if not explicit and not self.qk_norm:
+            # fused path: the kernel reads q/k/v tiles straight out of the
+            # projection output (no split/pad copies)
+            out = fused_attention_packed_qkv(qkv, self.num_heads,
+                                             use_pallas=self.use_pallas)
         else:
-            out = fused_attention_packed(q, k, v, self.num_heads,
-                                         use_pallas=self.use_pallas)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            if self.qk_norm:
+                q = _per_head_norm(q, self.num_heads,
+                                   nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                                name="q_norm"))
+                k = _per_head_norm(k, self.num_heads,
+                                   nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                                name="k_norm"))
+            if explicit:
+                qh, kh, vh = (_split_heads(t, self.num_heads) for t in (q, k, v))
+                attn = attention_probs(qh, kh)
+                if self.keep_attn:
+                    self.sow("intermediates", "attn", attn)
+                # dropout on the attention probabilities (reference
+                # vision_transformer.py:72-74 manual path)
+                attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+                out = jnp.einsum("bhqk,bhkd->bhqd", attn.astype(vh.dtype), vh)
+                out = _merge_heads(out)
+            else:
+                out = fused_attention_packed(q, k, v, self.num_heads,
+                                             use_pallas=self.use_pallas)
 
         out = nn.Dense(self.dim, dtype=self.dtype, kernel_init=trunc_normal_init,
                        name="proj")(out)
@@ -197,26 +213,30 @@ class CrossAttention(nn.Module):
                      kernel_init=trunc_normal_init, name="q")(x)
         kv = nn.Dense(self.dim * 2, use_bias=self.qkv_bias, dtype=self.dtype,
                       kernel_init=trunc_normal_init, name="kv")(context)
-        k, v = jnp.split(kv, 2, axis=-1)
-        if self.qk_norm:
-            q = _per_head_norm(q, self.num_heads,
-                               nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
-                                            name="q_norm"))
-            k = _per_head_norm(k, self.num_heads,
-                               nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
-                                            name="k_norm"))
-
-        if self.keep_attn or (self.attn_drop > 0.0 and not deterministic):
-            qh, kh, vh = (_split_heads(t, self.num_heads) for t in (q, k, v))
-            attn = attention_probs(qh, kh)
-            if self.keep_attn:
-                self.sow("intermediates", "attn", attn)
-            attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
-            out = jnp.einsum("bhqk,bhkd->bhqd", attn.astype(vh.dtype), vh)
-            out = _merge_heads(out)
+        explicit = self.keep_attn or (self.attn_drop > 0.0 and not deterministic)
+        if not explicit and not self.qk_norm:
+            out = fused_attention_packed_kv(q, kv, self.num_heads,
+                                            use_pallas=self.use_pallas)
         else:
-            out = fused_attention_packed(q, k, v, self.num_heads,
-                                         use_pallas=self.use_pallas)
+            k, v = jnp.split(kv, 2, axis=-1)
+            if self.qk_norm:
+                q = _per_head_norm(q, self.num_heads,
+                                   nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                                name="q_norm"))
+                k = _per_head_norm(k, self.num_heads,
+                                   nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                                name="k_norm"))
+            if explicit:
+                qh, kh, vh = (_split_heads(t, self.num_heads) for t in (q, k, v))
+                attn = attention_probs(qh, kh)
+                if self.keep_attn:
+                    self.sow("intermediates", "attn", attn)
+                attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+                out = jnp.einsum("bhqk,bhkd->bhqd", attn.astype(vh.dtype), vh)
+                out = _merge_heads(out)
+            else:
+                out = fused_attention_packed(q, k, v, self.num_heads,
+                                             use_pallas=self.use_pallas)
 
         out = nn.Dense(self.dim, dtype=self.dtype, kernel_init=trunc_normal_init,
                        name="proj")(out)
@@ -239,6 +259,7 @@ class Block(nn.Module):
     keep_attn: bool = False
     use_pallas: Optional[bool] = None
     dtype: Dtype = jnp.float32
+    fast_gelu: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -252,7 +273,7 @@ class Block(nn.Module):
 
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         y = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.proj_drop,
-                self.dtype, name="mlp")(y, deterministic)
+                self.dtype, self.fast_gelu, name="mlp")(y, deterministic)
         if self.init_values:
             y = LayerScale(self.dim, self.init_values, name="ls2")(y)
         x = x + DropPath(self.drop_path, name="drop_path2")(y, deterministic)
@@ -275,6 +296,7 @@ class CrossBlock(nn.Module):
     keep_attn: bool = False
     use_pallas: Optional[bool] = None
     dtype: Dtype = jnp.float32
+    fast_gelu: bool = False
 
     @nn.compact
     def __call__(self, x, context, deterministic: bool = True):
@@ -297,7 +319,7 @@ class CrossBlock(nn.Module):
 
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         y = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.proj_drop,
-                self.dtype, name="mlp")(y, deterministic)
+                self.dtype, self.fast_gelu, name="mlp")(y, deterministic)
         if self.init_values:
             y = LayerScale(self.dim, self.init_values, name="ls2")(y)
         x = x + DropPath(self.drop_path, name="drop_path2")(y, deterministic)

@@ -55,6 +55,7 @@ class ViTED(nn.Module):
     keep_attn: bool = False
     use_pallas: Optional[bool] = None
     remat: bool = False
+    fast_gelu: bool = False
     dtype: Dtype = jnp.float32
 
     @property
@@ -83,14 +84,16 @@ class ViTED(nn.Module):
             block_cls(self.embed_dim, self.num_heads, self.mlp_ratio, self.qkv_bias,
                       self.qk_norm, self.proj_drop_rate, self.attn_drop_rate,
                       self.init_values, float(dpr[i]), self.keep_attn,
-                      self.use_pallas, self.dtype, name=f"blocks_{i}")
+                      self.use_pallas, self.dtype, self.fast_gelu,
+                      name=f"blocks_{i}")
             for i in range(self.depth)
         ]
         self.cross_blocks = [
             cross_cls(self.embed_dim, self.num_heads, self.mlp_ratio, self.qkv_bias,
                       self.qk_norm, self.proj_drop_rate, self.attn_drop_rate,
                       self.init_values, float(dpr_cross[i]), self.keep_attn,
-                      self.use_pallas, self.dtype, name=f"cross_blocks_{i}")
+                      self.use_pallas, self.dtype, self.fast_gelu,
+                      name=f"cross_blocks_{i}")
             for i in range(self.c_depth)
         ]
         self.norm = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")

@@ -523,6 +523,161 @@ def _packed_bwd(meta, res, g):
 _packed_attention.defvjp(_packed_fwd, _packed_bwd)
 
 
+# Fused-projection entry points: the qkv (or kv) Dense output feeds the
+# kernel DIRECTLY — per-stream head-pair tiles are addressed by the
+# BlockSpec index map on the lane dimension (all offsets are 128-aligned),
+# so the jnp.split copies and the per-stream pads disappear from the HBM
+# traffic (measured ~3.3 ms of a 42.8 ms patch16_512 decode call).
+
+def _pair_forward_qkv(qkv, scale, kv_len):
+    """qkv [B, S, 3C] (self-attention: q|k|v concatenated on lanes)."""
+    b, s, c3 = qkv.shape
+    c = c3 // 3
+    g = c // 128
+
+    n_blocks = _cdiv(s, 512)
+    block_q = _round_up(_cdiv(s, n_blocks), 8)
+    s_pad = block_q * n_blocks
+    if s_pad != s:
+        qkv = jnp.pad(qkv, ((0, 0), (0, s_pad - s), (0, 0)))
+
+    out = pl.pallas_call(
+        functools.partial(_pair_kernel, scale=scale, kv_len=kv_len),
+        grid=(b, n_blocks, g),
+        in_specs=[
+            pl.BlockSpec((1, block_q, 128), lambda bi, i, gi: (bi, i, gi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_pad, 128),
+                         lambda bi, i, gi, _g=g: (bi, 0, _g + gi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_pad, 128),
+                         lambda bi, i, gi, _g=g: (bi, 0, 2 * _g + gi),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, 128), lambda bi, i, gi: (bi, i, gi),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, s_pad, c), qkv.dtype),
+        interpret=_INTERPRET,
+    )(qkv, qkv, qkv)
+    return out[:, :s, :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _packed_attention_qkv(qkv, meta):
+    scale, n_heads, kv_len = meta
+    return _pair_forward_qkv(qkv, scale, kv_len)
+
+
+def _packed_qkv_fwd(qkv, meta):
+    return _packed_attention_qkv(qkv, meta), (qkv,)
+
+
+def _packed_qkv_bwd(meta, res, g):
+    scale, n_heads, kv_len = meta
+    (qkv,) = res
+    c = qkv.shape[-1] // 3
+    q, k, v = qkv[..., :c], qkv[..., c:2 * c], qkv[..., 2 * c:]
+    dq, dk, dv = _packed_bwd((scale, n_heads), (q, k, v), g)
+    return (jnp.concatenate([dq, dk, dv], axis=-1),)
+
+
+_packed_attention_qkv.defvjp(_packed_qkv_fwd, _packed_qkv_bwd)
+
+
+def _pair_forward_q_kv(q, kv, scale):
+    """q [B, Sq, C], kv [B, Sk, 2C] (cross-attention: k|v on lanes)."""
+    b, sq, c = q.shape
+    sk = kv.shape[1]
+    g = c // 128
+
+    n_blocks = _cdiv(sq, 512)
+    block_q = _round_up(_cdiv(sq, n_blocks), 8)
+    sq_pad = block_q * n_blocks
+    sk_pad = _round_up(max(sk, 8), 8)
+    if sq_pad != sq:
+        q = jnp.pad(q, ((0, 0), (0, sq_pad - sq), (0, 0)))
+    if sk_pad != sk:
+        kv = jnp.pad(kv, ((0, 0), (0, sk_pad - sk), (0, 0)))
+
+    out = pl.pallas_call(
+        functools.partial(_pair_kernel, scale=scale, kv_len=sk),
+        grid=(b, n_blocks, g),
+        in_specs=[
+            pl.BlockSpec((1, block_q, 128), lambda bi, i, gi: (bi, i, gi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk_pad, 128), lambda bi, i, gi: (bi, 0, gi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk_pad, 128),
+                         lambda bi, i, gi, _g=g: (bi, 0, _g + gi),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, 128), lambda bi, i, gi: (bi, i, gi),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        interpret=_INTERPRET,
+    )(q, kv, kv)
+    return out[:, :sq, :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _packed_attention_q_kv(q, kv, meta):
+    scale, n_heads = meta
+    return _pair_forward_q_kv(q, kv, scale)
+
+
+def _packed_q_kv_fwd(q, kv, meta):
+    return _packed_attention_q_kv(q, kv, meta), (q, kv)
+
+
+def _packed_q_kv_bwd(meta, res, g):
+    scale, n_heads = meta
+    q, kv = res
+    c = q.shape[-1]
+    k, v = kv[..., :c], kv[..., c:]
+    dq, dk, dv = _packed_bwd((scale, n_heads), (q, k, v), g)
+    return dq, jnp.concatenate([dk, dv], axis=-1)
+
+
+_packed_attention_q_kv.defvjp(_packed_q_kv_fwd, _packed_q_kv_bwd)
+
+
+def fused_attention_packed_qkv(qkv: jax.Array, num_heads: int,
+                               scale: Optional[float] = None,
+                               use_pallas: Optional[bool] = None) -> jax.Array:
+    """Self-attention straight from the fused qkv projection [B, S, 3C]."""
+    b, s, c3 = qkv.shape
+    c = c3 // 3
+    d = c // num_heads
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu" and s >= 256
+    if use_pallas and d == 64 and c % 128 == 0:
+        return _packed_attention_qkv(qkv, (scale, num_heads, s))
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    return fused_attention_packed(q, k, v, num_heads, scale=scale,
+                                  use_pallas=use_pallas)
+
+
+def fused_attention_packed_kv(q: jax.Array, kv: jax.Array, num_heads: int,
+                              scale: Optional[float] = None,
+                              use_pallas: Optional[bool] = None) -> jax.Array:
+    """Cross-attention from q [B, Sq, C] and the fused kv projection
+    [B, Sk, 2C]."""
+    b, sq, c = q.shape
+    sk = kv.shape[1]
+    d = c // num_heads
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu" and sk >= 256
+    if use_pallas and d == 64 and c % 128 == 0:
+        return _packed_attention_q_kv(q, kv, (scale, num_heads))
+    k, v = jnp.split(kv, 2, axis=-1)
+    return fused_attention_packed(q, k, v, num_heads, scale=scale,
+                                  use_pallas=use_pallas)
+
+
 def fused_attention_packed(q: jax.Array, k: jax.Array, v: jax.Array,
                            num_heads: int,
                            scale: Optional[float] = None,
