@@ -141,3 +141,46 @@ def test_type2_recovers_physical_rotations():
     combo_b = {(p.rotation.value // 90 - int(ks[p.original_piece_id])) % 4
                for p in placed}
     assert len(combo_a) == 1 or len(combo_b) == 1, (combo_a, combo_b)
+
+
+def test_type2_closed_form_on_puzzle_tester():
+    """Hand-derived type-2 distances on the PuzzleTester sequential-pixel
+    puzzle (pixel (r,c,ch) = 45r + 3c + ch, 5x5 pieces, 3x3 grid).
+
+    D[right, p0, right, p1] (reversal applies, s==t):
+      predicted right of p0: 45r + 15 + ch; reversed right border of p1:
+      207 - 45r + ch; per-channel diff |90r - 192| summed over r, ch
+      = 3 * (192 + 102 + 12 + 78 + 168) = 1656.
+    D[top, p4, right, p1] (reversal applies, both in {top, right}):
+      predicted top of p4: 195 + 3i + ch; reversed right border of p1:
+      207 - 45i + ch; diff |48i - 12| summed = 3 * 444 = 1332.
+    """
+    from vit_ed_tpu.solver.importer import PuzzleTester
+
+    puzzle = PuzzleTester.build_dummy_puzzle()
+    D = classical_distance_matrix_type2(puzzle.pieces)
+    RIGHT, TOP = 1, 0
+    assert D[RIGHT, 0, RIGHT, 1] == 1656.0
+    assert D[TOP, 4, RIGHT, 1] == 1332.0
+    # true type-1 neighbors stay exact-zero in the type-2 tensor
+    LEFT = 3
+    assert D[RIGHT, 0, LEFT, 1] == 0.0
+    assert D[2, 0, TOP, 3] == 0.0  # bottom of p0 against top of p3
+
+
+def test_type2_rotated_neighbor_zero_distance():
+    """Physically rotating a piece moves its perfect-match side to the
+    rotated position: p1 rotated 90 deg CCW puts its original LEFT border
+    (the exact continuation of p0's right side) on its BOTTOM."""
+    from vit_ed_tpu.solver.importer import PuzzleTester
+
+    puzzle = PuzzleTester.build_dummy_puzzle()
+    p0, p1 = puzzle.pieces[0], puzzle.pieces[1]
+    rot_img = np.rot90(p1.lab_image, 1).copy()
+    p1_rot = PuzzlePiece(0, (0, 1), rot_img, piece_id=1,
+                         puzzle_grid_size=(3, 3))
+    RIGHT, BOTTOM = PuzzlePieceSide.right, PuzzlePieceSide.bottom
+    dists = {t: PuzzlePiece.calculate_asymmetric_distance(p0, RIGHT, p1_rot, t)
+             for t in PuzzlePieceSide.get_all_sides()}
+    assert dists[BOTTOM] == 0
+    assert all(v > 0 for t, v in dists.items() if t != BOTTOM)
