@@ -137,7 +137,7 @@ def main():
         # reference's exact-erf GELU, reported as a secondary number
         _, decode_fast = bench_pair_forwards(
             img_size=512, patch_size=16, depth=12, c_depth=12, embed_dim=384,
-            num_heads=6, num_classes=1, batch=32, fast_gelu=True)
+            num_heads=6, num_classes=1, batch=64, fast_gelu=True)
         fast_mfu = (decode_fast / n_chips * DECODE_GFLOPS_PATCH16_512
                     / 1000.0 / V5E_BF16_PEAK_TFLOPS)
         print(f"patch16_512 FAST_GELU decode={decode_fast / n_chips:.1f} "

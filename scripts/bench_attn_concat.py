@@ -51,9 +51,8 @@ def concat_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, kv_len, skp):
         q, k_cat, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale       # [bq, 2*skp]
     col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-    valid = (col % skp) < kv_len if False else \
-        jnp.logical_or((col < kv_len),
-                       jnp.logical_and(col >= skp, col < skp + kv_len))
+    valid = jnp.logical_or(col < kv_len,
+                           jnp.logical_and(col >= skp, col < skp + kv_len))
     logits = jnp.where(valid, logits, -jnp.inf)
 
     # per-half softmax via lane-aligned slices

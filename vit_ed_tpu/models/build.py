@@ -51,6 +51,7 @@ def build_model(config):
             drop_path_rate=config.MODEL.DROP_PATH_RATE,
             use_pallas=None if config.TPU.USE_PALLAS_ATTENTION else False,
             remat=config.TRAIN.USE_CHECKPOINT,
+            fast_gelu=config.TPU.FAST_GELU,
             dtype=dtype,
         )
     if model_type in ("ss", "ss2", "ss2ce"):

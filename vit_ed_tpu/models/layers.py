@@ -131,6 +131,19 @@ def _per_head_norm(x, num_heads, ln):
     return ln(x.reshape(b, n, num_heads, d)).reshape(b, n, c)
 
 
+def _explicit_attention(mod, q, k, v, num_heads, attn_drop, keep_attn,
+                        deterministic):
+    """Reference manual path: explicit probabilities (sown for keep_attn)
+    with dropout applied to them (vision_transformer.py:68-75)."""
+    qh, kh, vh = (_split_heads(t, num_heads) for t in (q, k, v))
+    attn = attention_probs(qh, kh)
+    if keep_attn:
+        mod.sow("intermediates", "attn", attn)
+    attn = nn.Dropout(attn_drop)(attn, deterministic=deterministic)
+    out = jnp.einsum("bhqk,bhkd->bhqd", attn.astype(vh.dtype), vh)
+    return _merge_heads(out)
+
+
 class Attention(nn.Module):
     """Multi-head self-attention (vision_transformer.py:13-80).
 
@@ -174,15 +187,9 @@ class Attention(nn.Module):
                                    nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
                                                 name="k_norm"))
             if explicit:
-                qh, kh, vh = (_split_heads(t, self.num_heads) for t in (q, k, v))
-                attn = attention_probs(qh, kh)
-                if self.keep_attn:
-                    self.sow("intermediates", "attn", attn)
-                # dropout on the attention probabilities (reference
-                # vision_transformer.py:72-74 manual path)
-                attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
-                out = jnp.einsum("bhqk,bhkd->bhqd", attn.astype(vh.dtype), vh)
-                out = _merge_heads(out)
+                out = _explicit_attention(self, q, k, v, self.num_heads,
+                                          self.attn_drop, self.keep_attn,
+                                          deterministic)
             else:
                 out = fused_attention_packed(q, k, v, self.num_heads,
                                              use_pallas=self.use_pallas)
@@ -227,13 +234,9 @@ class CrossAttention(nn.Module):
                                    nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
                                                 name="k_norm"))
             if explicit:
-                qh, kh, vh = (_split_heads(t, self.num_heads) for t in (q, k, v))
-                attn = attention_probs(qh, kh)
-                if self.keep_attn:
-                    self.sow("intermediates", "attn", attn)
-                attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
-                out = jnp.einsum("bhqk,bhkd->bhqd", attn.astype(vh.dtype), vh)
-                out = _merge_heads(out)
+                out = _explicit_attention(self, q, k, v, self.num_heads,
+                                          self.attn_drop, self.keep_attn,
+                                          deterministic)
             else:
                 out = fused_attention_packed(q, k, v, self.num_heads,
                                              use_pallas=self.use_pallas)

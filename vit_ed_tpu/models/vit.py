@@ -37,6 +37,7 @@ class ViT(nn.Module):
     drop_path_rate: float = 0.0
     use_pallas: Optional[bool] = None
     remat: bool = False
+    fast_gelu: bool = False
     dtype: Dtype = jnp.float32
 
     @property
@@ -56,7 +57,7 @@ class ViT(nn.Module):
             block_cls(self.embed_dim, self.num_heads, self.mlp_ratio, self.qkv_bias,
                       self.qk_norm, self.proj_drop_rate, self.attn_drop_rate,
                       self.init_values, float(dpr[i]), False, self.use_pallas,
-                      self.dtype, name=f"blocks_{i}")
+                      self.dtype, self.fast_gelu, name=f"blocks_{i}")
             for i in range(self.depth)
         ]
         self.norm = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")

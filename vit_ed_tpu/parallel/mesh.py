@@ -25,7 +25,9 @@ def maybe_init_distributed() -> None:
     COORDINATOR_ADDRESS / MASTER_ADDR, process count/id from env or SLURM.
     Single-host runs skip initialisation entirely.
     """
-    num_proc = os.environ.get("JAX_NUM_PROCESSES") or os.environ.get("WORLD_SIZE")
+    num_proc = (os.environ.get("JAX_NUM_PROCESSES")
+                or os.environ.get("WORLD_SIZE")
+                or os.environ.get("SLURM_NTASKS"))
     if not num_proc or int(num_proc) <= 1:
         return  # single-process launch; don't touch the backend
     already = False

@@ -425,14 +425,14 @@ class Trainer:
             state, metrics = self.train_step(state, batch, step_rng)
             opt_idx += 1
 
+            batch_time.update((time.time() - end) / accum)
+            if opt_idx > 1:   # exclude the compile-inflated first step
+                steady_time.update((time.time() - end) / accum)
             if idx % config.PRINT_FREQ < accum or idx == num_steps - 1:
                 metrics = jax.device_get(metrics)
                 loss_meter.update(metrics["loss"], np.shape(targets)[0] * accum)
                 norm_meter.update(metrics["grad_norm"])
                 lr = float(self.schedule(state.step - 1))
-                batch_time.update((time.time() - end) / accum)
-                if opt_idx > 1:
-                    steady_time.update((time.time() - end) / accum)
                 etas = batch_time.avg * (num_steps - idx)
                 self.logger.info(
                     f"Train: [{epoch}/{config.TRAIN.EPOCHS}][{idx}/{num_steps}]\t"
@@ -440,10 +440,6 @@ class Trainer:
                     f"time {batch_time.val:.4f} ({batch_time.avg:.4f})\t"
                     f"loss {loss_meter.val:.4f} ({loss_meter.avg:.4f})\t"
                     f"grad_norm {norm_meter.val:.4f} ({norm_meter.avg:.4f})")
-            else:
-                batch_time.update((time.time() - end) / accum)
-                if opt_idx > 1:
-                    steady_time.update((time.time() - end) / accum)
             end = time.time()
 
         epoch_time = time.time() - start
