@@ -105,3 +105,17 @@ def test_attn_drop_applied_in_training():
     # deterministic mode ignores dropout entirely
     eval_out2 = attn.apply({"params": params}, x, True)
     np.testing.assert_array_equal(np.asarray(eval_out), np.asarray(eval_out2))
+
+
+def test_fast_gelu_config_reaches_models():
+    from vit_ed_tpu.config import default_config
+    from vit_ed_tpu.models.build import build_model
+
+    cfg = default_config()
+    cfg.TPU.FAST_GELU = True
+    cfg.MODEL.TYPE = "pjs"
+    assert build_model(cfg).fast_gelu is True
+    cfg.MODEL.TYPE = "vit"
+    assert build_model(cfg).fast_gelu is True
+    cfg.TPU.FAST_GELU = False
+    assert build_model(cfg).fast_gelu is False
