@@ -324,6 +324,8 @@ def default_config() -> ConfigNode:
 def update_config(config: ConfigNode, args) -> None:
     """Apply CLI arguments onto the config (reference config.py:256-326)."""
     if getattr(args, "cfg", None):
+        if not os.path.isfile(args.cfg):
+            raise SystemExit(f"Config file not found: {args.cfg}")
         config.merge_from_file(args.cfg)
 
     config.defrost()
