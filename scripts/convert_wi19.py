@@ -29,7 +29,7 @@ def export(similarity_file: str, distance_out: str = "distance_matrix.csv",
 
 
 if __name__ == "__main__":
-    parser = argparse.ArgumentParser("wi19 export", add_help=False)
+    parser = argparse.ArgumentParser("wi19 export")
     parser.add_argument("--similarity_file", type=str, required=True)
     args = parser.parse_args()
     export(args.similarity_file)

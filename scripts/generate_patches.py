@@ -66,7 +66,7 @@ def generate(data_path: str, output_path: str, patch_size: int, erosion: float):
 
 
 if __name__ == "__main__":
-    parser = argparse.ArgumentParser("Pajigsaw patch generator", add_help=False)
+    parser = argparse.ArgumentParser("Pajigsaw patch generator")
     parser.add_argument("--data-path", required=True, type=str)
     parser.add_argument("--output-path", required=True, type=str)
     parser.add_argument("--patch-size", type=int, default=128)

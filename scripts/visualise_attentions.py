@@ -22,7 +22,7 @@ from vit_ed_tpu.utils import create_logger
 
 
 def parse_option():
-    parser = argparse.ArgumentParser("Pajigsaw visualising script", add_help=False)
+    parser = argparse.ArgumentParser("Pajigsaw visualising script")
     parser.add_argument("--cfg", type=str, required=True, metavar="FILE")
     parser.add_argument("--opts", default=None, nargs="+")
     parser.add_argument("--pretrained", required=True)

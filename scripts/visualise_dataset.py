@@ -15,7 +15,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from vit_ed_tpu.data import transforms as T
 from vit_ed_tpu.data.michigan import MichiganDataset
 
-parser = argparse.ArgumentParser("Dataset visualisation script", add_help=False)
+parser = argparse.ArgumentParser("Dataset visualisation script")
 parser.add_argument("--data-path", required=True, type=str)
 parser.add_argument("--output-path", default="dataset_preview", type=str)
 parser.add_argument("--n-samples", default=20, type=int)
