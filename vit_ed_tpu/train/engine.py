@@ -311,7 +311,10 @@ class Trainer:
         steps_per_epoch = len(data_loader) // accum
         schedule = build_schedule(config, steps_per_epoch)
         self.tx = build_optimizer(config, schedule, self.params)
-        self.schedule = schedule
+        # jitted for the per-print lr readout: an un-jitted optax schedule
+        # dispatches ~10 eager ops per call (each a round trip on remote
+        # backends)
+        self.schedule = jax.jit(schedule)
         has_batch_stats = self.batch_stats is not None
         state = TrainState(params=self.params,
                            opt_state=self.tx.init(self.params),
@@ -392,9 +395,17 @@ class Trainer:
         accum = max(config.TRAIN.ACCUMULATION_STEPS, 1)
         num_steps = len(data_loader)
         batch_time = AverageMeter()
-        steady_time = AverageMeter()   # excludes the first (compile) step
         loss_meter = AverageMeter()
         norm_meter = AverageMeter()
+        # steady-state step-time estimate for the MFU report: train_step
+        # dispatches are async and only the device_get at print points
+        # synchronizes, so per-batch wall times are meaningless in
+        # isolation — measure (time between syncs) / (steps between syncs)
+        # and take the median, which is robust to the compile-inflated
+        # intervals
+        sync_rates = []
+        last_sync = None
+        steps_since_sync = 0
 
         # leaves carry a leading [accum, batch, ...] axis; shard the BATCH axis
         from jax.sharding import PartitionSpec as P
@@ -424,12 +435,16 @@ class Trainer:
             self._capture_step_flops(state, batch, step_rng)
             state, metrics = self.train_step(state, batch, step_rng)
             opt_idx += 1
+            steps_since_sync += 1
 
             batch_time.update((time.time() - end) / accum)
-            if opt_idx > 1:   # exclude the compile-inflated first step
-                steady_time.update((time.time() - end) / accum)
             if idx % config.PRINT_FREQ < accum or idx == num_steps - 1:
-                metrics = jax.device_get(metrics)
+                metrics = jax.device_get(metrics)   # sync point
+                now = time.time()
+                if last_sync is not None and steps_since_sync > 0:
+                    sync_rates.append((now - last_sync) / steps_since_sync)
+                last_sync = now
+                steps_since_sync = 0
                 loss_meter.update(metrics["loss"], np.shape(targets)[0] * accum)
                 norm_meter.update(metrics["grad_norm"])
                 lr = float(self.schedule(state.step - 1))
@@ -445,8 +460,8 @@ class Trainer:
         epoch_time = time.time() - start
         self.logger.info(
             f"EPOCH {epoch} training takes {datetime.timedelta(seconds=int(epoch_time))}")
-        self._log_mfu((steady_time.avg if steady_time.count else batch_time.avg)
-                      * accum)
+        if len(sync_rates) >= 3:   # a 1-2 interval median is just noise
+            self._log_mfu(float(np.median(sync_rates)))
         loss_meter.all_reduce()
         return state
 
