@@ -320,6 +320,14 @@ class Trainer:
                            opt_state=self.tx.init(self.params),
                            step=jnp.zeros((), jnp.int32),
                            batch_stats=self.batch_stats)
+        # commit every leaf to the mesh: freshly-created uncommitted arrays
+        # (the step counter, optax counters) hash differently from the
+        # committed arrays the donated step returns, forcing a SECOND full
+        # compile of the train step on its second call otherwise
+        rep = replicated_sharding(self.mesh)
+        state = jax.tree.map(
+            lambda a: a if getattr(a, "committed", True)
+            else jax.device_put(a, rep), state)
 
         criterion = self.get_criterion()
         # BatchNorm models (SimSiam/ResNet types) thread the running-stats
@@ -432,8 +440,7 @@ class Trainer:
             # step is one global SPMD program (a per-rank rng would hand
             # inconsistent replicated arguments to it)
             self.step_rng, step_rng = jax.random.split(self.step_rng)
-            self._capture_step_flops(state, batch, step_rng)
-            state, metrics = self.train_step(state, batch, step_rng)
+            state, metrics = self._aot_step(state, batch, step_rng)
             opt_idx += 1
             steps_since_sync += 1
 
@@ -465,27 +472,44 @@ class Trainer:
         loss_meter.all_reduce()
         return state
 
-    def _capture_step_flops(self, state, batch, rng):
-        """FLOPs of the jitted train step from the lowered HLO's cost
-        analysis (no extra compile). Unavailable on some backends."""
-        if getattr(self, "_step_flops", None) is not None \
-                or getattr(self, "_mfu_failed", False):
-            return
+    def _aot_step(self, state, batch, rng):
+        """Execute the train step, AOT-compiling it exactly once.
+
+        The single AOT executable serves every call (signatures are static)
+        and exposes cost_analysis for the MFU report WITHOUT a second
+        compile — an AOT lower().compile() does not share the jit call
+        cache, so mixing the two paths would compile the step twice (on
+        remote backends that is minutes). Any AOT failure falls back to
+        the plain jitted call permanently.
+        """
+        compiled = getattr(self, "_compiled_step", None)
+        if compiled is None and not getattr(self, "_aot_failed", False):
+            try:
+                compiled = self.train_step.lower(state, batch, rng).compile()
+                self._compiled_step = compiled
+                self._capture_step_flops(compiled)
+            except Exception:
+                self._aot_failed = True
+        if compiled is not None:
+            try:
+                return compiled(state, batch, rng)
+            except (TypeError, ValueError):
+                # input signature drifted (shouldn't happen with static
+                # shapes) — drop to the jitted path permanently
+                self._compiled_step = None
+                self._aot_failed = True
+        return self.train_step(state, batch, rng)
+
+    def _capture_step_flops(self, compiled):
+        """FLOPs of the compiled train step (PER-DEVICE cost analysis)."""
         try:
-            lowered = self.train_step.lower(state, batch, rng)
-            analysis = lowered.cost_analysis()
-            self._flops_per_device = False  # lowered HLO: whole-module FLOPs
-            if analysis is None:
-                # some backends (e.g. the axon remote) only report cost on
-                # the compiled executable, which is PER-DEVICE; this reuses
-                # the compilation cache
-                analysis = lowered.compile().cost_analysis()
-                self._flops_per_device = True
+            analysis = compiled.cost_analysis()
             if isinstance(analysis, (list, tuple)):
                 analysis = analysis[0]
             self._step_flops = float(analysis["flops"])
+            self._flops_per_device = True
         except Exception:
-            self._mfu_failed = True
+            self._step_flops = None
 
     def _log_mfu(self, step_time: float):
         """Per-epoch MFU report: step FLOPs / measured step time / peak."""
