@@ -1,0 +1,161 @@
+"""Bit-exact fast GELU for bfloat16.
+
+The reference model uses torch's default exact-erf GELU
+(/root/reference/models/vision_transformer.py via timm Mlp, act_layer
+nn.GELU). The JAX equivalent, ``jax.nn.gelu(x, approximate=False)``,
+computes ``(0.5 * x) * lax.erfc(-x * sqrt(0.5))`` — and on TPU the XLA
+erfc lowering (exp + large polynomials + division + selects, evaluated on
+the VPU) dominates the fc2 fusion of the patch16_512 decode call
+(~6.5 ms/call, docs/PERFORMANCE.md).
+
+This module replaces ``lax.erfc`` on the bf16 path with a short
+polynomial-plus-exp-tail evaluation that is **bit-exact at op level**:
+for every one of the 65536 bfloat16 bit patterns, ``erfc_bf16(u)`` equals
+``lax.erfc(u)`` and ``gelu_exact(x)`` equals eagerly-executed
+``jax.nn.gelu(x, approximate=False)`` (verified exhaustively in
+tests/test_gelu.py). Bit-exactness is possible because bf16 has an 8-bit
+mantissa: XLA's own bf16 erfc is computed in f32 and rounded once, so any
+f32 approximation whose error stays below each value's distance to its
+bf16 rounding boundary produces identical outputs.
+
+Under ``jit``, bitwise identity is not a well-defined target: XLA's
+excess-precision fusion keeps bf16 elementwise chains in f32 and flips
+the last ulp on rounding-boundary inputs — the baseline itself differs
+jit-vs-eager on ~1095 of 65536 inputs (measured). The jitted fast path
+tracks the jitted baseline to within that ambiguity (<=1 input differing,
+by one ulp; asserted in tests).
+
+Structure (all f32 math, one final rounding to bf16):
+  - central ``|u| <= 2.37``: erfc(u) = 1 - u * P(u^2), P a degree-10
+    least-squares fit on Chebyshev nodes (max abs error ~1e-7 — bf16
+    needs ~8e-6 at the tightest point, erfc(2.2) ~ 0.0019);
+  - tail ``u > 2.2``: erfc(u) = exp(-u^2)/(u*sqrt(pi)) * S(1/u^2), S a
+    degree-5 fit over u in [2.15, 9.7] (relative error ~1e-5 — bf16
+    needs 2^-9). The exp tail is required because bf16's f32 exponent
+    range represents erfc down to ~9e-41 (u ~ 9.6) and jax.nn.gelu
+    produces those values (gelu(x) is nonzero down to x ~ -13);
+  - ``u < -2.37``: erfc rounds to exactly 2.0 in bf16 (erfc(-2.37) =
+    1.99918 > 2 - 2^-9), which the clamped central branch produces;
+  - ``u > 9.6``: erfc < 4.6e-41 rounds to bf16 +0, which the clamped
+    tail branch produces.
+
+The elementwise chain is ~12 FMAs + one exp + one reciprocal + selects,
+which XLA fuses into the surrounding matmul exactly like the erfc it
+replaces, minus most of the VPU work.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+# Degree-10 fit of erf(u)/u in s = u^2 on Chebyshev nodes over |u| <= 2.37
+# (leading coefficient is 2/sqrt(pi); see tests/test_gelu.py for the
+# exhaustive verification that regenerating these is unnecessary).
+_CENTRAL = (
+    1.128379157327484,
+    -0.37612594026672824,
+    0.11283464216109934,
+    -0.026856775950366136,
+    0.005210026991203056,
+    -0.0008425888303991454,
+    0.00011372000286070129,
+    -1.2396889892820672e-05,
+    1.0108258427126519e-06,
+    -5.356591074518983e-08,
+    1.3534507450273756e-09,
+)
+
+# Degree-10 relative-accuracy fit of T(u) = erfc(u) * exp(u^2) in the
+# scaled variable z = (u - 5.925) / 3.775 over u in [2.15, 9.7]. The
+# scaled variable keeps f32 Horner conditioned (a monomial fit in u over
+# this range loses ~3 digits to cancellation and fails the exhaustive
+# check); the direct T(u) form needs NO reciprocal, unlike the classic
+# exp(-u^2)/(u*sqrt(pi)) * S(1/u^2) factoring.
+_TAIL = (
+    0.09392002877070377,
+    -0.05825032949372874,
+    0.03565594311410055,
+    -0.021452046041262322,
+    0.012911018961654263,
+    -0.008280547812929978,
+    0.004570889044909737,
+    -0.0011111130955624548,
+    0.0009572567150144008,
+    -0.0021086644129196842,
+    0.0010474100578767717,
+)
+_TAIL_MU = 5.925
+_TAIL_INV_SIG = 1.0 / 3.775
+
+# Degree-4 fit of 2^f on [-0.5, 0.5] for the hand-rolled exp below.
+_EXP2 = (
+    0.9999994382950538,
+    0.6931279943657658,
+    0.24024700255328865,
+    0.05587073395166962,
+    0.009554048264185988,
+)
+
+_UMAX = 2.37          # central clamp; erfc(-2.37) rounds to bf16 2.0
+_TAIL_LO = 2.2        # branch point (inside both fits' valid ranges)
+_TAIL_HI = 9.6        # erfc(9.6) < half the smallest bf16 subnormal
+_LOG2E = float(np.log2(np.e))
+
+
+def _horner(s, coefs):
+    p = jnp.float32(coefs[-1])
+    for c in coefs[-2::-1]:
+        p = p * s + jnp.float32(c)
+    return p
+
+
+def _exp_neg(t2):
+    """exp(-t2) for t2 in [4.8, 93], relative error ~1e-6 (the bf16 tail
+    tolerance is ~2^-9): exp2 split with the scale 2^n built from exponent
+    bits in two halves, so n down to -133 (bf16's subnormal range) never
+    needs a single subnormal constructed bitwise. Avoids XLA's
+    full-precision exp, which dominated the tail's VPU cost."""
+    y = -t2 * jnp.float32(_LOG2E)
+    n = jnp.round(y)
+    f = y - n
+    p2f = _horner(f, _EXP2)
+    ni = n.astype(jnp.int32)
+    half = ni // 2
+    rest = ni - half
+    s1 = jax.lax.bitcast_convert_type((half + 127) << 23, jnp.float32)
+    s2 = jax.lax.bitcast_convert_type((rest + 127) << 23, jnp.float32)
+    return (p2f * s1) * s2
+
+
+def erfc_bf16(u):
+    """bf16 -> bf16 erfc, bit-exact vs ``jax.lax.erfc`` on bfloat16.
+
+    Exhaustively verified over all 65536 bf16 inputs (incl. +-inf, NaN)
+    in tests/test_gelu.py.
+    """
+    uf = u.astype(jnp.float32)
+    uc = jnp.clip(uf, -_UMAX, _UMAX)
+    central = 1.0 - uc * _horner(uc * uc, _CENTRAL)
+    ut = jnp.clip(uf, _TAIL_LO, _TAIL_HI)
+    z = (ut - jnp.float32(_TAIL_MU)) * jnp.float32(_TAIL_INV_SIG)
+    tail = _exp_neg(ut * ut) * _horner(z, _TAIL)
+    return jnp.where(uf > _TAIL_LO, tail, central).astype(jnp.bfloat16)
+
+
+def gelu_exact(x):
+    """Exact (erf) GELU — torch nn.GELU default, unlike jax.nn.gelu's
+    default tanh approximation.
+
+    For bfloat16 inputs this is a bit-exact drop-in for
+    ``jax.nn.gelu(x, approximate=False)`` — same value for every bf16
+    input — reproducing its exact chain ``(0.5 * x) * erfc(-x * sqrt(.5))``
+    (bf16 multiplies, erfc rounded to bf16) with the fast erfc above.
+    Other dtypes fall through to jax.nn.gelu unchanged.
+    """
+    if x.dtype != jnp.bfloat16:
+        return jax.nn.gelu(x, approximate=False)
+    sqrt_half = jnp.asarray(np.sqrt(0.5), jnp.bfloat16)
+    return (0.5 * x) * erfc_bf16(-x * sqrt_half)
