@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from vit_ed_tpu.ops.quant import QuantDense
 from vit_ed_tpu.ops.attention import (
     attention_probs,
     fused_attention,
@@ -28,16 +29,14 @@ Dtype = Any
 trunc_normal_init = nn.initializers.truncated_normal(stddev=0.02)
 
 
-def gelu_exact(x):
-    """Exact (erf) GELU — torch nn.GELU default, unlike jax.nn.gelu's tanh."""
-    return jax.nn.gelu(x, approximate=False)
-
-
-# Measured on v5e (see docs/PERFORMANCE.md): the exact-erf GELU costs
-# ~6.5 ms of a 42.8 ms patch16_512 decode call (the erf polynomial is
-# VPU-serial inside the fc2 fusion). The tanh approximation is ~free but
-# deviates from exact by up to ~2 bf16 ulps mid-range — opt in via
-# TPU.FAST_GELU when bit-parity with reference checkpoints is not needed.
+# Exact (erf) GELU — torch nn.GELU default, unlike jax.nn.gelu's tanh.
+# On the bf16 path this is the fast polynomial+exp-tail evaluation from
+# ops/gelu.py, bit-exact vs jax.nn.gelu(approximate=False) for every bf16
+# input (exhaustively verified in tests/test_gelu.py). XLA's own erfc
+# lowering cost ~6.5 ms of a 42.8 ms patch16_512 decode call
+# (docs/PERFORMANCE.md). TPU.FAST_GELU (tanh) remains as a deployment
+# option; it deviates from exact by up to ~2 bf16 ulps mid-range.
+from vit_ed_tpu.ops.gelu import gelu_exact
 
 
 class DropPath(nn.Module):
@@ -88,15 +87,17 @@ class Mlp(nn.Module):
     dropout: float = 0.0
     dtype: Dtype = jnp.float32
     fast_gelu: bool = False
+    int8_gemm: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        x = nn.Dense(self.hidden_dim, dtype=self.dtype, kernel_init=trunc_normal_init,
-                     name="fc1")(x)
+        dense = QuantDense if self.int8_gemm else nn.Dense
+        x = dense(self.hidden_dim, dtype=self.dtype, kernel_init=trunc_normal_init,
+                  name="fc1")(x)
         x = jax.nn.gelu(x, approximate=True) if self.fast_gelu else gelu_exact(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
-        x = nn.Dense(self.out_dim, dtype=self.dtype, kernel_init=trunc_normal_init,
-                     name="fc2")(x)
+        x = dense(self.out_dim, dtype=self.dtype, kernel_init=trunc_normal_init,
+                  name="fc2")(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         return x
 
@@ -166,11 +167,13 @@ class Attention(nn.Module):
     keep_attn: bool = False
     use_pallas: Optional[bool] = None
     dtype: Dtype = jnp.float32
+    int8_gemm: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype,
-                       kernel_init=trunc_normal_init, name="qkv")(x)
+        dense = QuantDense if self.int8_gemm else nn.Dense
+        qkv = dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype,
+                    kernel_init=trunc_normal_init, name="qkv")(x)
         explicit = self.keep_attn or (self.attn_drop > 0.0 and not deterministic)
         if not explicit and not self.qk_norm:
             # fused path: the kernel reads q/k/v tiles straight out of the
@@ -194,8 +197,8 @@ class Attention(nn.Module):
                 out = fused_attention_packed(q, k, v, self.num_heads,
                                              use_pallas=self.use_pallas)
 
-        out = nn.Dense(self.dim, dtype=self.dtype, kernel_init=trunc_normal_init,
-                       name="proj")(out)
+        out = dense(self.dim, dtype=self.dtype, kernel_init=trunc_normal_init,
+                    name="proj")(out)
         out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
         return out
 
@@ -213,13 +216,15 @@ class CrossAttention(nn.Module):
     keep_attn: bool = False
     use_pallas: Optional[bool] = None
     dtype: Dtype = jnp.float32
+    int8_gemm: bool = False
 
     @nn.compact
     def __call__(self, x, context, deterministic: bool = True):
-        q = nn.Dense(self.dim, use_bias=self.qkv_bias, dtype=self.dtype,
-                     kernel_init=trunc_normal_init, name="q")(x)
-        kv = nn.Dense(self.dim * 2, use_bias=self.qkv_bias, dtype=self.dtype,
-                      kernel_init=trunc_normal_init, name="kv")(context)
+        dense = QuantDense if self.int8_gemm else nn.Dense
+        q = dense(self.dim, use_bias=self.qkv_bias, dtype=self.dtype,
+                  kernel_init=trunc_normal_init, name="q")(x)
+        kv = dense(self.dim * 2, use_bias=self.qkv_bias, dtype=self.dtype,
+                   kernel_init=trunc_normal_init, name="kv")(context)
         explicit = self.keep_attn or (self.attn_drop > 0.0 and not deterministic)
         if not explicit and not self.qk_norm:
             out = fused_attention_packed_kv(q, kv, self.num_heads,
@@ -241,8 +246,8 @@ class CrossAttention(nn.Module):
                 out = fused_attention_packed(q, k, v, self.num_heads,
                                              use_pallas=self.use_pallas)
 
-        out = nn.Dense(self.dim, dtype=self.dtype, kernel_init=trunc_normal_init,
-                       name="proj")(out)
+        out = dense(self.dim, dtype=self.dtype, kernel_init=trunc_normal_init,
+                    name="proj")(out)
         out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
         return out
 
@@ -263,20 +268,23 @@ class Block(nn.Module):
     use_pallas: Optional[bool] = None
     dtype: Dtype = jnp.float32
     fast_gelu: bool = False
+    int8_gemm: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         y = Attention(self.dim, self.num_heads, self.qkv_bias, self.qk_norm,
                       self.attn_drop, self.proj_drop, self.keep_attn,
-                      self.use_pallas, self.dtype, name="attn")(y, deterministic)
+                      self.use_pallas, self.dtype, int8_gemm=self.int8_gemm,
+                      name="attn")(y, deterministic)
         if self.init_values:
             y = LayerScale(self.dim, self.init_values, name="ls1")(y)
         x = x + DropPath(self.drop_path, name="drop_path1")(y, deterministic)
 
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         y = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.proj_drop,
-                self.dtype, self.fast_gelu, name="mlp")(y, deterministic)
+                self.dtype, self.fast_gelu, int8_gemm=self.int8_gemm,
+                name="mlp")(y, deterministic)
         if self.init_values:
             y = LayerScale(self.dim, self.init_values, name="ls2")(y)
         x = x + DropPath(self.drop_path, name="drop_path2")(y, deterministic)
@@ -300,13 +308,15 @@ class CrossBlock(nn.Module):
     use_pallas: Optional[bool] = None
     dtype: Dtype = jnp.float32
     fast_gelu: bool = False
+    int8_gemm: bool = False
 
     @nn.compact
     def __call__(self, x, context, deterministic: bool = True):
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         y = Attention(self.dim, self.num_heads, self.qkv_bias, self.qk_norm,
                       self.attn_drop, self.proj_drop, self.keep_attn,
-                      self.use_pallas, self.dtype, name="attn")(y, deterministic)
+                      self.use_pallas, self.dtype, int8_gemm=self.int8_gemm,
+                      name="attn")(y, deterministic)
         if self.init_values:
             y = LayerScale(self.dim, self.init_values, name="ls1")(y)
         x = x + DropPath(self.drop_path, name="drop_path1")(y, deterministic)
@@ -315,14 +325,16 @@ class CrossBlock(nn.Module):
         ctx = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm_context")(context)
         y = CrossAttention(self.dim, self.num_heads, self.qkv_bias, self.qk_norm,
                            self.attn_drop, self.proj_drop, self.keep_attn,
-                           self.use_pallas, self.dtype, name="cross_attn")(y, ctx, deterministic)
+                           self.use_pallas, self.dtype, int8_gemm=self.int8_gemm,
+                           name="cross_attn")(y, ctx, deterministic)
         if self.init_values:
             y = LayerScale(self.dim, self.init_values, name="ls_cross")(y)
         x = x + DropPath(self.drop_path, name="drop_path_cross")(y, deterministic)
 
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         y = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.proj_drop,
-                self.dtype, self.fast_gelu, name="mlp")(y, deterministic)
+                self.dtype, self.fast_gelu, int8_gemm=self.int8_gemm,
+                name="mlp")(y, deterministic)
         if self.init_values:
             y = LayerScale(self.dim, self.init_values, name="ls2")(y)
         x = x + DropPath(self.drop_path, name="drop_path2")(y, deterministic)

@@ -56,6 +56,7 @@ class ViTED(nn.Module):
     use_pallas: Optional[bool] = None
     remat: bool = False
     fast_gelu: bool = False
+    int8_gemm: bool = False   # scoring-time int8 GEMMs (TPU.INT8_SCORE)
     dtype: Dtype = jnp.float32
 
     @property
@@ -85,7 +86,7 @@ class ViTED(nn.Module):
                       self.qk_norm, self.proj_drop_rate, self.attn_drop_rate,
                       self.init_values, float(dpr[i]), self.keep_attn,
                       self.use_pallas, self.dtype, self.fast_gelu,
-                      name=f"blocks_{i}")
+                      int8_gemm=self.int8_gemm, name=f"blocks_{i}")
             for i in range(self.depth)
         ]
         self.cross_blocks = [
@@ -93,7 +94,7 @@ class ViTED(nn.Module):
                       self.qk_norm, self.proj_drop_rate, self.attn_drop_rate,
                       self.init_values, float(dpr_cross[i]), self.keep_attn,
                       self.use_pallas, self.dtype, self.fast_gelu,
-                      name=f"cross_blocks_{i}")
+                      int8_gemm=self.int8_gemm, name=f"cross_blocks_{i}")
             for i in range(self.c_depth)
         ]
         self.norm = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")

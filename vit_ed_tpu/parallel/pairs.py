@@ -55,8 +55,14 @@ class PairwiseScorer:
     """
 
     def __init__(self, model, params, mesh: Mesh, num_outputs: int = 1,
-                 pair_chunk: int = 512, dtype=np.float16):
+                 pair_chunk: int = 512, dtype=np.float16, int8: bool = False):
         from vit_ed_tpu.parallel.mesh import local_mesh
+
+        if int8:
+            # scoring-time int8 GEMMs (TPU.INT8_SCORE): same params, the
+            # projection matmuls run int8 on the MXU (ops/quant.py); gated
+            # by the mAP-parity test in tests/test_quant.py
+            model = model.clone(int8_gemm=True)
 
         # Every process scores a DIFFERENT row range, so the jit programs
         # here are per-process computations over the LOCAL devices; the
