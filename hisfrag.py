@@ -210,6 +210,8 @@ class HisfragTrainer(Trainer):
         return distance_matrix, labels
 
     def test(self):
+        if self.config.TPU.SHARDED_EVAL_METRICS:
+            return self._test_sharded()
         distance_matrix, img_names = self.validate_dataloader(HisFrag20Test.Split.TEST)
         labels = list_to_idx(img_names, lambda x: x.split("_")[0])
         m_ap, top1, pr_k10, pr_k100 = get_metrics(distance_matrix.astype(np.float32),
@@ -223,6 +225,50 @@ class HisfragTrainer(Trainer):
             result_file = os.path.join(self.config.OUTPUT,
                                        f"distance_matrix_rank{self.rank}.csv")
             df.to_csv(result_file, index=True)
+
+    def _test_sharded(self):
+        """TPU.SHARDED_EVAL_METRICS: the similarity matrix is never
+        assembled — each process keeps its complete row slab and the wi19
+        metrics merge from per-row partial sums (O(N^2/world) host memory;
+        for N well past HisFrag20's 20k). Same numbers as test(), asserted
+        in tests/test_metrics_sharded.py and tests/test_multiprocess.py."""
+        from jax.experimental.multihost_utils import process_allgather
+
+        from vit_ed_tpu.metrics.wi19_sharded import merge_partials, row_partials
+
+        split = HisFrag20Test.Split.TEST
+        transform = self.get_transforms()[split.value]
+        dataset = HisFrag20Test(
+            self.config.DATA.DATA_PATH, split, transform=transform,
+            val_n_items_per_writer=self.config.DATA.EVAL_N_ITEMS_PER_CATEGORY)
+        scorer = PairwiseScorer(self.model, self.params, self.mesh, num_outputs=1,
+                                pair_chunk=self.config.DATA.TEST_BATCH_SIZE
+                                * self.mesh.devices.size,
+                                int8=self.config.TPU.INT8_SCORE)
+        rows, row_range = scorer.score_dataset(
+            dataset, batch_size=self.config.DATA.BATCH_SIZE, logger=self.logger,
+            out_dir=self.config.OUTPUT, tag=split.value, rank=self.rank,
+            world_size=self.world_size, num_workers=self.config.DATA.NUM_WORKERS,
+            assemble=False)
+        img_names = [os.path.splitext(os.path.basename(s))[0]
+                     for s in dataset.samples]
+        labels = np.asarray(list_to_idx(img_names, lambda x: x.split("_")[0]))
+        # same dtype chain as the assembled test() path (distance matrix
+        # rounded to float16), so both paths rank ties identically
+        distance_rows = (1.0 - rows.astype(np.float32)).astype(np.float16)
+        part = row_partials(distance_rows.astype(np.float32), labels,
+                            row_labels=labels[row_range.start:row_range.stop])
+        keys = sorted(part)
+        if self.world_size > 1:
+            stacked = np.asarray(process_allgather(
+                np.asarray([part[k] for k in keys], np.float64)))
+            parts = [dict(zip(keys, row)) for row in stacked]
+        else:
+            parts = [part]
+        m_ap, top1, pr_k10, pr_k100 = merge_partials(parts)
+        self.logger.info(f"mAP {m_ap:.3f}\tTop 1 {top1:.3f}\t"
+                         f"Pr@k10 {pr_k10:.3f}\tPr@k100 {pr_k100:.3f}")
+        return m_ap
 
     def validate(self):
         distance_matrix, img_names = self.validate_dataloader(

@@ -100,6 +100,17 @@ def main():
                                world_size=world, num_workers=0)
     np.save(os.path.join(outdir, f"rank{rank}_sim.npy"), sim)
 
+    # ---- 3a. assemble=False: complete rows via the slab-by-slab broadcast
+    # exchange (no process ever allocates N x N); rows must equal the
+    # assembled matrix's rows
+    rows, my_range = scorer.score_dataset(_DS(), batch_size=4, rank=rank,
+                                          world_size=world, num_workers=0,
+                                          assemble=False)
+    np.testing.assert_array_equal(rows, sim[my_range.start:my_range.stop])
+    np.save(os.path.join(outdir, f"rank{rank}_rows.npy"), rows)
+    np.save(os.path.join(outdir, f"rank{rank}_rowrange.npy"),
+            np.asarray([my_range.start, my_range.stop]))
+
     # ---- 3b. multi-host tensor parallelism: 2-D (data=2, model=4) mesh,
     # Megatron column/row sharded params across BOTH processes ------------
     from vit_ed_tpu.parallel.mesh import create_mesh as _cm

@@ -131,3 +131,40 @@ def test_hisfrag_train_and_validate(hisfrag_env):
     # validate() ran inside train(); run it once more explicitly
     loss = trainer.validate()
     assert 0.0 <= loss <= 1.0  # 1 - mAP
+
+
+def test_hisfrag_sharded_eval_metrics(hisfrag_env):
+    """TPU.SHARDED_EVAL_METRICS test path (never assembles N x N) must
+    report the same wi19 numbers as the assembled test path."""
+    from hisfrag import HisfragTrainer
+    from vit_ed_tpu.data.hisfrag import HisFrag20Test
+    from vit_ed_tpu.metrics import get_metrics
+    from vit_ed_tpu.utils.misc import list_to_idx
+
+    tmp, data, cfg = hisfrag_env
+    rng = np.random.default_rng(7)
+    d = os.path.join(str(data), "test")
+    os.makedirs(d, exist_ok=True)
+    for w in range(5):
+        base = rng.integers(0, 255, size=(80, 80, 3), dtype=np.uint8)
+        for f in range(3):
+            arr = np.clip(base + rng.integers(-20, 20, base.shape), 0, 255)
+            Image.fromarray(arr.astype(np.uint8)).save(
+                os.path.join(d, f"tw{w:03d}_0_{f}.jpg"))
+
+    args = Args()
+    args.cfg = str(cfg)
+    args.data_path = str(data)
+    args.output = str(tmp / "out_sharded")
+    args.mode = "test"
+    trainer = HisfragTrainer(args)
+
+    dm, names = trainer.validate_dataloader(HisFrag20Test.Split.TEST)
+    labels = list_to_idx(names, lambda x: x.split("_")[0])
+    ref = get_metrics(dm.astype(np.float32), np.asarray(labels))
+
+    trainer.config.defrost()
+    trainer.config.TPU.SHARDED_EVAL_METRICS = True
+    trainer.config.freeze()
+    m_ap = trainer.test()
+    np.testing.assert_allclose(m_ap, 1 - (1 - ref[0]), rtol=1e-6)

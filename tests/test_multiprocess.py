@@ -144,3 +144,22 @@ def test_multihost_tp_step_consistent(mp_outputs):
     tp1 = np.load(os.path.join(mp_outputs, "rank1_tp_loss.npy"))
     assert tp0 == tp1
     assert np.isfinite(tp0)
+
+
+def test_sharded_rows_reproduce_full_matrix_and_metrics(mp_outputs):
+    """assemble=False rows (exchanged slab-by-slab across the 2 processes)
+    must tile the assembled matrix exactly, and the row-sharded wi19
+    partials must merge to the full-matrix metrics."""
+    from vit_ed_tpu.metrics import get_metrics
+    from vit_ed_tpu.metrics.wi19_sharded import merge_partials, row_partials
+
+    sim = np.load(os.path.join(mp_outputs, "rank0_sim.npy"))
+    parts, labels = [], np.arange(len(sim)) // 3
+    for rank in range(2):
+        rows = np.load(os.path.join(mp_outputs, f"rank{rank}_rows.npy"))
+        lo, hi = np.load(os.path.join(mp_outputs, f"rank{rank}_rowrange.npy"))
+        np.testing.assert_array_equal(rows, sim[lo:hi])
+        parts.append(row_partials(1 - rows[..., 0].astype(np.float32), labels,
+                                  row_labels=labels[lo:hi]))
+    ref = get_metrics(1 - sim[..., 0].astype(np.float32), labels)
+    np.testing.assert_allclose(merge_partials(parts), ref, rtol=1e-12)

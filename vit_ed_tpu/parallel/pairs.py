@@ -136,20 +136,35 @@ class PairwiseScorer:
                       out_dir: Optional[str] = None, tag: str = "test",
                       rank: int = 0, world_size: int = 1,
                       resume: bool = True, print_freq: int = 10,
-                      num_workers: int = 8) -> np.ndarray:
+                      num_workers: int = 8, assemble: bool = True):
         """Compute the full upper-triangular pair score matrix for a dataset
-        of N images; returns the symmetric [N, N(, C)] similarity matrix.
+        of N images.
 
         Multi-process: each process computes its balanced contiguous row
         range; results merge via allgather at the end.
+
+        Memory envelope: during the scan each process holds only its ROW
+        SLAB (~N^2/world_size scores). With ``assemble=True`` (default)
+        the full symmetric [N, N(, C)] matrix is allocated once at the end
+        on every process (N=20k float16 -> ~800 MB; fine at HisFrag20
+        scale, dominant past N~50k). For very large N pass
+        ``assemble=False``: returns ``(rows_scores, row_range)`` where
+        ``rows_scores`` are this process's COMPLETE rows (the transposed
+        lower-triangle entries are exchanged slab-by-slab, never
+        materialising N^2 anywhere) — feed them to
+        metrics.wi19_sharded.row_partials / merge_partials.
         """
         n = len(dataset)
         iu = np.triu_indices(n)
         row_of_pair = iu[0]
         ranges = balanced_row_ranges(row_of_pair, world_size)
         my_rows = ranges[rank]
+        r0 = my_rows.start
 
-        sim = np.zeros((n, n, self.num_outputs), self.dtype)
+        # row slab only: [my rows, N, C]; the full matrix (if requested)
+        # is assembled once after the scan
+        slab = np.zeros((my_rows.stop - my_rows.start, n, self.num_outputs),
+                        self.dtype)
 
         row_blocks = [
             range(r, min(r + batch_size, my_rows.stop))
@@ -176,7 +191,7 @@ class PairwiseScorer:
                             if out_dir else None)
                 if resume and blk_path and os.path.exists(blk_path):
                     data = np.load(blk_path)
-                    sim[rows.start:rows.stop] = data["scores"]
+                    slab[rows.start - r0:rows.stop - r0] = data["scores"]
                     if logger:
                         logger.info(f"Block rows {rows.start}:{rows.stop} loaded from cache")
                     continue
@@ -200,11 +215,11 @@ class PairwiseScorer:
                         continue
                     scores = self.score_pairs_block(feats, tokens,
                                                     pri - i0, prj - j0)
-                    sim[pri, prj] = scores.astype(self.dtype)
+                    slab[pri - r0, prj] = scores.astype(self.dtype)
 
                 if blk_path:
                     np.savez_compressed(blk_path,
-                                        scores=sim[rows.start:rows.stop])
+                                        scores=slab[rows.start - r0:rows.stop - r0])
                 if logger and bi % print_freq == 0:
                     frac = (bi + 1) / max(len(row_blocks), 1)
                     elapsed = time.time() - start
@@ -215,15 +230,21 @@ class PairwiseScorer:
             if loader_pool is not None:
                 loader_pool.shutdown()
 
+        if not assemble:
+            return self._complete_rows(slab, ranges, rank, world_size), my_rows
+
+        sim = np.zeros((n, n, self.num_outputs), self.dtype)
+        sim[my_rows.start:my_rows.stop] = slab
+        del slab
         if world_size > 1:
             from jax.experimental.multihost_utils import process_allgather
 
             # gather only each process's row slab (padded to the max slab
             # height), not the full N x N matrix per process
             max_rows = max(r.stop - r.start for r in ranges)
-            slab = np.zeros((max_rows,) + sim.shape[1:], self.dtype)
-            slab[: my_rows.stop - my_rows.start] = sim[my_rows.start:my_rows.stop]
-            gathered = np.asarray(process_allgather(slab))  # [world, max_rows, N, C]
+            pad = np.zeros((max_rows,) + sim.shape[1:], self.dtype)
+            pad[: my_rows.stop - my_rows.start] = sim[my_rows.start:my_rows.stop]
+            gathered = np.asarray(process_allgather(pad))  # [world, max_rows, N, C]
             for r_i, rng_i in enumerate(ranges):
                 sim[rng_i.start:rng_i.stop] = gathered[r_i, : rng_i.stop - rng_i.start]
 
@@ -233,6 +254,35 @@ class PairwiseScorer:
         il = np.tril_indices(n, -1)
         out[il] = lower[il]
         return out
+
+    def _complete_rows(self, slab: np.ndarray, ranges, rank: int,
+                       world_size: int) -> np.ndarray:
+        """Fill the lower-triangle part of this process's rows with the
+        mirrored scores held by (possibly other processes') slabs, one
+        slab broadcast at a time — peak host memory stays ~2 slabs.
+        Returns the slab squeezed like score_dataset's assembled output."""
+        my_rows = ranges[rank]
+        r0 = my_rows.start
+        if world_size == 1:
+            il = np.tril_indices(slab.shape[0], -1)
+            slab[il] = np.swapaxes(slab, 0, 1)[il]
+            return slab if self.num_outputs > 1 else slab[..., 0]
+
+        from jax.experimental.multihost_utils import broadcast_one_to_all
+
+        max_rows = max(r.stop - r.start for r in ranges)
+        for p, prange in enumerate(ranges):
+            pad = np.zeros((max_rows,) + slab.shape[1:], self.dtype)
+            if p == rank:
+                pad[: slab.shape[0]] = slab
+            src = np.asarray(broadcast_one_to_all(pad, is_source=(p == rank)))
+            # rows j in prange scored (j, i) for i >= j; my rows i take the
+            # mirror (i, j) <- (j, i) for j < i
+            for j in range(prange.start, prange.stop):
+                lo = max(j + 1, my_rows.start)
+                if lo < my_rows.stop:
+                    slab[lo - r0:, j] = src[j - prange.start, lo:my_rows.stop]
+        return slab if self.num_outputs > 1 else slab[..., 0]
 
     def score_dense(self, images: np.ndarray, batch_size: int = 128,
                     include_diagonal: bool = False) -> np.ndarray:
