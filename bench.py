@@ -68,12 +68,14 @@ def _timed_scan(fn, args, iters):
 
 
 def bench_pair_forwards(img_size, patch_size, depth, c_depth, embed_dim, num_heads,
-                        num_classes, batch, iters=20, fast_gelu=False):
+                        num_classes, batch, iters=20, fast_gelu=False,
+                        int8_gemm=False):
     from vit_ed_tpu.models.vit_ed import ViTED
 
     model = ViTED(img_size=img_size, patch_size=patch_size, num_classes=num_classes,
                   embed_dim=embed_dim, depth=depth, c_depth=c_depth,
-                  num_heads=num_heads, dtype=jnp.bfloat16, fast_gelu=fast_gelu)
+                  num_heads=num_heads, dtype=jnp.bfloat16, fast_gelu=fast_gelu,
+                  int8_gemm=int8_gemm)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(batch, 2, img_size, img_size, 3)), jnp.float32)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), x[:1])
@@ -145,6 +147,17 @@ def main():
               f"not bit-parity)", file=sys.stderr)
     except Exception as e:  # pragma: no cover
         print(f"fast-gelu bench failed: {e}", file=sys.stderr)
+
+    try:
+        # TPU.INT8_SCORE: dynamic-int8 projection GEMMs in the scoring
+        # scan (mAP-parity gated, tests/test_quant.py)
+        _, decode_i8 = bench_pair_forwards(
+            img_size=512, patch_size=16, depth=12, c_depth=12, embed_dim=384,
+            num_heads=6, num_classes=1, batch=64, int8_gemm=True)
+        print(f"patch16_512 INT8_SCORE decode={decode_i8 / n_chips:.1f} "
+              f"pair-fwd/s/chip (int8 GEMMs, bf16 attention)", file=sys.stderr)
+    except Exception as e:  # pragma: no cover
+        print(f"int8 bench failed: {e}", file=sys.stderr)
 
     # Headline: the flagship-config decode rate (the inner op of the
     # HisFrag O(N^2) retrieval scan) against the 5k north star. Note the
