@@ -29,9 +29,8 @@ def eval_standard(config, trainer, logger, world_size, rank):
 
     patch_size = config.DATA.IMG_SIZE
 
-    def transform(img):
-        img = T.center_crop(img, patch_size)
-        return T.normalize(T.to_tensor(img))
+    # center_crop + normalize with the fused native fast path
+    transform = T.OneImgEval(patch_size, crop=True)
 
     dataset = GeshaemPatch(config.DATA.DATA_PATH, GeshaemPatch.Split.VAL,
                            transform=transform)

@@ -71,11 +71,10 @@ class HisfragTrainer(Trainer):
             img = T.random_crop(img, patch_size, pad_if_needed=True)
             img = T.color_jitter(img, 0.3, 0.3, 0.3, 0.3, p=0.5)
             img = T.GaussianBlur(p=0.5, radius_min=1.0, radius_max=2.0)(img)
-            return T.normalize(T.to_tensor(img))
+            return T.normalize_image(img)
 
-        def eval_transform(img):
-            img = T.center_crop(img, patch_size)
-            return T.normalize(T.to_tensor(img))
+        # center_crop + normalize with the fused native fast path
+        eval_transform = T.OneImgEval(patch_size, crop=True)
 
         return {"train": train_transform, "val": eval_transform,
                 "test": eval_transform}

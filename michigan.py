@@ -80,13 +80,13 @@ class MichiganTrainer(HisfragTrainer):
             img = T.GaussianBlur(p=0.5, radius_max=1)(img)
             if _r.random() < 0.2:
                 img = img.convert("L").convert("RGB")
-            return T.normalize(T.to_tensor(img))
+            return T.normalize_image(img)
 
         def val_transform(img):
             img = T.center_crop(img, (img_size, img_size))
             img = T.resize(img, int(img_size * 1.15))
             img = T.center_crop(img, img_size)
-            return T.normalize(T.to_tensor(img))
+            return T.normalize_image(img)
 
         return {"train": train_transform, "validation": val_transform,
                 "val": val_transform, "test": val_transform}

@@ -1,0 +1,157 @@
+"""Native (C++) input pipeline: bit-exactness vs the PIL + numpy chain.
+
+The native runtime (native/pipeline.cc) reimplements the deterministic
+numeric tail of data/transforms.py — crop, separable resampling
+(bilinear/bicubic in 22-bit fixed point), grayscale conversion, white
+percentage, and the fused (x/255 - mean)/std normalize — and must match
+the reference chain BIT-FOR-BIT, because transforms.py dispatches to it
+transparently whenever it is available.
+"""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from vit_ed_tpu.data import transforms as T
+from vit_ed_tpu.native import pipeline as npipe
+
+pytestmark = pytest.mark.skipif(not npipe.is_available(),
+                                reason="native pipeline unavailable")
+
+RNG = np.random.default_rng(42)
+
+
+def _rand_img(h, w):
+    return RNG.integers(0, 256, (h, w, 3), np.uint8)
+
+
+@pytest.mark.parametrize("filt,pil_filt", [(npipe.BILINEAR, Image.BILINEAR),
+                                           (npipe.BICUBIC, Image.BICUBIC)])
+@pytest.mark.parametrize("shape,out", [
+    ((480, 640), (512, 512)),   # mixed up/down
+    ((1000, 750), (64, 64)),    # strong downscale
+    ((37, 53), (128, 96)),      # upscale
+    ((64, 64), (64, 64)),       # identity
+])
+def test_resize_bit_exact_vs_pil(shape, out, filt, pil_filt):
+    arr = _rand_img(*shape)
+    ref = np.asarray(Image.fromarray(arr).resize((out[1], out[0]), pil_filt))
+    got = npipe.resize_u8(arr, out, filter=filt)
+    assert np.array_equal(ref, got)
+
+
+def test_crop_resize_bit_exact_vs_pil():
+    arr = _rand_img(400, 500)
+    # PIL box is (left, top, right, bottom); native crop is (y0, x0, h, w)
+    ref = np.asarray(Image.fromarray(arr).crop((30, 50, 363, 272))
+                     .resize((64, 64), Image.BILINEAR))
+    got = npipe.resize_u8(arr, (64, 64), crop=(50, 30, 222, 333))
+    assert np.array_equal(ref, got)
+
+
+def test_crop_out_of_bounds_rejected():
+    arr = _rand_img(50, 50)
+    with pytest.raises(ValueError):
+        npipe.resize_u8(arr, (32, 32), crop=(20, 20, 40, 40))
+
+
+def test_normalize_bit_exact():
+    arr = _rand_img(57, 83)
+    mean, std = (0.48, 0.45, 0.41), (0.23, 0.22, 0.25)
+    ref = T.normalize(np.asarray(arr, np.float32) / 255.0, mean, std)
+    got = npipe.normalize_u8(arr, mean, std)
+    assert got.dtype == np.float32
+    assert np.array_equal(ref.astype(np.float32), got)
+
+
+def test_gray_and_white_percentage_match_python(monkeypatch):
+    # force the Python path for the reference value
+    monkeypatch.setattr(T, "_npipe", None)
+    for h, w in [(300, 400), (100, 120), (512, 512), (224, 224)]:
+        arr = RNG.integers(180, 256, (h, w, 3), np.uint8)
+        img = Image.fromarray(arr)
+        ref = T.compute_white_percentage(img)
+        got = npipe.white_percentage(arr)
+        assert abs(ref - got) < 1e-7, (h, w)
+
+
+def test_prep_equals_resize_then_normalize():
+    arr = _rand_img(300, 420)
+    ref = npipe.normalize_u8(npipe.resize_u8(arr, (128, 128)))
+    got = npipe.prep(arr, (128, 128))
+    assert np.array_equal(ref, got)
+
+
+def test_pool_batch_matches_sequential():
+    images = [_rand_img(100 + 7 * i, 90 + 11 * i) for i in range(9)]
+    crops = [(i, i, 64 + i, 70 + i) for i in range(9)]
+    with npipe.PipelinePool(num_threads=3) as pool:
+        batch = pool.prep_batch(images, (48, 56), crops=crops)
+    assert batch.shape == (9, 48, 56, 3)
+    for i, (im, cr) in enumerate(zip(images, crops)):
+        assert np.array_equal(batch[i], npipe.prep(im, (48, 56), crop=cr))
+
+
+def test_pool_empty_batch():
+    with npipe.PipelinePool(num_threads=2) as pool:
+        out = pool.prep_batch([], (16, 16))
+    assert out.shape == (0, 16, 16, 3)
+
+
+# ---------------------------------------------------------------------------
+# transparent dispatch inside the transform classes
+# ---------------------------------------------------------------------------
+
+def _python_result(monkeypatch, fn, *args):
+    with monkeypatch.context() as m:
+        m.setattr(T, "_npipe", None)
+        return fn(*args)
+
+
+def test_two_img_sync_eval_native_matches_python(monkeypatch):
+    t = T.TwoImgSyncEval(64)
+    a = Image.fromarray(_rand_img(100, 80))
+    b = Image.fromarray(_rand_img(64, 64))
+    ref = _python_result(monkeypatch, t, a, b)
+    got = t(a, b)
+    assert np.array_equal(np.asarray(ref[0], np.float32), got[0])
+    assert np.array_equal(np.asarray(ref[1], np.float32), got[1])
+
+
+@pytest.mark.parametrize("crop", [False, True])
+def test_one_img_eval_native_matches_python(monkeypatch, crop):
+    t = T.OneImgEval(64, crop=crop)
+    for shape in [(100, 80), (64, 64), (200, 300)]:
+        img = Image.fromarray(_rand_img(*shape))
+        ref = _python_result(monkeypatch, t, img)
+        got = t(img)
+        assert np.array_equal(np.asarray(ref, np.float32), got), shape
+
+
+def test_one_img_eval_pad_fallback(monkeypatch):
+    # image smaller than the crop: native path must defer to the Python
+    # pad-and-center-crop branch
+    t = T.OneImgEval(64, crop=True)
+    img = Image.fromarray(_rand_img(40, 50))
+    ref = _python_result(monkeypatch, t, img)
+    got = t(img)
+    assert np.array_equal(np.asarray(ref, np.float32), got)
+
+
+def test_non_rgb_falls_back(monkeypatch):
+    t = T.OneImgEval(32)
+    img = Image.fromarray(RNG.integers(0, 256, (48, 48), np.uint8), "L")
+    ref = _python_result(monkeypatch, t, img)
+    got = t(img)
+    assert np.array_equal(np.asarray(ref, np.float32), np.asarray(got, np.float32))
+
+
+def test_custom_random_crop_uses_native_white_pct():
+    # deterministic because the image is all-white: every retry rejects
+    img = Image.new("RGB", (100, 100), (255, 255, 255))
+    c = T.CustomRandomCrop(32, white_percentage_limit=0.6, max_retry=3)
+    with pytest.raises(Exception):
+        c(img)
+    dark = Image.new("RGB", (100, 100), (10, 10, 10))
+    out = T.CustomRandomCrop(32)(dark)
+    assert out.size == (32, 32)

@@ -156,7 +156,7 @@ class Div2kPatchTriplet(DIV2KPatch):
 
         def tr(img):
             # single-image path of the pair transform
-            out = self.transform(img, img)[0] if self.transform else T.normalize(T.to_tensor(img))
+            out = self.transform(img, img)[0] if self.transform else T.normalize_image(img)
             return np.asarray(out)
 
         cc = lambda i: T.center_crop(crops[i], piece)

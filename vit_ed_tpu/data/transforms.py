@@ -17,6 +17,34 @@ from PIL import Image, ImageFilter
 
 from vit_ed_tpu.utils.misc import UnableToCrop
 
+# Native (C++) fast path for the deterministic numeric tail of the
+# pipeline (crop/resize/normalize/white-percentage). BIT-EXACT vs the
+# PIL + numpy chain below (tests/test_native_pipeline.py verifies), so it
+# is used transparently whenever available; VIT_ED_NATIVE_PIPELINE=0
+# disables it. Randomized augmentation decisions always stay in Python
+# (RNG stream parity with the reference).
+try:
+    from vit_ed_tpu.native import pipeline as _npipe
+except Exception:  # pragma: no cover - import cycle / broken build
+    _npipe = None
+
+
+def _native_ok(img) -> bool:
+    return (_npipe is not None and isinstance(img, Image.Image)
+            and img.mode == "RGB" and _npipe.is_available())
+
+
+def _resize_target(img: Image.Image, size) -> Tuple[int, int]:
+    """(out_h, out_w) under torchvision Resize semantics (see resize())."""
+    if isinstance(size, int):
+        w, h = img.size
+        if (w <= h and w == size) or (h <= w and h == size):
+            return h, w
+        if w < h:
+            return int(size * h / w), size
+        return size, int(size * w / h)
+    return size[0], size[1]
+
 
 # ---------------------------------------------------------------------------
 # array conversion
@@ -34,6 +62,15 @@ def normalize(arr: np.ndarray, mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5)) -> np.
     mean = np.asarray(mean, np.float32)
     std = np.asarray(std, np.float32)
     return (arr - mean) / std
+
+
+def normalize_image(img: Image.Image, mean=(0.5, 0.5, 0.5),
+                    std=(0.5, 0.5, 0.5)) -> np.ndarray:
+    """``normalize(to_tensor(img))`` with the fused native fast path
+    (bit-exact; single memory pass in C++ for RGB images)."""
+    if _native_ok(img):
+        return _npipe.normalize_u8(np.asarray(img), mean, std)
+    return normalize(to_tensor(img), mean, std)
 
 
 def unnormalize(arr: np.ndarray, mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5)) -> np.ndarray:
@@ -256,6 +293,8 @@ class TwoImgSyncEval:
         self.image_size = image_size
 
     def _one(self, img: Image.Image) -> np.ndarray:
+        if _native_ok(img):
+            return _npipe.prep(img, _resize_target(img, self.image_size))
         img = resize(img, self.image_size)
         return normalize(to_tensor(img))
 
@@ -271,6 +310,16 @@ class OneImgEval:
         self.crop = crop
 
     def __call__(self, img):
+        if _native_ok(img):
+            if not self.crop:
+                return _npipe.prep(img, _resize_target(img, self.image_size))
+            th, tw = ((self.image_size, self.image_size)
+                      if isinstance(self.image_size, int) else self.image_size)
+            w, h = img.size
+            if w >= tw and h >= th:  # pad-needed case falls back below
+                left = int(round((w - tw) / 2.0))
+                top = int(round((h - th) / 2.0))
+                return _npipe.prep(img, (th, tw), crop=(top, left, th, tw))
         img = center_crop(img, self.image_size) if self.crop else resize(img, self.image_size)
         return normalize(to_tensor(img))
 
@@ -313,6 +362,8 @@ def make_square(im: Image.Image, fill_color=(0, 0, 0)):
 
 
 def compute_white_percentage(img: Image.Image, ref_size=224) -> float:
+    if _native_ok(img):
+        return _npipe.white_percentage(img, ref_size)
     gray = img.convert("L")
     if gray.width > ref_size:
         gray = gray.resize((ref_size, ref_size))

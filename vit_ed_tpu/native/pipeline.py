@@ -1,0 +1,224 @@
+"""ctypes binding for the native input-pipeline runtime (pipeline.cc).
+
+Builds on first use (g++ -O3, same pattern as the native solver) and
+exposes crop/resize/normalize primitives that are BIT-EXACT vs the
+PIL + numpy reference chain in data/transforms.py, plus a persistent
+worker pool for whole-batch preparation off the Python thread.
+
+Everything degrades gracefully: ``is_available()`` is False when no
+compiler exists or ``VIT_ED_NATIVE_PIPELINE=0``, and callers fall back
+to the Python path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "pipeline.cc")
+_LIB_PATH = os.path.join(_HERE, "libvtpipeline.so")
+_lock = threading.Lock()
+_lib = None
+_build_failed = False
+
+BILINEAR = 0
+BICUBIC = 1
+
+_u8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+_f32 = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+_i32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+
+
+def _build() -> Optional[str]:
+    if (os.path.exists(_LIB_PATH)
+            and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC)):
+        return _LIB_PATH
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+             "-pthread", _SRC, "-o", _LIB_PATH],
+            check=True, capture_output=True, timeout=120)
+        return _LIB_PATH
+    except Exception:
+        return None
+
+
+def _load():
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None or _build_failed:
+            return _lib
+        if os.environ.get("VIT_ED_NATIVE_PIPELINE", "1") == "0":
+            _build_failed = True
+            return None
+        path = _build()
+        if path is None:
+            _build_failed = True
+            return None
+        lib = ctypes.CDLL(path)
+        lib.vt_resize_u8.restype = ctypes.c_int
+        lib.vt_resize_u8.argtypes = [_u8] + [ctypes.c_int] * 7 + [_u8] + \
+            [ctypes.c_int] * 3
+        lib.vt_normalize_u8.restype = None
+        lib.vt_normalize_u8.argtypes = [_u8, ctypes.c_int64, ctypes.c_int,
+                                        _f32, _f32, _f32]
+        lib.vt_rgb_to_gray.restype = None
+        lib.vt_rgb_to_gray.argtypes = [_u8, ctypes.c_int64, _u8]
+        lib.vt_white_percentage.restype = ctypes.c_float
+        lib.vt_white_percentage.argtypes = [_u8] + [ctypes.c_int] * 4
+        lib.vt_prep_one.restype = ctypes.c_int
+        lib.vt_prep_one.argtypes = [_u8] + [ctypes.c_int] * 10 + \
+            [_f32, _f32, _f32]
+        lib.vt_pool_create.restype = ctypes.c_void_p
+        lib.vt_pool_create.argtypes = [ctypes.c_int]
+        lib.vt_pool_destroy.restype = None
+        lib.vt_pool_destroy.argtypes = [ctypes.c_void_p]
+        lib.vt_pool_prep_batch.restype = ctypes.c_int
+        lib.vt_pool_prep_batch.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            _i32, _i32, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, _f32, _f32, _f32]
+        _lib = lib
+        return _lib
+
+
+def is_available() -> bool:
+    return _load() is not None
+
+
+def _as_u8(img) -> np.ndarray:
+    arr = np.ascontiguousarray(np.asarray(img, np.uint8))
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    return arr
+
+
+def _f32v(x, c: int) -> np.ndarray:
+    return np.ascontiguousarray(np.broadcast_to(
+        np.asarray(x, np.float32), (c,)))
+
+
+def resize_u8(img, size: Tuple[int, int], filter: int = BILINEAR,
+              crop: Optional[Tuple[int, int, int, int]] = None) -> np.ndarray:
+    """Crop (y0, x0, h, w) then resize to (oh, ow). Bit-exact vs
+    ``PIL.Image.crop(...).resize(..., BILINEAR | BICUBIC)`` on uint8."""
+    lib = _load()
+    arr = _as_u8(img)
+    h, w, c = arr.shape
+    y0, x0, ch_, cw_ = crop if crop is not None else (0, 0, h, w)
+    oh, ow = size
+    out = np.empty((oh, ow, c), np.uint8)
+    rc = lib.vt_resize_u8(arr, h, w, c, y0, x0, ch_, cw_, out, oh, ow, filter)
+    if rc != 0:
+        raise ValueError(f"vt_resize_u8 failed (crop {crop} of {arr.shape})")
+    return out
+
+
+def normalize_u8(img, mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5)) -> np.ndarray:
+    """Fused (x/255 - mean)/std. Bit-exact vs normalize(to_tensor(img))."""
+    lib = _load()
+    arr = _as_u8(img)
+    h, w, c = arr.shape
+    out = np.empty((h, w, c), np.float32)
+    lib.vt_normalize_u8(arr, h * w, c, _f32v(mean, c), _f32v(std, c), out)
+    return out
+
+
+def white_percentage(img, ref_size: int = 224) -> float:
+    """Bit-exact vs transforms.compute_white_percentage (PIL "L" convert,
+    BICUBIC shrink to ref when wider, fraction of pixels > 250)."""
+    lib = _load()
+    arr = _as_u8(img)
+    h, w, c = arr.shape
+    return float(lib.vt_white_percentage(arr, h, w, c, ref_size))
+
+
+def prep(img, size: Tuple[int, int],
+         crop: Optional[Tuple[int, int, int, int]] = None,
+         filter: int = BILINEAR, mean=(0.5, 0.5, 0.5),
+         std=(0.5, 0.5, 0.5)) -> np.ndarray:
+    """Fused crop -> resize -> normalize, u8 HWC -> f32 HWC."""
+    lib = _load()
+    arr = _as_u8(img)
+    h, w, c = arr.shape
+    y0, x0, ch_, cw_ = crop if crop is not None else (0, 0, h, w)
+    oh, ow = size
+    out = np.empty((oh, ow, c), np.float32)
+    rc = lib.vt_prep_one(arr, h, w, c, y0, x0, ch_, cw_, oh, ow, filter,
+                         _f32v(mean, c), _f32v(std, c), out)
+    if rc != 0:
+        raise ValueError(f"vt_prep_one failed (crop {crop} of {arr.shape})")
+    return out
+
+
+class PipelinePool:
+    """Persistent native worker pool preparing whole batches in parallel.
+
+    The batch call releases the GIL for its entire duration, so Python-side
+    decode threads (DataLoader workers) overlap with C++ transform work.
+    """
+
+    def __init__(self, num_threads: Optional[int] = None):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native pipeline unavailable")
+        if num_threads is None:
+            num_threads = max(os.cpu_count() or 1, 1)
+        self._lib = lib
+        self._pool = lib.vt_pool_create(int(num_threads))
+        self.num_threads = int(num_threads)
+
+    def close(self):
+        if getattr(self, "_pool", None):
+            self._lib.vt_pool_destroy(self._pool)
+            self._pool = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    def prep_batch(self, images: Sequence[np.ndarray], size: Tuple[int, int],
+                   crops: Optional[Sequence[Tuple[int, int, int, int]]] = None,
+                   filter: int = BILINEAR, mean=(0.5, 0.5, 0.5),
+                   std=(0.5, 0.5, 0.5)) -> np.ndarray:
+        """Prepare n images (each u8 HWC, same channel count) into one
+        [n, oh, ow, c] float32 batch."""
+        arrs = [_as_u8(im) for im in images]
+        n = len(arrs)
+        oh, ow = size
+        if n == 0:
+            return np.empty((0, oh, ow, 3), np.float32)
+        c = arrs[0].shape[2]
+        dims = np.empty((n, 2), np.int32)
+        cr = np.empty((n, 4), np.int32)
+        ptrs = (ctypes.POINTER(ctypes.c_uint8) * n)()
+        for i, a in enumerate(arrs):
+            if a.shape[2] != c:
+                raise ValueError("mixed channel counts in batch")
+            dims[i] = (a.shape[0], a.shape[1])
+            cr[i] = crops[i] if crops is not None else (0, 0, a.shape[0],
+                                                        a.shape[1])
+            ptrs[i] = a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        out = np.empty((n, oh, ow, c), np.float32)
+        rc = self._lib.vt_pool_prep_batch(
+            self._pool, ptrs, dims.reshape(-1), cr.reshape(-1), n, c, oh, ow,
+            filter, _f32v(mean, c), _f32v(std, c), out)
+        if rc != 0:
+            raise ValueError("vt_pool_prep_batch failed (bad crop rect?)")
+        # keep arrs alive until the C call returned
+        del arrs
+        return out
