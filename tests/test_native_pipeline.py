@@ -146,6 +146,43 @@ def test_non_rgb_falls_back(monkeypatch):
     assert np.array_equal(np.asarray(ref, np.float32), np.asarray(got, np.float32))
 
 
+def test_white_percentage_rgba_stride():
+    # 4-channel input must read with the real stride (PIL convert("L")
+    # ignores alpha)
+    rgb = RNG.integers(180, 256, (60, 80, 3), np.uint8)
+    rgba = np.concatenate([rgb, np.full((60, 80, 1), 7, np.uint8)], axis=-1)
+    assert npipe.white_percentage(rgba) == npipe.white_percentage(rgb)
+
+
+def test_mean_std_channel_mismatch_rejected():
+    gray = RNG.integers(0, 256, (20, 20), np.uint8)
+    with pytest.raises(ValueError, match="channels"):
+        npipe.normalize_u8(gray)  # (h, w, 1) vs default 3-tuple mean
+
+
+def test_pool_crops_length_mismatch_rejected():
+    imgs = [_rand_img(32, 32), _rand_img(32, 32)]
+    with npipe.PipelinePool(num_threads=1) as pool:
+        with pytest.raises(ValueError, match="crop rects"):
+            pool.prep_batch(imgs, (16, 16), crops=[(0, 0, 16, 16)])
+
+
+def test_build_and_load_recovers_from_corrupt_lib(tmp_path):
+    # a corrupt cached .so (interrupted historical build) must be rebuilt,
+    # not crash is_available()
+    from vit_ed_tpu.native import build_and_load
+
+    src = tmp_path / "mini.cc"
+    src.write_text('extern "C" int forty_two() { return 42; }\n')
+    lib_path = tmp_path / "libmini.so"
+    lib_path.write_bytes(b"not an elf file")
+    os_utime_after = src.stat().st_mtime + 10
+    import os as _os
+    _os.utime(lib_path, (os_utime_after, os_utime_after))  # newer than src
+    lib = build_and_load(str(src), str(lib_path))
+    assert lib is not None and lib.forty_two() == 42
+
+
 def test_custom_random_crop_uses_native_white_pct():
     # deterministic because the image is all-white: every retry rejects
     img = Image.new("RGB", (100, 100), (255, 255, 255))

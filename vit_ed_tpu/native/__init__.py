@@ -23,29 +23,63 @@ _lib = None
 _build_failed = False
 
 
-def _build() -> Optional[str]:
-    if os.path.exists(_LIB_PATH) and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC):
-        return _LIB_PATH
+def build_and_load(src: str, lib_path: str, extra_flags=()):
+    """Build ``src`` into ``lib_path`` (if stale) and ctypes-load it.
+
+    Shared by every native binding. Never raises: returns None when the
+    compiler is missing, the build fails, or the cached .so is corrupt
+    (in which case it is rebuilt once before giving up). The compile
+    writes to a temp file and ``os.replace``s it so concurrent processes
+    never observe a half-written library.
+    """
+
+    def _compile() -> bool:
+        tmp = f"{lib_path}.{os.getpid()}.tmp"
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                 "-std=c++17", *extra_flags, src, "-o", tmp],
+                check=True, capture_output=True, timeout=120)
+            os.replace(tmp, lib_path)
+            return True
+        except Exception:
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+            return False
+
     try:
-        subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-             _SRC, "-o", _LIB_PATH],
-            check=True, capture_output=True, timeout=120)
-        return _LIB_PATH
-    except Exception:
+        fresh = (os.path.exists(lib_path)
+                 and os.path.getmtime(lib_path) >= os.path.getmtime(src))
+    except OSError:
+        fresh = os.path.exists(lib_path)  # prebuilt install without sources
+    if not fresh and not _compile():
+        return None
+    try:
+        return ctypes.CDLL(lib_path)
+    except OSError:
+        # corrupt cached artifact (e.g. an interrupted historical build):
+        # rebuild once, then give up gracefully
+        if _compile():
+            try:
+                return ctypes.CDLL(lib_path)
+            except OSError:
+                return None
         return None
 
 
 def _load():
     global _lib, _build_failed
+    if _lib is not None:   # lock-free fast path (GIL-safe read)
+        return _lib
     with _lock:
         if _lib is not None or _build_failed:
             return _lib
-        path = _build()
-        if path is None:
+        lib = build_and_load(_SRC, _LIB_PATH)
+        if lib is None:
             _build_failed = True
             return None
-        lib = ctypes.CDLL(path)
         lib.pt_solve.restype = ctypes.c_int
         lib.pt_solve.argtypes = [
             ctypes.c_int,

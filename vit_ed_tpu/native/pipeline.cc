@@ -301,9 +301,12 @@ void vt_normalize_u8(const uint8_t* src, int64_t n_px, int c, const float* mean,
 }
 
 // PIL "L" conversion: (R*19595 + G*38470 + B*7471 + 0x8000) >> 16.
-void vt_rgb_to_gray(const uint8_t* src, int64_t n_px, uint8_t* out) {
+// stride = channel count of the source (>= 3; extra channels ignored,
+// matching PIL convert("L") on RGBA).
+void vt_rgb_to_gray(const uint8_t* src, int64_t n_px, int stride,
+                    uint8_t* out) {
   for (int64_t i = 0; i < n_px; ++i) {
-    const uint8_t* p = src + i * 3;
+    const uint8_t* p = src + i * stride;
     out[i] = static_cast<uint8_t>(
         (p[0] * 19595 + p[1] * 38470 + p[2] * 7471 + 0x8000) >> 16);
   }
@@ -315,7 +318,7 @@ float vt_white_percentage(const uint8_t* src, int h, int w, int c,
                           int ref_size) {
   std::vector<uint8_t> gray(static_cast<size_t>(h) * w);
   if (c >= 3) {
-    vt_rgb_to_gray(src, static_cast<int64_t>(h) * w, gray.data());
+    vt_rgb_to_gray(src, static_cast<int64_t>(h) * w, c, gray.data());
   } else {
     for (int64_t i = 0; i < static_cast<int64_t>(h) * w; ++i)
       gray[i] = src[i * c];

@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 import threading
 from typing import Optional, Sequence, Tuple
 
@@ -35,33 +34,22 @@ _f32 = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
 _i32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
 
 
-def _build() -> Optional[str]:
-    if (os.path.exists(_LIB_PATH)
-            and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC)):
-        return _LIB_PATH
-    try:
-        subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-             "-pthread", _SRC, "-o", _LIB_PATH],
-            check=True, capture_output=True, timeout=120)
-        return _LIB_PATH
-    except Exception:
-        return None
-
-
 def _load():
     global _lib, _build_failed
+    if _lib is not None:   # lock-free fast path for the per-sample hot loop
+        return _lib
     with _lock:
         if _lib is not None or _build_failed:
             return _lib
         if os.environ.get("VIT_ED_NATIVE_PIPELINE", "1") == "0":
             _build_failed = True
             return None
-        path = _build()
-        if path is None:
+        from vit_ed_tpu.native import build_and_load
+
+        lib = build_and_load(_SRC, _LIB_PATH, extra_flags=("-pthread",))
+        if lib is None:
             _build_failed = True
             return None
-        lib = ctypes.CDLL(path)
         lib.vt_resize_u8.restype = ctypes.c_int
         lib.vt_resize_u8.argtypes = [_u8] + [ctypes.c_int] * 7 + [_u8] + \
             [ctypes.c_int] * 3
@@ -69,7 +57,7 @@ def _load():
         lib.vt_normalize_u8.argtypes = [_u8, ctypes.c_int64, ctypes.c_int,
                                         _f32, _f32, _f32]
         lib.vt_rgb_to_gray.restype = None
-        lib.vt_rgb_to_gray.argtypes = [_u8, ctypes.c_int64, _u8]
+        lib.vt_rgb_to_gray.argtypes = [_u8, ctypes.c_int64, ctypes.c_int, _u8]
         lib.vt_white_percentage.restype = ctypes.c_float
         lib.vt_white_percentage.argtypes = [_u8] + [ctypes.c_int] * 4
         lib.vt_prep_one.restype = ctypes.c_int
@@ -100,8 +88,14 @@ def _as_u8(img) -> np.ndarray:
 
 
 def _f32v(x, c: int) -> np.ndarray:
-    return np.ascontiguousarray(np.broadcast_to(
-        np.asarray(x, np.float32), (c,)))
+    v = np.asarray(x, np.float32)
+    if v.ndim > 0 and v.shape[0] not in (1, c):
+        # numpy's Python path would broadcast (h, w, 1) against (3,) into a
+        # DIFFERENT output shape — reject rather than silently diverge
+        raise ValueError(
+            f"mean/std of length {v.shape[0]} does not match {c} channels; "
+            "use the Python transforms path for this input")
+    return np.ascontiguousarray(np.broadcast_to(v, (c,)))
 
 
 def resize_u8(img, size: Tuple[int, int], filter: int = BILINEAR,
@@ -200,6 +194,8 @@ class PipelinePool:
         arrs = [_as_u8(im) for im in images]
         n = len(arrs)
         oh, ow = size
+        if crops is not None and len(crops) != n:
+            raise ValueError(f"{len(crops)} crop rects for {n} images")
         if n == 0:
             return np.empty((0, oh, ow, 3), np.float32)
         c = arrs[0].shape[2]
