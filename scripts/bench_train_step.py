@@ -1,0 +1,119 @@
+"""Device-bound training-step benchmark (flagship pjs patch16_512).
+
+The entry-point step time on this 1-core host is dominated by Python
+image decode + cv2 augmentation (docs/PERFORMANCE.md); this harness
+times the jitted train step alone on device-resident synthetic batches —
+the number that governs pod-scale training, where input preparation runs
+on many host cores and overlaps compute.
+
+Methodology (remote-backend rules, see bench.py): all steps run inside
+ONE lax.scan with the TrainState as the carry (the body is never
+loop-invariant), a single dispatch covers every iteration, and the loss
+vector is fetched to host to synchronize. FLOPs come from the compiled
+program's own cost analysis.
+
+Usage: python scripts/bench_train_step.py [--batches 8,16] [--iters 8]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+_CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                      ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+V5E_BF16_PEAK_TFLOPS = 197.0
+
+
+def bench_one(batch: int, iters: int, remat: bool):
+    from vit_ed_tpu.models.vit_ed import ViTED
+    from vit_ed_tpu.train.losses import bce_with_logits
+
+    model = ViTED(img_size=512, patch_size=16, num_classes=1, embed_dim=384,
+                  depth=12, c_depth=12, num_heads=6, dtype=jnp.bfloat16,
+                  remat=remat)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(batch, 2, 512, 512, 3)), jnp.float32)
+    y = jnp.asarray(rng.random(size=(batch, 1)) > 0.5, jnp.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x[:1])
+    params = variables["params"]
+    tx = optax.adamw(1e-4, weight_decay=0.05)
+    opt_state = tx.init(params)
+
+    def loss_fn(p, key):
+        logits = model.apply({"params": p}, x, train=True,
+                             rngs={"dropout": key})
+        return bce_with_logits(logits.astype(jnp.float32), y)
+
+    def run(n, params, opt_state):
+        def step(carry, key):
+            p, o = carry
+            loss, grads = jax.value_and_grad(loss_fn)(p, key)
+            updates, o = tx.update(grads, o, p)
+            return (optax.apply_updates(p, updates), o), loss
+
+        keys = jax.random.split(jax.random.PRNGKey(1), n)
+        (params, opt_state), losses = jax.lax.scan(step, (params, opt_state), keys)
+        return losses
+
+    lowered = jax.jit(run, static_argnums=0).lower(iters, params, opt_state)
+    compiled = lowered.compile()
+    # FLOPs from a SINGLE-step program: the scanned executable's cost
+    # analysis counts the scan body once, not times the trip count
+    try:
+        def one(params, opt_state, key):
+            loss, grads = jax.value_and_grad(loss_fn)(params, key)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        analysis = jax.jit(one).lower(
+            params, opt_state, jax.random.PRNGKey(0)).compile().cost_analysis()
+        if isinstance(analysis, (list, tuple)):
+            analysis = analysis[0]
+        flops_per_step = float(analysis["flops"])
+    except Exception:
+        flops_per_step = None
+
+    np.asarray(compiled(params, opt_state))  # warm (same executable)
+    t0 = time.time()
+    np.asarray(compiled(params, opt_state))
+    sec = (time.time() - t0) / iters
+    return sec, flops_per_step
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", default="8,16")
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--remat", action="store_true",
+                    help="jax.checkpoint over blocks (TRAIN.USE_CHECKPOINT)")
+    args = ap.parse_args()
+
+    for b in [int(s) for s in args.batches.split(",")]:
+        try:
+            sec, flops = bench_one(b, args.iters, args.remat)
+        except Exception as e:
+            print(f"batch {b}: FAILED ({type(e).__name__}: {str(e)[:120]})")
+            continue
+        line = (f"batch {b:3d} ({'remat' if args.remat else 'no-remat'}): "
+                f"{sec * 1e3:7.1f} ms/step  {b / sec:7.1f} pairs/s")
+        if flops:
+            tfs = flops / sec / 1e12
+            line += (f"  {flops / 1e9:7.1f} GF/step  {tfs:5.1f} TF/s "
+                     f"({tfs / V5E_BF16_PEAK_TFLOPS * 100:.1f}% MFU)")
+        print(line, flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -115,6 +115,32 @@ def test_packed_gradients_match_reference():
                                    atol=5e-4, rtol=1e-3)
 
 
+@pytest.mark.parametrize("sq,sk", [(600, 520), (513, 600), (516, 516)])
+def test_packed_gradients_multiblock(sq, sk):
+    # > 512 query tokens -> multiple q blocks: exercises the fused
+    # backward kernel's dk/dv accumulation across grid steps plus the
+    # padded-row and padded-column masks (odd lengths)
+    from vit_ed_tpu.ops.attention import fused_attention_packed
+
+    rng = np.random.default_rng(11)
+    h, c = 2, 128
+    q = jnp.asarray(rng.normal(size=(2, sq, c)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(2, sk, c)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(2, sk, c)), jnp.float32)
+
+    def loss_packed(q, k, v):
+        return jnp.sum(fused_attention_packed(q, k, v, h, use_pallas=True) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_packed_reference(q, k, v, h) ** 2)
+
+    g_p = jax.grad(loss_packed, argnums=(0, 1, 2))(q, k, v)
+    g_r = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gp, gr in zip(g_p, g_r):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
+                                   atol=1e-3, rtol=1e-3)
+
+
 def test_packed_fallback_head_dim_not_64():
     from vit_ed_tpu.ops.attention import fused_attention_packed
 

@@ -475,6 +475,132 @@ def _pair_forward(q, k, v, scale):
     return out[:, :sq, :]
 
 
+# Fused head-pair packed BACKWARD: one kernel pass produces dQ, dK and dV
+# directly on the [B, S, C] layout. Replaces the earlier transposing VJP
+# (to_heads/pad-to-128/from_heads around the per-(b,h) dq and dkv
+# kernels), which cost 7 MXU passes per head (probs recomputed twice),
+# four layout transposes, and a 1025 -> 1152 sequence pad. Here the probs
+# are recomputed ONCE and all three grads come out of 10 full-width
+# masked dots per head pair (5 per head — the minimum for a recompute
+# backward), with the k/v sequence axis on SUBLANES (1025 -> 1032).
+# Measured on the flagship train step: attention fwd+bwd was 46% of the
+# 150.7 ms step with the transposing VJP (xprof, docs/PERFORMANCE.md).
+
+def _pair_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
+                     dk_acc, dv_acc, *, scale: float, q_len: int,
+                     kv_len: int, block_q: int):
+    i = pl.program_id(2)
+    nq = pl.num_programs(2)
+    q = q_ref[0]                     # [block_q, 128]  (heads 2g, 2g+1)
+    k = k_ref[0]                     # [sk_pad, 128]
+    v = v_ref[0]
+    do = do_ref[0]                   # [block_q, 128]
+
+    @pl.when(i == 0)
+    def _():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    sk_pad = k.shape[0]
+    kv_lane = jax.lax.broadcasted_iota(jnp.int32, k.shape, 1)
+    q_lane = jax.lax.broadcasted_iota(jnp.int32, q.shape, 1)
+    # padded-q-row mask (only the trailing block has padded rows)
+    row = jax.lax.broadcasted_iota(jnp.int32, (block_q, sk_pad), 0) \
+        + i * block_q
+
+    def head(is_lo):
+        k_m = jnp.where((kv_lane < 64) == is_lo, k, jnp.zeros_like(k))
+        q_m = jnp.where((q_lane < 64) == is_lo, q, jnp.zeros_like(q))
+        do_m = jnp.where((q_lane < 64) == is_lo, do, jnp.zeros_like(do))
+
+        s = jax.lax.dot_general(
+            q, k_m, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale   # [bq, sk_pad]
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, -jnp.inf)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)        # [bq, sk_pad] f32
+        if q_len < nq * block_q:
+            p = jnp.where(row < q_len, p, 0.0)
+
+        dp = jax.lax.dot_general(
+            do_m, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)           # [bq, sk_pad]
+        delta = jnp.sum(dp * p, axis=-1, keepdims=True)
+        ds = p * (dp - delta) * scale
+
+        p_b = p.astype(v.dtype)
+        ds_b = ds.astype(v.dtype)
+        dq_part = jax.lax.dot_general(
+            ds_b, k_m, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)           # [bq, 128]
+        dv_acc[...] += jax.lax.dot_general(
+            p_b, do_m, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)           # [sk_pad, 128]
+        dk_acc[...] += jax.lax.dot_general(
+            ds_b, q_m, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return dq_part
+
+    dq_ref[0] = (head(True) + head(False)).astype(dq_ref.dtype)
+
+    @pl.when(i == nq - 1)
+    def _():
+        dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _pair_backward(q, k, v, do, scale):
+    """Packed-layout attention backward: q/do [B, Sq, C], k/v [B, Sk, C]
+    -> (dq, dk, dv) in the same layout. C % 128 == 0, head_dim 64."""
+    b, sq, c = q.shape
+    sk = k.shape[1]
+    g = c // 128
+
+    n_blocks = _cdiv(sq, 512)
+    block_q = _round_up(_cdiv(sq, n_blocks), 8)
+    sq_pad = block_q * n_blocks
+    sk_pad = _round_up(max(sk, 8), 8)
+    if sq_pad != sq:
+        q = jnp.pad(q, ((0, 0), (0, sq_pad - sq), (0, 0)))
+        do = jnp.pad(do, ((0, 0), (0, sq_pad - sq), (0, 0)))
+    if sk_pad != sk:
+        k = jnp.pad(k, ((0, 0), (0, sk_pad - sk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, sk_pad - sk), (0, 0)))
+
+    kernel = functools.partial(_pair_bwd_kernel, scale=scale, q_len=sq,
+                               kv_len=sk, block_q=block_q)
+    q_spec = pl.BlockSpec((1, block_q, 128), lambda bi, gi, i: (bi, i, gi),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, sk_pad, 128), lambda bi, gi, i: (bi, 0, gi),
+                           memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        # q blocks iterate fastest so the dk/dv accumulators cover one
+        # (batch, head-pair) before the output block index changes
+        grid=(b, g, n_blocks),
+        in_specs=[q_spec, kv_spec, kv_spec, q_spec],
+        out_specs=[q_spec, kv_spec, kv_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, sq_pad, c), q.dtype),
+            jax.ShapeDtypeStruct((b, sk_pad, c), k.dtype),
+            jax.ShapeDtypeStruct((b, sk_pad, c), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((sk_pad, 128), jnp.float32),
+            pltpu.VMEM((sk_pad, 128), jnp.float32),
+        ],
+        interpret=_INTERPRET,
+        cost_estimate=pl.CostEstimate(
+            flops=20 * b * g * sq_pad * sk_pad * 128,
+            bytes_accessed=2 * (q.size + do.size) + 2 * (k.size + v.size),
+            transcendentals=2 * b * g * sq_pad * sk_pad,
+        ),
+    )(q, k, v, do)
+    return dq[:, :sq, :], dk[:, :sk, :], dv[:, :sk, :]
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _packed_attention(q, k, v, meta):
     scale, n_heads = meta
@@ -486,38 +612,11 @@ def _packed_fwd(q, k, v, meta):
 
 
 def _packed_bwd(meta, res, g):
-    """Backward through the per-(b,h) kernels (probs recomputed); the
-    transposed layout only exists inside the backward pass."""
+    """Backward on the packed layout via the fused _pair_backward kernel
+    (dQ/dK/dV in one pass, no transposes — see the kernel's comment)."""
     scale, n_heads = meta
     q, k, v = res
-    b, sq, c = q.shape
-    sk = k.shape[1]
-    d = c // n_heads
-
-    def to_heads(x, s):
-        return x.reshape(b, s, n_heads, d).transpose(0, 2, 1, 3) \
-                .reshape(b * n_heads, s, d)
-
-    sq_pad = _round_up(max(sq, 8), 128)
-    sk_pad = _round_up(max(sk, LANE), LANE)
-    block_q = 512 if sq_pad % 512 == 0 else 256
-    block_q = min(block_q, sq_pad)
-
-    def pad_s(x, target):
-        return jnp.pad(x, ((0, 0), (0, target - x.shape[1]), (0, 0)))
-
-    qf = pad_s(to_heads(q, sq), sq_pad)
-    kf = pad_s(to_heads(k, sk), sk_pad)
-    vf = pad_s(to_heads(v, sk), sk_pad)
-    gf = pad_s(to_heads(g, sq), sq_pad)
-    dq = _pallas_dq(qf, kf, vf, gf, scale, sq, sk, block_q)
-    dk, dv = _pallas_dkv(qf, kf, vf, gf, scale, sq, sk)
-
-    def from_heads(x, s):
-        return x.reshape(b, n_heads, -1, d)[:, :, :s, :] \
-                .transpose(0, 2, 1, 3).reshape(b, s, c)
-
-    return from_heads(dq, sq), from_heads(dk, sk), from_heads(dv, sk)
+    return _pair_backward(q, k, v, g, scale)
 
 
 _packed_attention.defvjp(_packed_fwd, _packed_bwd)
