@@ -201,3 +201,31 @@ def test_packed_qkv_gradients():
     gr = jax.grad(loss_ref)(qkv)
     np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
                                atol=5e-4, rtol=1e-3)
+
+
+def test_train_step_through_packed_kernels():
+    """Integration: a full ViTED train step with the Pallas packed
+    attention path (fused qkv/kv forward + fused pair backward) — catches
+    VJP wiring/dtype regressions that op-level grad tests can miss."""
+    import optax
+
+    from vit_ed_tpu.models.vit_ed import ViTED
+    from vit_ed_tpu.train.engine import TrainState, make_train_step
+    from vit_ed_tpu.train.losses import bce_with_logits
+
+    model = ViTED(img_size=64, patch_size=16, num_classes=1, embed_dim=128,
+                  depth=1, c_depth=1, num_heads=2, dtype=jnp.bfloat16,
+                  use_pallas=True)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(2, 2, 64, 64, 3)), jnp.float32)
+    y = jnp.asarray(rng.random(size=(2, 1)) > 0.5, jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    tx = optax.adamw(1e-3)
+    state = TrainState(params=params, opt_state=tx.init(params),
+                       step=jnp.zeros((), jnp.int32))
+    step = make_train_step(model, tx, bce_with_logits, accum_steps=1)
+    batch = {"samples": x[None], "targets": y[None]}
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["grad_norm"]))
+    assert float(metrics["grad_norm"]) > 0.0
