@@ -22,18 +22,12 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from bench import V5E_BF16_PEAK_TFLOPS  # noqa: E402  (sets up the jax cache)
+
 import jax
-
-_CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                      ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", _CACHE)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
 import jax.numpy as jnp
 import numpy as np
 import optax
-
-V5E_BF16_PEAK_TFLOPS = 197.0
 
 
 def bench_one(batch: int, iters: int, remat: bool):

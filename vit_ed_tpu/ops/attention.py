@@ -15,9 +15,11 @@ Design notes (see /opt/skills/guides/pallas_guide.md):
 - Grid is (batch*heads, q_blocks); Q blocks of 128 rows ride the MXU.
 - Padded key positions are masked with -inf before the softmax; padded query
   rows are garbage and sliced off by the caller.
-- The backward pass recomputes the attention matrix per block (FLOPs are
-  cheap, HBM is not) in two Pallas kernels: one producing dQ, one producing
-  dK/dV over the transposed grid.
+- Backward recomputes the attention matrix (FLOPs are cheap, HBM is not).
+  The packed [B, S, C] path uses ONE fused kernel producing dQ/dK/dV
+  (``_pair_bwd_kernel``: probs recomputed once, no transposes); the 4-D
+  fallback path keeps the two-kernel dQ / dK-dV design over the
+  transposed grid.
 
 All matmuls accumulate in float32 (``preferred_element_type``).
 """
@@ -45,6 +47,17 @@ def _cdiv(a: int, b: int) -> int:
 
 def _round_up(a: int, b: int) -> int:
     return _cdiv(a, b) * b
+
+
+def _pair_geometry(sq: int, sk: int):
+    """Shared block geometry of the packed pair kernels: q blocks target
+    512 rows (rounded to sublanes), the k/v sequence axis pads to
+    sublanes only. Forward and backward MUST agree on this."""
+    n_blocks = _cdiv(sq, 512)
+    block_q = _round_up(_cdiv(sq, n_blocks), 8)
+    sq_pad = block_q * n_blocks
+    sk_pad = _round_up(max(sk, 8), 8)
+    return n_blocks, block_q, sq_pad, sk_pad
 
 
 # ---------------------------------------------------------------------------
@@ -441,10 +454,7 @@ def _pair_forward(q, k, v, scale):
     sk = k.shape[1]
     g = c // 128
 
-    n_blocks = _cdiv(sq, 512)
-    block_q = _round_up(_cdiv(sq, n_blocks), 8)
-    sq_pad = block_q * n_blocks
-    sk_pad = _round_up(max(sk, 8), 8)
+    n_blocks, block_q, sq_pad, sk_pad = _pair_geometry(sq, sk)
     if sq_pad != sq:
         q = jnp.pad(q, ((0, 0), (0, sq_pad - sq), (0, 0)))
     if sk_pad != sk:
@@ -558,10 +568,7 @@ def _pair_backward(q, k, v, do, scale):
     sk = k.shape[1]
     g = c // 128
 
-    n_blocks = _cdiv(sq, 512)
-    block_q = _round_up(_cdiv(sq, n_blocks), 8)
-    sq_pad = block_q * n_blocks
-    sk_pad = _round_up(max(sk, 8), 8)
+    n_blocks, block_q, sq_pad, sk_pad = _pair_geometry(sq, sk)
     if sq_pad != sq:
         q = jnp.pad(q, ((0, 0), (0, sq_pad - sq), (0, 0)))
         do = jnp.pad(do, ((0, 0), (0, sq_pad - sq), (0, 0)))
@@ -634,9 +641,7 @@ def _pair_forward_qkv(qkv, scale, kv_len):
     c = c3 // 3
     g = c // 128
 
-    n_blocks = _cdiv(s, 512)
-    block_q = _round_up(_cdiv(s, n_blocks), 8)
-    s_pad = block_q * n_blocks
+    n_blocks, block_q, s_pad, _ = _pair_geometry(s, s)
     if s_pad != s:
         qkv = jnp.pad(qkv, ((0, 0), (0, s_pad - s), (0, 0)))
 
@@ -689,10 +694,7 @@ def _pair_forward_q_kv(q, kv, scale):
     sk = kv.shape[1]
     g = c // 128
 
-    n_blocks = _cdiv(sq, 512)
-    block_q = _round_up(_cdiv(sq, n_blocks), 8)
-    sq_pad = block_q * n_blocks
-    sk_pad = _round_up(max(sk, 8), 8)
+    n_blocks, block_q, sq_pad, sk_pad = _pair_geometry(sq, sk)
     if sq_pad != sq:
         q = jnp.pad(q, ((0, 0), (0, sq_pad - sq), (0, 0)))
     if sk_pad != sk:
