@@ -101,3 +101,26 @@ def test_model_output_unchanged():
     variables = model.init(jax.random.PRNGKey(0), x)
     out = model.apply(variables, x)
     assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
+def test_gelu_custom_grad_closed_form_accuracy():
+    """The custom JVP (gelu' = Phi + x*phi, closed form) must track the
+    analytic derivative to within one bf16 ulp over the full active
+    range, including the tail branches."""
+    from jax import lax
+
+    xs = jnp.asarray(np.linspace(-14.0, 14.0, 20001), jnp.float32) \
+        .astype(jnp.bfloat16)
+    g_ours = jax.vmap(jax.grad(lambda a: gelu_exact(a).astype(jnp.float32)))(xs)
+
+    xf = np.asarray(xs, np.float64)
+    phi_big = 0.5 * np.asarray(
+        lax.erfc(jnp.asarray(-xf * np.sqrt(0.5), jnp.float64)))
+    dens = np.exp(-0.5 * xf * xf) / np.sqrt(2 * np.pi)
+    ref = (phi_big + xf * dens).astype(np.float32)
+
+    ours = np.asarray(g_ours, np.float32)
+    np.testing.assert_allclose(ours, ref, atol=4e-3, rtol=4e-3)
+    # grads flow where they should: zero deep negative, one deep positive
+    assert abs(float(ours[0])) < 1e-6
+    np.testing.assert_allclose(float(ours[-1]), 1.0, atol=1e-3)

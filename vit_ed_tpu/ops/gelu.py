@@ -103,6 +103,16 @@ def _horner(s, coefs):
     return p
 
 
+def _erfc_f32(uf):
+    """The poly + exp2-tail erfc core: f32 in, f32 out (pre-rounding)."""
+    uc = jnp.clip(uf, -_UMAX, _UMAX)
+    central = 1.0 - uc * _horner(uc * uc, _CENTRAL)
+    ut = jnp.clip(uf, _TAIL_LO, _TAIL_HI)
+    z = (ut - jnp.float32(_TAIL_MU)) * jnp.float32(_TAIL_INV_SIG)
+    tail = jnp.exp2((ut * ut) * jnp.float32(-_LOG2E)) * _horner(z, _TAIL)
+    return jnp.where(uf > _TAIL_LO, tail, central)
+
+
 def erfc_bf16(u):
     """bf16 -> bf16 erfc, bit-exact vs ``jax.lax.erfc`` on bfloat16.
 
@@ -116,13 +126,39 @@ def erfc_bf16(u):
     ~2^-11 relative error (bf16 half-ulp with margin), far above f32
     exp2's.
     """
-    uf = u.astype(jnp.float32)
-    uc = jnp.clip(uf, -_UMAX, _UMAX)
-    central = 1.0 - uc * _horner(uc * uc, _CENTRAL)
-    ut = jnp.clip(uf, _TAIL_LO, _TAIL_HI)
-    z = (ut - jnp.float32(_TAIL_MU)) * jnp.float32(_TAIL_INV_SIG)
-    tail = jnp.exp2((ut * ut) * jnp.float32(-_LOG2E)) * _horner(z, _TAIL)
-    return jnp.where(uf > _TAIL_LO, tail, central).astype(jnp.bfloat16)
+    return _erfc_f32(u.astype(jnp.float32)).astype(jnp.bfloat16)
+
+
+_SQRT_HALF = float(np.sqrt(0.5))
+_INV_SQRT_2PI = float(1.0 / np.sqrt(2.0 * np.pi))
+
+
+@jax.custom_jvp
+def _gelu_bf16(x):
+    sqrt_half = jnp.asarray(_SQRT_HALF, jnp.bfloat16)
+    return (0.5 * x) * erfc_bf16(-x * sqrt_half)
+
+
+@_gelu_bf16.defjvp
+def _gelu_bf16_jvp(primals, tangents):
+    """Derivative via the closed form gelu'(x) = Phi(x) + x * phi(x)
+    instead of autodiff through the piecewise erfc evaluation.
+
+    Autodiffing the polynomial/select chain roughly triples the VPU work
+    of every fc2-backward fusion (xprof: ~0.94 ms per MLP layer at the
+    flagship training shapes); the closed form reuses the same fast erfc
+    core for Phi plus ONE exp2 for the Gaussian density — about forward
+    cost. All gradient math runs in f32 (gradients have no bit-parity
+    contract; the primal stays the bit-exact bf16 chain above).
+    """
+    (x,), (g,) = primals, tangents
+    out = _gelu_bf16(x)
+    xf = x.astype(jnp.float32)
+    big_phi = 0.5 * _erfc_f32(-xf * jnp.float32(_SQRT_HALF))
+    dens = jnp.exp2((xf * xf) * jnp.float32(-0.5 * _LOG2E)) \
+        * jnp.float32(_INV_SQRT_2PI)
+    grad = big_phi + xf * dens
+    return out, (g.astype(jnp.float32) * grad).astype(x.dtype)
 
 
 def gelu_exact(x):
@@ -132,10 +168,10 @@ def gelu_exact(x):
     For bfloat16 inputs this is a bit-exact drop-in for
     ``jax.nn.gelu(x, approximate=False)`` — same value for every bf16
     input — reproducing its exact chain ``(0.5 * x) * erfc(-x * sqrt(.5))``
-    (bf16 multiplies, erfc rounded to bf16) with the fast erfc above.
+    (bf16 multiplies, erfc rounded to bf16) with the fast erfc above, and
+    a closed-form custom derivative (see ``_gelu_bf16_jvp``).
     Other dtypes fall through to jax.nn.gelu unchanged.
     """
     if x.dtype != jnp.bfloat16:
         return jax.nn.gelu(x, approximate=False)
-    sqrt_half = jnp.asarray(np.sqrt(0.5), jnp.bfloat16)
-    return (0.5 * x) * erfc_bf16(-x * sqrt_half)
+    return _gelu_bf16(x)
