@@ -30,6 +30,33 @@ import numpy as np
 import optax
 
 
+def useful_flops_per_pair(img=512, patch=16, c=384, depth=12, c_depth=12):
+    """Analytic MODEL FLOPs per pair, fwd+bwd (GEMM/attention/conv terms).
+
+    The Pallas pair kernels EXECUTE 2x these attention FLOPs (lane-masked
+    full-width dots at head_dim 64), which is what the compiled cost
+    analysis counts — so this is the honest numerator for model-FLOP
+    utilisation. Backward multipliers: GEMMs/conv 2x fwd; attention
+    useful bwd = 2.5x fwd (5 recompute-minimum dots vs 2).
+    """
+    s = (img // patch) ** 2         # encoder tokens
+    sq = s + 1                      # decoder tokens (CLS)
+    gemm = 0.0
+    attn = 0.0
+    # encoder: qkv + proj + mlp(4x) GEMMs, self-attention
+    gemm += depth * 24 * s * c * c
+    attn += depth * 4 * s * s * c
+    # decoder: self (qkv+proj) + cross (q + kv + proj) + mlp
+    gemm += c_depth * (8 * sq * c * c + (2 + 4) * sq * c * c + 2 * s * c * 2 * c
+                       + 16 * sq * c * c)
+    attn += c_depth * (4 * sq * sq * c + 4 * sq * s * c)
+    # patch embed conv (both streams)
+    conv = 2 * 2 * s * (patch * patch * 3) * c
+    fwd = gemm + attn + conv
+    bwd = 2 * (gemm + conv) + 2.5 * attn
+    return fwd + bwd
+
+
 def bench_one(batch: int, iters: int, remat: bool):
     from vit_ed_tpu.models.vit_ed import ViTED
     from vit_ed_tpu.train.losses import bce_with_logits
@@ -104,8 +131,12 @@ def main():
                 f"{sec * 1e3:7.1f} ms/step  {b / sec:7.1f} pairs/s")
         if flops:
             tfs = flops / sec / 1e12
-            line += (f"  {flops / 1e9:7.1f} GF/step  {tfs:5.1f} TF/s "
-                     f"({tfs / V5E_BF16_PEAK_TFLOPS * 100:.1f}% MFU)")
+            line += (f"  {flops / 1e9:7.1f} GF/step executed  {tfs:5.1f} TF/s"
+                     f" ({tfs / V5E_BF16_PEAK_TFLOPS * 100:.1f}% HW util)")
+        useful = useful_flops_per_pair() * b
+        utfs = useful / sec / 1e12
+        line += (f"  |  useful {useful / 1e9:.1f} GF/step -> "
+                 f"{utfs / V5E_BF16_PEAK_TFLOPS * 100:.1f}% model-FLOP MFU")
         print(line, flush=True)
 
 
