@@ -512,17 +512,23 @@ class Trainer:
             self._step_flops = None
 
     def _log_mfu(self, step_time: float):
-        """Per-epoch MFU report: step FLOPs / measured step time / peak."""
+        """Per-epoch utilisation report: step FLOPs / step time / peak.
+
+        cost_analysis counts kernel-EXECUTED FLOPs (the pair-attention
+        kernels execute 2x their useful FLOPs at head_dim 64), so this is
+        HW utilisation, an upper bound on model-FLOP MFU — see
+        scripts/bench_train_step.py for the analytic useful-FLOP number."""
         if getattr(self, "_step_flops", None) and step_time > 0:
             tfs = self._step_flops / step_time / 1e12
             peak = self.config.TPU.PEAK_TFLOPS
             if not self._flops_per_device:
                 peak *= self.n_devices
             self.logger.info(
-                f"Model FLOPs utilisation: {self._step_flops / 1e9:.3f} GF/step"
+                f"Device FLOPs executed: {self._step_flops / 1e9:.3f} GF/step"
                 f" / {step_time * 1e3:.1f} ms (incl. host input time) = "
-                f"{tfs:.2f} TF/s ({tfs / peak * 100:.1f}% MFU of "
-                f"{peak:.0f} TF/s peak)")
+                f"{tfs:.2f} TF/s ({tfs / peak * 100:.1f}% HW utilisation of "
+                f"{peak:.0f} TF/s peak; model-FLOP MFU is lower — "
+                f"attention kernels execute 2x useful)")
 
     # ------------------------------------------------------------------- eval
     def validate(self):
