@@ -159,6 +159,25 @@ def main():
     except Exception as e:  # pragma: no cover
         print(f"int8 bench failed: {e}", file=sys.stderr)
 
+    if os.environ.get("VIT_ED_BENCH_TRAIN") == "1":
+        # opt-in training-step secondary (adds minutes when the step
+        # executable is cold — kept out of the default driver run);
+        # methodology + honest HW-vs-model-FLOP accounting in
+        # scripts/bench_train_step.py, numbers in docs/PERFORMANCE.md
+        try:
+            import subprocess
+
+            out = subprocess.run(
+                [sys.executable,
+                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "scripts", "bench_train_step.py"),
+                 "--batches", "16", "--iters", "6"],
+                capture_output=True, text=True, timeout=1200)
+            for ln in out.stdout.strip().splitlines():
+                print(f"train-step {ln}", file=sys.stderr)
+        except Exception as e:  # pragma: no cover
+            print(f"train-step bench skipped: {e}", file=sys.stderr)
+
     # Headline: the flagship-config decode rate (the inner op of the
     # HisFrag O(N^2) retrieval scan) against the 5k north star. Note the
     # literal 5k target is beyond this chip's physics at 96.7 GF/pair

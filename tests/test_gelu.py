@@ -105,22 +105,28 @@ def test_model_output_unchanged():
 
 def test_gelu_custom_grad_closed_form_accuracy():
     """The custom JVP (gelu' = Phi + x*phi, closed form) must track the
-    analytic derivative to within one bf16 ulp over the full active
-    range, including the tail branches."""
-    from jax import lax
+    analytic derivative (true float64 reference via math.erfc) to within
+    one bf16 ulp over the full active range — with a separate RELATIVE
+    check on the deep-negative tail, where absolute tolerances are
+    vacuous because the gradient itself is tiny."""
+    import math
 
     xs = jnp.asarray(np.linspace(-14.0, 14.0, 20001), jnp.float32) \
         .astype(jnp.bfloat16)
     g_ours = jax.vmap(jax.grad(lambda a: gelu_exact(a).astype(jnp.float32)))(xs)
 
     xf = np.asarray(xs, np.float64)
-    phi_big = 0.5 * np.asarray(
-        lax.erfc(jnp.asarray(-xf * np.sqrt(0.5), jnp.float64)))
+    phi_big = 0.5 * np.array([math.erfc(v) for v in -xf * np.sqrt(0.5)])
     dens = np.exp(-0.5 * xf * xf) / np.sqrt(2 * np.pi)
-    ref = (phi_big + xf * dens).astype(np.float32)
+    ref64 = phi_big + xf * dens
+    ref = ref64.astype(np.float32)
 
     ours = np.asarray(g_ours, np.float32)
     np.testing.assert_allclose(ours, ref, atol=4e-3, rtol=4e-3)
+    # tail: relative accuracy wherever the bf16 grad can represent it
+    tail = (xf < -3.0) & (np.abs(ref64) > 1e-30)
+    rel = np.abs(ours[tail] - ref64[tail]) / np.abs(ref64[tail])
+    assert rel.max() < 0.02, rel.max()
     # grads flow where they should: zero deep negative, one deep positive
     assert abs(float(ours[0])) < 1e-6
     np.testing.assert_allclose(float(ours[-1]), 1.0, atol=1e-3)
