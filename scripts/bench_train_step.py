@@ -57,16 +57,27 @@ def useful_flops_per_pair(img=512, patch=16, c=384, depth=12, c_depth=12):
     return fwd + bwd
 
 
-def bench_one(batch: int, iters: int, remat: bool):
+CONFIGS = {
+    # flagship HisFrag retrieval model
+    "patch16_512": dict(img_size=512, patch_size=16, num_classes=1,
+                        embed_dim=384, depth=12, c_depth=12, num_heads=6),
+    # DIV2K puzzle model (reference trains this at batch 1024)
+    "patch8_64": dict(img_size=64, patch_size=8, num_classes=4,
+                      embed_dim=384, depth=8, c_depth=8, num_heads=12),
+}
+
+
+def bench_one(batch: int, iters: int, remat: bool, config: str = "patch16_512"):
     from vit_ed_tpu.models.vit_ed import ViTED
     from vit_ed_tpu.train.losses import bce_with_logits
 
-    model = ViTED(img_size=512, patch_size=16, num_classes=1, embed_dim=384,
-                  depth=12, c_depth=12, num_heads=6, dtype=jnp.bfloat16,
-                  remat=remat)
+    cfg = CONFIGS[config]
+    model = ViTED(dtype=jnp.bfloat16, remat=remat, **cfg)
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.normal(size=(batch, 2, 512, 512, 3)), jnp.float32)
-    y = jnp.asarray(rng.random(size=(batch, 1)) > 0.5, jnp.float32)
+    img = cfg["img_size"]
+    x = jnp.asarray(rng.normal(size=(batch, 2, img, img, 3)), jnp.float32)
+    y = jnp.asarray(rng.random(size=(batch, cfg["num_classes"])) > 0.5,
+                    jnp.float32)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), x[:1])
     params = variables["params"]
     tx = optax.adamw(1e-4, weight_decay=0.05)
@@ -116,6 +127,7 @@ def bench_one(batch: int, iters: int, remat: bool):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", default="8,16")
+    ap.add_argument("--config", default="patch16_512", choices=sorted(CONFIGS))
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--remat", action="store_true",
                     help="jax.checkpoint over blocks (TRAIN.USE_CHECKPOINT)")
@@ -123,7 +135,7 @@ def main():
 
     for b in [int(s) for s in args.batches.split(",")]:
         try:
-            sec, flops = bench_one(b, args.iters, args.remat)
+            sec, flops = bench_one(b, args.iters, args.remat, args.config)
         except Exception as e:
             print(f"batch {b}: FAILED ({type(e).__name__}: {str(e)[:120]})")
             continue
@@ -133,7 +145,10 @@ def main():
             tfs = flops / sec / 1e12
             line += (f"  {flops / 1e9:7.1f} GF/step executed  {tfs:5.1f} TF/s"
                      f" ({tfs / V5E_BF16_PEAK_TFLOPS * 100:.1f}% HW util)")
-        useful = useful_flops_per_pair() * b
+        c = CONFIGS[args.config]
+        useful = useful_flops_per_pair(
+            img=c["img_size"], patch=c["patch_size"], c=c["embed_dim"],
+            depth=c["depth"], c_depth=c["c_depth"]) * b
         utfs = useful / sec / 1e12
         line += (f"  |  useful {useful / 1e9:.1f} GF/step -> "
                  f"{utfs / V5E_BF16_PEAK_TFLOPS * 100:.1f}% model-FLOP MFU")
