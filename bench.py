@@ -90,7 +90,10 @@ def bench_pair_forwards(img_size, patch_size, depth, c_depth, embed_dim, num_hea
     # and x2 tokens precomputed once
     feats = jax.jit(lambda p, a: model.apply({"params": p}, a, forward_first_part=True))(
         params, x[:, 0])
-    tokens = jax.jit(lambda p, a: model.apply({"params": p}, a, method=model.prepare_x2))(
+    # production scan path: stream-2 tokens advanced through decoder
+    # block 0's self-attention once per x2 batch (parallel/pairs.py)
+    tokens = jax.jit(lambda p, a: model.apply({"params": p}, a,
+                                              method=model.prepare_x2_scan))(
         params, x[:, 1])
     n = feats.shape[0]
     pi = jnp.asarray(rng.integers(0, n, size=batch), jnp.int32)
@@ -99,7 +102,7 @@ def bench_pair_forwards(img_size, patch_size, depth, c_depth, embed_dim, num_hea
     sec = _timed_scan(
         lambda f, p, t, i, j: model.apply(
             {"params": p}, jnp.take(f, i, axis=0), jnp.take(t, j, axis=0),
-            method=model.score_tokens),
+            method=model.score_tokens_scan),
         (feats, params, tokens, pi, pj), iters)
     decode_rate = batch / sec
 
@@ -110,7 +113,10 @@ def bench_pair_forwards(img_size, patch_size, depth, c_depth, embed_dim, num_hea
 # tokens, 1024 context tokens): per block self-attn (qkv proj 0.907G +
 # attn 1.614G + out proj 0.302G) + cross-attn (q 0.302G + kv 0.604G +
 # attn 1.613G + out 0.302G) + MLP 2.418G  = 8.06 GF; x12 = 96.7 GF/pair.
-DECODE_GFLOPS_PATCH16_512 = 96.7
+# The scan path hoists block 0's self-attention (2.82 GF) out of the pair
+# loop (it depends only on x2; ViTED.prepare_x2_scan), so the per-pair
+# work is 93.9 GF — the MFU below uses the per-pair work actually done.
+DECODE_GFLOPS_PATCH16_512 = 93.9
 V5E_BF16_PEAK_TFLOPS = 197.0
 
 

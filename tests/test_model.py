@@ -119,3 +119,28 @@ def test_fast_gelu_config_reaches_models():
     assert build_model(cfg).fast_gelu is True
     cfg.TPU.FAST_GELU = False
     assert build_model(cfg).fast_gelu is False
+
+
+def test_scan_methods_equal_plain_path():
+    """prepare_x2_scan + score_tokens_scan must reproduce prepare_x2 +
+    score_tokens exactly (the O(N^2) scan hoists decoder block 0's
+    self-attention out of the pair loop; same ops, same order)."""
+    import jax
+    import jax.numpy as jnp
+    from vit_ed_tpu.models.vit_ed import ViTED
+
+    for remat in (False, True):
+        model = ViTED(img_size=32, patch_size=16, num_classes=4, embed_dim=64,
+                      depth=1, c_depth=3, num_heads=2, init_values=1e-5,
+                      use_pallas=False, remat=remat)
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.normal(size=(2, 2, 32, 32, 3)), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), x)
+
+        feats = model.apply(variables, x[:, 0], forward_first_part=True)
+        tokens = model.apply(variables, x[:, 1], method=model.prepare_x2)
+        ref = model.apply(variables, feats, tokens, method=model.score_tokens)
+
+        adv = model.apply(variables, x[:, 1], method=model.prepare_x2_scan)
+        out = model.apply(variables, feats, adv, method=model.score_tokens_scan)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(out)), remat

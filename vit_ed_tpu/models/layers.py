@@ -293,7 +293,13 @@ class Block(nn.Module):
 
 class CrossBlock(nn.Module):
     """Decoder block: self-attn -> cross-attn(context) -> MLP
-    (vision_transformer.py:213-272)."""
+    (vision_transformer.py:213-272).
+
+    Split into ``self_part`` (depends only on the decoder stream) and
+    ``cross_mlp`` (consumes the context): the O(N^2) pair scan hoists
+    block 0's ``self_part`` out of the pair loop — it is identical for
+    every context paired with the same stream-2 tokens
+    (ViTED.prepare_x2_scan / score_tokens_scan)."""
 
     dim: int
     num_heads: int
@@ -310,32 +316,54 @@ class CrossBlock(nn.Module):
     fast_gelu: bool = False
     int8_gemm: bool = False
 
-    @nn.compact
+    def setup(self):
+        self.norm1 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")
+        self.attn = Attention(self.dim, self.num_heads, self.qkv_bias,
+                              self.qk_norm, self.attn_drop, self.proj_drop,
+                              self.keep_attn, self.use_pallas, self.dtype,
+                              int8_gemm=self.int8_gemm, name="attn")
+        self.norm_cross = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                       name="norm_cross")
+        self.norm_context = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                         name="norm_context")
+        self.cross_attn = CrossAttention(self.dim, self.num_heads,
+                                         self.qkv_bias, self.qk_norm,
+                                         self.attn_drop, self.proj_drop,
+                                         self.keep_attn, self.use_pallas,
+                                         self.dtype, int8_gemm=self.int8_gemm,
+                                         name="cross_attn")
+        self.norm2 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")
+        self.mlp = Mlp(int(self.dim * self.mlp_ratio), self.dim,
+                       self.proj_drop, self.dtype, self.fast_gelu,
+                       int8_gemm=self.int8_gemm, name="mlp")
+        if self.init_values:
+            self.ls1 = LayerScale(self.dim, self.init_values, name="ls1")
+            self.ls_cross = LayerScale(self.dim, self.init_values,
+                                       name="ls_cross")
+            self.ls2 = LayerScale(self.dim, self.init_values, name="ls2")
+        self.drop_path1 = DropPath(self.drop_path, name="drop_path1")
+        self.drop_path_cross = DropPath(self.drop_path, name="drop_path_cross")
+        self.drop_path2 = DropPath(self.drop_path, name="drop_path2")
+
+    def self_part(self, x, deterministic: bool = True):
+        y = self.attn(self.norm1(x), deterministic)
+        if self.init_values:
+            y = self.ls1(y)
+        return x + self.drop_path1(y, deterministic)
+
+    def cross_mlp(self, x, context, deterministic: bool = True):
+        y = self.norm_cross(x)
+        ctx = self.norm_context(context)
+        y = self.cross_attn(y, ctx, deterministic)
+        if self.init_values:
+            y = self.ls_cross(y)
+        x = x + self.drop_path_cross(y, deterministic)
+
+        y = self.mlp(self.norm2(x), deterministic)
+        if self.init_values:
+            y = self.ls2(y)
+        return x + self.drop_path2(y, deterministic)
+
     def __call__(self, x, context, deterministic: bool = True):
-        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
-        y = Attention(self.dim, self.num_heads, self.qkv_bias, self.qk_norm,
-                      self.attn_drop, self.proj_drop, self.keep_attn,
-                      self.use_pallas, self.dtype, int8_gemm=self.int8_gemm,
-                      name="attn")(y, deterministic)
-        if self.init_values:
-            y = LayerScale(self.dim, self.init_values, name="ls1")(y)
-        x = x + DropPath(self.drop_path, name="drop_path1")(y, deterministic)
-
-        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm_cross")(x)
-        ctx = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm_context")(context)
-        y = CrossAttention(self.dim, self.num_heads, self.qkv_bias, self.qk_norm,
-                           self.attn_drop, self.proj_drop, self.keep_attn,
-                           self.use_pallas, self.dtype, int8_gemm=self.int8_gemm,
-                           name="cross_attn")(y, ctx, deterministic)
-        if self.init_values:
-            y = LayerScale(self.dim, self.init_values, name="ls_cross")(y)
-        x = x + DropPath(self.drop_path, name="drop_path_cross")(y, deterministic)
-
-        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
-        y = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.proj_drop,
-                self.dtype, self.fast_gelu, int8_gemm=self.int8_gemm,
-                name="mlp")(y, deterministic)
-        if self.init_values:
-            y = LayerScale(self.dim, self.init_values, name="ls2")(y)
-        x = x + DropPath(self.drop_path, name="drop_path2")(y, deterministic)
-        return x
+        return self.cross_mlp(self.self_part(x, deterministic), context,
+                              deterministic)

@@ -164,6 +164,27 @@ class ViTED(nn.Module):
         patch-embedding of stream 2."""
         return self.forward_head(self.cross_part(x1_feats, x2_tokens, train), train)
 
+    # -------------------------------------------------- O(N^2) scan methods
+    def prepare_x2_scan(self, x2):
+        """prepare_x2 ADVANCED through decoder block 0's self-attention.
+
+        That sub-block depends only on the stream-2 tokens, so the pair
+        scan would otherwise recompute it for every (x1, x2) pair; here it
+        runs once per x2 batch. Eval-only (deterministic) by construction.
+        Composes with ``score_tokens_scan``; together they are
+        numerically identical to prepare_x2 + score_tokens (same ops in
+        the same order, verified exactly in tests/test_model.py)."""
+        tokens = self.prepare_x2(x2, train=False)
+        return self.cross_blocks[0].self_part(tokens, deterministic=True)
+
+    def score_tokens_scan(self, x1_feats, x2_advanced, train: bool = False):
+        """Pair logits from ``prepare_x2_scan`` outputs (the scan inner op)."""
+        det = not train
+        x = self.cross_blocks[0].cross_mlp(x2_advanced, x1_feats, det)
+        for blk in self.cross_blocks[1:]:
+            x = blk(x, x1_feats, det)
+        return self.forward_head(self.norm(x), train)
+
     def __call__(self, x, x2=None, forward_first_part: bool = False,
                  train: bool = False):
         """Reference forward dispatch (vision_transformer.py:412-420):

@@ -88,14 +88,20 @@ class PairwiseScorer:
         self._encode = jax.jit(
             lambda p, x: model.apply({"params": p}, x, forward_first_part=True),
             in_shardings=(rep, shard0), out_shardings=rep)
+        # stream-2 prep ADVANCED through decoder block 0's self-attention
+        # (depends only on x2, so it amortises over the pair loop like the
+        # patch embedding; prepare_x2_scan + score_tokens_scan compose to
+        # exactly prepare_x2 + score_tokens)
         self._prepare = jax.jit(
-            lambda p, x: model.apply({"params": p}, x, method=model.prepare_x2),
+            lambda p, x: model.apply({"params": p}, x,
+                                     method=model.prepare_x2_scan),
             in_shardings=(rep, shard0), out_shardings=rep)
 
         def score(p, feats, tokens, pi, pj):
             f = jnp.take(feats, pi, axis=0)
             t = jnp.take(tokens, pj, axis=0)
-            return model.apply({"params": p}, f, t, method=model.score_tokens)
+            return model.apply({"params": p}, f, t,
+                               method=model.score_tokens_scan)
 
         self._score = jax.jit(score,
                               in_shardings=(rep, rep, rep, shard0, shard0),
