@@ -40,6 +40,25 @@ def test_sharded_equals_full(world, with_singletons):
             np.testing.assert_allclose(g, r, rtol=1e-12)
 
 
+def test_all_singleton_queries_nan_map_matches_unsharded():
+    # every label unique -> wi19.get_metrics mAP = mean([]) = nan; the
+    # sharded merge must reproduce that, not return 0.0
+    rng = np.random.default_rng(1)
+    n = 12
+    labels = np.arange(n)
+    emb = rng.normal(size=(n, 8))
+    D = np.linalg.norm(emb[:, None] - emb[None, :], axis=-1)
+    ref = get_metrics(D, labels)
+    got = merge_partials([row_partials(D[:6], labels, row_labels=labels[:6]),
+                          row_partials(D[6:], labels, row_labels=labels[6:])])
+    assert np.isnan(ref[0]) and np.isnan(got[0])
+    for r, g in zip(ref[1:], got[1:]):
+        if np.isnan(r):
+            assert np.isnan(g)
+        else:
+            np.testing.assert_allclose(g, r, rtol=1e-12)
+
+
 def test_assemble_false_rows_match_full_matrix():
     from vit_ed_tpu.models.vit_ed import ViTED
     from vit_ed_tpu.parallel.mesh import create_mesh

@@ -72,7 +72,12 @@ def row_partials(distance_rows: np.ndarray, labels: np.ndarray,
 def merge_partials(partials) -> tuple:
     """-> (mAP, top-1, Pr@10, Pr@100), identical to wi19.get_metrics."""
     tot = {k: sum(p[k] for p in partials) for k in partials[0]}
-    m_ap = tot["ap_sum"] / max(tot["n_non_singleton"], 1)
+    if tot["n_non_singleton"] == 0:
+        # all-singleton queries: wi19.get_metrics' mAP is the mean of an
+        # empty array (nan) — match that exactly rather than returning 0
+        m_ap = float("nan")
+    else:
+        m_ap = tot["ap_sum"] / tot["n_non_singleton"]
     top1 = tot["top1_sum"] / max(tot["n_rows"], 1)
     pr10 = tot["pr10_sum"] / max(tot["n_rows"], 1)
     pr100 = tot["pr100_sum"] / max(tot["n_rows"], 1)

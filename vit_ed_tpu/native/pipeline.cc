@@ -220,10 +220,12 @@ class Pool {
       int i;
       while ((i = next.fetch_add(1)) < n) fn(i);
       {
+        // notify while holding the lock: the waiting caller cannot pass the
+        // predicate and destroy done_cv/done_mu between our unlock and notify
         std::lock_guard<std::mutex> lk(done_mu);
         ++done;
+        done_cv.notify_one();
       }
-      done_cv.notify_one();
     };
     int workers = static_cast<int>(threads_.size());
     int launched = workers < n ? workers : n;
