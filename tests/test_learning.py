@@ -1,0 +1,313 @@
+"""Learning-signal tests: the framework must provably LEARN, not just
+compile and match forward math.
+
+Three end-to-end checks on synthetic, deterministic-pattern data (no real
+datasets exist in this environment):
+
+1. overfit: a tiny ViT-ED driven by the engine's jitted train step (incl.
+   the grad-accum scan) fits a fixed 4-bin pair batch to near-zero BCE and
+   100% bin-exact accuracy — a sign-flipped loss or broken label pathway
+   fails here (reference task: /root/reference/main.py:49-132).
+2. trained puzzle: train on adjacency pairs mined from imported, eroded
+   puzzles, then solve a HELD-OUT puzzle through the scorer -> distance
+   routing -> Paikin-Tal driver and demand neighbor accuracy far above
+   chance (reference: /root/reference/evaluation.py:75-153).
+3. mined-pair retrieval: the unmodified HisfragTrainer (M-per-class
+   batches, in-batch pair mining, masked-BCE two-stage forward) trains on
+   separable synthetic writers and lifts val mAP well above the untrained
+   model (reference: /root/reference/hisfrag.py:117-159).
+"""
+
+import math
+import os
+import random
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from vit_ed_tpu.models.vit_ed import ViTED
+from vit_ed_tpu.train.engine import TrainState, make_train_step
+from vit_ed_tpu.train.losses import bce_with_logits
+
+
+# --------------------------------------------------------------- 1. overfit
+
+def _make_direction_pairs(rng, n, size=32):
+    """Position-coded pair images: R ~ x, G ~ y tile coordinates; label =
+    one-hot direction of img2 relative to img1 in [right, below, left,
+    above] (DIV2K convention, div2k_patch.py:131-153); ~25% non-adjacent
+    negatives with all-zero labels."""
+    imgs = np.zeros((n, 2, size, size, 3), np.float32)
+    labels = np.zeros((n, 4), np.float32)
+    deltas = {0: (1, 0), 1: (0, 1), 2: (-1, 0), 3: (0, -1)}  # (dx, dy)
+    yy, xx = np.mgrid[0:size, 0:size] / size
+    for i in range(n):
+        x0, y0 = rng.uniform(-3, 3, size=2)
+        if rng.uniform() < 0.25:
+            dx, dy = rng.uniform(2, 4, size=2) * rng.choice([-1, 1], size=2)
+        else:
+            d = int(rng.integers(0, 4))
+            dx, dy = deltas[d]
+            labels[i, d] = 1.0
+        for k, (px, py) in enumerate([(x0, y0), (x0 + dx, y0 + dy)]):
+            imgs[i, k, :, :, 0] = np.tanh((px + xx) / 3.0)
+            imgs[i, k, :, :, 1] = np.tanh((py + yy) / 3.0)
+            imgs[i, k, :, :, 2] = rng.normal(scale=0.1, size=(size, size))
+    return imgs, labels
+
+
+def test_overfit_fixed_pair_batch():
+    """The engine train step must drive BCE to ~0 and bin-exact accuracy
+    to >=95% on a fixed synthetic batch (grad-accum scan path included)."""
+    rng = np.random.default_rng(0)
+    imgs, labels = _make_direction_pairs(rng, 64)
+    model = ViTED(img_size=32, patch_size=16, num_classes=4, embed_dim=32,
+                  depth=1, c_depth=1, num_heads=2, use_pallas=False)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 2, 32, 32, 3)))["params"]
+    tx = optax.adamw(1e-3)
+    state = TrainState(params=params, opt_state=tx.init(params),
+                       step=jnp.zeros((), jnp.int32))
+    step_fn = make_train_step(model, tx, bce_with_logits, accum_steps=2)
+    batch = {"samples": jnp.asarray(imgs.reshape(2, 32, 2, 32, 32, 3)),
+             "targets": jnp.asarray(labels.reshape(2, 32, 4))}
+    key = jax.random.PRNGKey(1)
+    first_loss = None
+    for _ in range(400):
+        key, sub = jax.random.split(key)
+        state, metrics = step_fn(state, batch, sub)
+        if first_loss is None:
+            first_loss = float(metrics["loss"])
+    final_loss = float(metrics["loss"])
+    assert final_loss < 0.05, f"loss did not converge: {first_loss} -> {final_loss}"
+    assert final_loss < first_loss / 5
+
+    logits = model.apply({"params": state.params}, jnp.asarray(imgs))
+    preds = (np.asarray(logits) > 0).astype(np.float32)
+    acc = (preds == labels).all(axis=1).mean()
+    assert acc >= 0.95, f"4-bin exact accuracy too low: {acc}"
+
+
+# --------------------------------------------------- 2. trained puzzle solve
+
+def _synth_puzzle_image(rng, size=96):
+    """Deterministic positional pattern: R encodes x, G encodes y (fixed
+    across all images); B is per-image random low-frequency content."""
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float64)
+    lo = rng.normal(size=(6, 6))
+    tex = np.asarray(Image.fromarray(lo).resize((size, size), Image.BICUBIC))
+    tex = (tex - tex.min()) / (tex.max() - tex.min() + 1e-9) * 255.0
+    img = np.stack([xx / size * 255.0, yy / size * 255.0, tex], -1)
+    return img.astype(np.uint8)
+
+
+def _puzzle_adjacency_pairs(puzzle, transform, pyrng):
+    """Every ordered adjacent pair of an imported puzzle with its one-hot
+    direction label + an equal number of non-adjacent all-zero negatives."""
+    from vit_ed_tpu.data.pieces import PiecesImages
+
+    pieces = puzzle.pieces
+    n_rows, n_cols = puzzle.grid_size
+    loc = {p.original_piece_id: tuple(p._orig_loc) for p in pieces}
+    imgs = PiecesImages(pieces, transform=transform).all_images()
+    ids = [p.original_piece_id for p in pieces]
+    idx_of = {pid: k for k, pid in enumerate(ids)}
+    by_loc = {loc[pid]: pid for pid in ids}
+    samples, labels, pos_pairs = [], [], set()
+    for pid in ids:
+        r, c = loc[pid]
+        for d, (dr, dc) in enumerate([(0, 1), (1, 0), (0, -1), (-1, 0)]):
+            pid2 = by_loc.get((r + dr, c + dc))
+            if pid2 is None:
+                continue
+            lab = np.zeros(4, np.float32)
+            lab[d] = 1.0
+            samples.append(np.stack([imgs[idx_of[pid]], imgs[idx_of[pid2]]]))
+            labels.append(lab)
+            pos_pairs.add((pid, pid2))
+    n_pos = len(samples)
+    negs = [(a, b) for a in ids for b in ids
+            if a != b and (a, b) not in pos_pairs]
+    pyrng.shuffle(negs)
+    for a, b in negs[:n_pos]:
+        samples.append(np.stack([imgs[idx_of[a]], imgs[idx_of[b]]]))
+        labels.append(np.zeros(4, np.float32))
+    return np.asarray(samples, np.float32), np.asarray(labels, np.float32)
+
+
+def test_trained_model_solves_heldout_puzzle(tmp_path):
+    """Train on adjacency pairs from 6 synthetic puzzles; the solver fed by
+    the trained scorer must reconstruct a held-out puzzle with neighbor
+    accuracy >= 0.75 (chance on a shuffled 3x3 grid is ~0.11 — the
+    untrained model scores exactly that in test_puzzle_eval.py)."""
+    from vit_ed_tpu.data.pieces import PiecesImages
+    from vit_ed_tpu.data.transforms import TwoImgSyncEval
+    from vit_ed_tpu.parallel.mesh import create_mesh
+    from vit_ed_tpu.parallel.pairs import PairwiseScorer
+    from vit_ed_tpu.solver.distance import distance_matrix_from_predictions
+    from vit_ed_tpu.solver.driver import paikin_tal_driver
+    from vit_ed_tpu.solver.importer import (
+        Puzzle,
+        PuzzleResultsCollection,
+        PuzzleSolver,
+        PuzzleType,
+    )
+
+    rng = np.random.default_rng(0)
+    pyrng = random.Random(0)
+    transform = TwoImgSyncEval(32)
+
+    xs, ys = [], []
+    for i in range(6):
+        path = str(tmp_path / f"train{i}.png")
+        Image.fromarray(_synth_puzzle_image(rng)).save(path)
+        puzzle = Puzzle(i, path, 32, starting_piece_id=0, erosion=0.07)
+        s, l = _puzzle_adjacency_pairs(puzzle, transform, pyrng)
+        xs.append(s)
+        ys.append(l)
+    X, Y = np.concatenate(xs), np.concatenate(ys)
+
+    model = ViTED(img_size=32, patch_size=8, num_classes=4, embed_dim=32,
+                  depth=1, c_depth=1, num_heads=2, use_pallas=False)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 2, 32, 32, 3)))["params"]
+    tx = optax.adamw(1e-3)
+    state = TrainState(params=params, opt_state=tx.init(params),
+                       step=jnp.zeros((), jnp.int32))
+    step_fn = make_train_step(model, tx, bce_with_logits, accum_steps=1)
+
+    bs, i0 = 64, 0
+    order = np.arange(len(X))
+    key = jax.random.PRNGKey(1)
+    for _ in range(800):
+        if i0 + bs > len(X):
+            rng.shuffle(order)
+            i0 = 0
+        sel = order[i0:i0 + bs]
+        i0 += bs
+        batch = {"samples": jnp.asarray(X[sel][None]),
+                 "targets": jnp.asarray(Y[sel][None])}
+        key, sub = jax.random.split(key)
+        state, metrics = step_fn(state, batch, sub)
+    assert float(metrics["loss"]) < 0.1  # training converged
+
+    # held-out puzzle through the full eval path
+    path = str(tmp_path / "held.png")
+    Image.fromarray(_synth_puzzle_image(rng)).save(path)
+    puzzle = Puzzle(0, path, 32, starting_piece_id=0, erosion=0.07)
+    pieces = list(puzzle.pieces)
+    pyrng.shuffle(pieces)
+    scorer = PairwiseScorer(model, state.params, create_mesh(), num_outputs=4,
+                            pair_chunk=32)
+    imgs = PiecesImages(pieces, transform=transform).all_images()
+    logits = scorer.score_dense(imgs, batch_size=16)
+    preds = 1.0 / (1.0 + np.exp(-logits))
+    D = distance_matrix_from_predictions(preds)
+    solved = paikin_tal_driver(pieces, 32, None, puzzle.grid_size, distances=D)
+    results = PuzzleResultsCollection(PuzzleSolver.PaikinTal, PuzzleType.type1,
+                                      [solved.pieces], [path])
+    results.calculate_accuracies([solved])
+    result, _perfect = results.collect_results()
+    assert result["neighbor"][0] >= 0.75, (
+        f"trained neighbor accuracy {result['neighbor'][0]} not above chance")
+
+
+# ----------------------------------------------- 3. mined-pair writer mAP
+
+def _write_stripe_writers(root, n_writers=30, frags=6, crop=96, seed=0):
+    """Stationary writer signatures — stripe angle + period + color pair —
+    so any crop of any fragment carries the writer identity through the
+    full augmentation chain (affine/jitter/blur)."""
+    rng = np.random.default_rng(seed)
+    d = os.path.join(root, "train")
+    os.makedirs(d, exist_ok=True)
+    yy, xx = np.mgrid[0:crop, 0:crop].astype(np.float64)
+    for w in range(n_writers):
+        theta = rng.uniform(0, np.pi)
+        period = rng.uniform(9, 40)
+        c0 = rng.uniform(30, 225, size=3)
+        c1 = rng.uniform(30, 225, size=3)
+        for f in range(frags):
+            phase = rng.uniform(0, 2 * np.pi)
+            wave = 0.5 + 0.5 * np.sin(
+                2 * np.pi * (xx * np.cos(theta) + yy * np.sin(theta)) / period
+                + phase)
+            img = c0[None, None] + (c1 - c0)[None, None] * wave[..., None]
+            img = np.clip(img + rng.normal(scale=10, size=img.shape), 0, 255)
+            Image.fromarray(img.astype(np.uint8)).save(
+                os.path.join(d, f"w{w:03d}_0_{f}.jpg"), quality=92)
+
+
+class _Args:
+    cfg = None
+    opts = None
+    batch_size = None
+    data_path = None
+    pretrained = None
+    resume = None
+    accumulation_steps = None
+    use_checkpoint = None
+    disable_amp = True
+    output = None
+    tag = "test"
+    mode = "train"
+    eval = None
+    throughput = None
+    optim = None
+    keep_attn = None
+    eval_n_items_per_category = 2
+    distance_reduction = "min"
+
+
+def test_hisfrag_mined_pairs_learn_writer_retrieval(tmp_path):
+    """The UNMODIFIED HisfragTrainer (mining, masked BCE, augmentations)
+    must lift val mAP far above the untrained model on separable writers."""
+    from hisfrag import HisfragTrainer
+
+    data = str(tmp_path / "data")
+    _write_stripe_writers(data)
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text("""
+MODEL:
+  TYPE: pjs
+  NAME: learn_hisfrag
+  NUM_CLASSES: 1
+  DROP_PATH_RATE: 0.0
+  PJS:
+    EMBED_DIM: 32
+    PATCH_SIZE: 16
+    NUM_HEADS: 2
+    DEPTH: 1
+    C_DEPTH: 1
+DATA:
+  DATASET: hisfrag20
+  IMG_SIZE: 64
+  BATCH_SIZE: 16
+  TEST_BATCH_SIZE: 32
+  NUM_WORKERS: 0
+TRAIN:
+  EPOCHS: 5
+  WARMUP_EPOCHS: 0
+  BASE_LR: 0.016
+  WARMUP_LR: 0.0016
+  MIN_LR: 0.0016
+SAVE_FREQ: 100
+PRINT_FREQ: 10
+""")
+    args = _Args()
+    args.cfg = str(cfg)
+    args.data_path = data
+    args.output = str(tmp_path / "out")
+    trainer = HisfragTrainer(args)
+    untrained_map = 1.0 - trainer.validate()
+    trainer.train()
+    trained_map = 1.0 - trainer.validate()
+    assert trained_map >= 0.70, (
+        f"trained mAP {trained_map} (untrained {untrained_map})")
+    assert trained_map >= untrained_map + 0.15, (
+        f"no learning signal: {untrained_map} -> {trained_map}")
