@@ -1,19 +1,32 @@
-"""Geshaem papyrus fragment dataset
-(re-creates /root/reference/data/datasets/geshaem_dataset.py; ml_engine
-grouping and the imagesize dependency are replaced natively)."""
+"""Geshaem papyrus fragment dataset.
+
+Same capabilities as the reference's ``data/datasets/geshaem_dataset.py``
+(name grammar ``^fragment_(r|v)_col``; hand-assembled multi-fragment
+names define positive groups, geshaem_dataset.py:47-63; assembled
+fragments excluded from train to prevent leakage; area-proportional
+repetition at train; all-pairs upper-triangle enumeration) — rebuilt here
+around a flat record scan instead of the reference's nested dict loops.
+The ``ml_engine`` grouping and ``imagesize`` dependencies are replaced by
+``vit_ed_tpu.data.grouping`` and PIL. Semantics are locked by
+tests/test_datasets_misc.py.
+"""
 
 from __future__ import annotations
 
 import glob
 import os
 import re
+from dataclasses import dataclass
 from enum import Enum
-from typing import Callable, List, Optional
+from typing import Callable, Dict, List, Optional, Set, Tuple
 
 import numpy as np
 from PIL import Image
 
 from vit_ed_tpu.data.grouping import add_items_to_group
+
+_NAME_RE = re.compile(r"^([\w']+)_([rv])_(\w+)(\s.+)?$")
+_REFERENCE_AREA = 512 * 512   # train repetition unit (im_size^2)
 
 
 class Split(Enum):
@@ -21,168 +34,185 @@ class Split(Enum):
     VAL = "validation"
     TEST = "test"
 
-    def is_train(self):
-        return self.value == "train"
+    def is_train(self) -> bool:
+        return self is Split.TRAIN
 
-    def is_val(self):
-        return self.value == "validation"
+    def is_val(self) -> bool:
+        return self is Split.VAL
 
-    def is_test(self):
-        return self.value == "test"
+    def is_test(self) -> bool:
+        return self is Split.TEST
 
     @staticmethod
-    def from_string(name):
-        for key in Split:
-            if key.value == name:
-                return key
-        return None
+    def from_string(name: str) -> Optional["Split"]:
+        try:
+            return Split(name)
+        except ValueError:
+            return None
 
 
-def parse_name(name: str):
-    """geshaem_dataset.py:39-44: ^(fragment)_(r|v)_(col)."""
-    groups = re.search(r"^([\w']+)_([rv])_(\w+)(\s.+)?$", name)
-    if groups:
-        return groups.group(1), groups.group(2), groups.group(3)
-    raise ValueError(f"Fragment name {name} not recognized")
+def parse_name(name: str) -> Tuple[str, str, str]:
+    """Split a folder name into (fragment, recto/verso, column)
+    (grammar at geshaem_dataset.py:39-44)."""
+    m = _NAME_RE.match(name)
+    if m is None:
+        raise ValueError(f"Fragment name {name} not recognized")
+    return m.group(1), m.group(2), m.group(3)
 
 
-def _image_size(path):
+@dataclass(frozen=True)
+class _Record:
+    """One papyrus image: its path plus the parsed folder-name fields."""
+
+    path: str
+    fragment: str     # full (possibly multi-id) fragment name
+    recto: bool
+    area: int
+
+    @property
+    def piece_ids(self) -> List[str]:
+        return self.fragment.split("_")
+
+    @property
+    def assembled(self) -> bool:
+        return len(self.piece_ids) > 1
+
+
+def _folder_name(path: str, levels: int) -> str:
+    for _ in range(levels):
+        path = os.path.dirname(path)
+    return os.path.basename(path)
+
+
+def _pixel_area(path: str) -> int:
     with Image.open(path) as im:
-        return im.size
+        w, h = im.size
+    return w * h
 
 
-def extract_relations(dataset_path):
-    """Hand-assembled multi-fragment names define positive groups
-    (geshaem_dataset.py:47-63)."""
-    groups = []
-    for img_path in glob.glob(os.path.join(dataset_path, "**", "*.jpg"), recursive=True):
-        image_name = os.path.basename(os.path.dirname(os.path.dirname(img_path)))
-        fragment, _rv, _col = parse_name(image_name)
+def _scan_records(root: str) -> List[_Record]:
+    """All ``**/papyrus/*/<file>.jpg`` images in sorted-path order."""
+    records = []
+    for path in sorted(glob.glob(os.path.join(root, "**", "*.jpg"),
+                                 recursive=True)):
+        if path.split(os.sep)[-3] != "papyrus":
+            continue
+        fragment, rv, _col = parse_name(_folder_name(path, 3))
+        records.append(_Record(path=path, fragment=fragment,
+                               recto=rv.upper() != "V",
+                               area=_pixel_area(path)))
+    return records
+
+
+def extract_relations(dataset_path: str) -> List[Set[str]]:
+    """Positive groups implied by hand-assembled multi-fragment names
+    (geshaem_dataset.py:47-63). Note the reference variant here parses the
+    2-levels-up folder and does not restrict to the papyrus subdir."""
+    groups: List[Set[str]] = []
+    for path in glob.glob(os.path.join(dataset_path, "**", "*.jpg"),
+                          recursive=True):
+        fragment, _rv, _col = parse_name(_folder_name(path, 2))
         add_items_to_group(fragment.split("_"), groups)
     return groups
 
 
 class MergeDataset:
-    """geshaem_dataset.py:66-87."""
+    """Concatenation of GeshaemPatch-style datasets (geshaem_dataset.py:66-87)."""
 
     def __init__(self, datasets, transform):
-        self.data = []
-        self.data_labels = []
-        for dataset in datasets:
-            self.data.extend(dataset.data)
-            self.data_labels.extend(dataset.data_labels)
+        self.data = [p for ds in datasets for p in ds.data]
+        self.data_labels = [l for ds in datasets for l in ds.data_labels]
         self.transform = transform
 
-    def __len__(self):
+    def __len__(self) -> int:
         return len(self.data)
 
-    def __getitem__(self, idx):
-        fragment = self.data[idx]
-        with Image.open(fragment) as img:
+    def __getitem__(self, idx: int):
+        with Image.open(self.data[idx]) as img:
             image = self.transform(img.convert("RGB"))
-        return np.asarray(image, np.float32), np.asarray(self.data_labels[idx], np.int32)
+        return (np.asarray(image, np.float32),
+                np.asarray(self.data_labels[idx], np.int32))
 
 
 class GeshaemPatch:
-    """geshaem_dataset.py:90-206: all-pairs stacked fragment images with
-    per-fragment group ground truth."""
+    """All-pairs stacked fragment images with per-fragment group ground
+    truth (geshaem_dataset.py:90-206)."""
 
     Split = Split
 
-    def __init__(self, root: str, split: Split, transform: Optional[Callable] = None,
-                 include_verso=False, min_size_limit=112, base_idx=0):
+    def __init__(self, root: str, split: Split,
+                 transform: Optional[Callable] = None,
+                 include_verso: bool = False, min_size_limit: int = 112,
+                 base_idx: int = 0):
         self._split = split
         self.root_dir = root
         self.transform = transform
-        im_size = 512
-        self.fragment_to_group = {}
-        self.fragment_to_group_id = {}
 
-        fragments, groups = self.load_dataset(include_verso, min_size_limit,
-                                              split.is_train())
+        records = _scan_records(root)
+        usable = [r for r in records if r.recto or include_verso]
 
+        # group pass: every usable image's piece ids + full name merge into
+        # one positive group, INCLUDING images later dropped from data
+        groups: List[Set[str]] = []
+        for r in usable:
+            add_items_to_group(r.piece_ids + [r.fragment], groups)
+
+        # membership maps; singleton groups are unknowable at eval time
+        self.fragment_to_group: Dict[str, Set[str]] = {}
+        self.fragment_to_group_id: Dict[str, int] = {}
         for idx, group in enumerate(groups):
             if len(group) < 2 and split.is_val():
-                # Singleton groups have unknown membership; skip in eval.
                 continue
-            for fragment in group:
-                self.fragment_to_group_id[fragment] = idx
-                for fragment2 in group:
-                    self.fragment_to_group.setdefault(fragment, set()).add(fragment2)
+            for member in group:
+                self.fragment_to_group_id[member] = idx
+                self.fragment_to_group.setdefault(member, set()).update(group)
 
-        self.fragments = sorted(fragments.keys())
-        self.fragment_idx = {x: i for i, x in enumerate(self.fragments)}
+        # data pass: at train, assembled fragments leak the answer — drop;
+        # tiny images are noise — drop
+        kept = [r for r in usable
+                if not (split.is_train() and r.assembled)
+                and r.area >= min_size_limit * min_size_limit]
+
+        by_fragment: Dict[str, List[_Record]] = {}
+        for r in kept:
+            by_fragment.setdefault(r.fragment, []).append(r)
+        self.fragments = sorted(by_fragment)
+        self.fragment_idx = {name: i for i, name in enumerate(self.fragments)}
 
         self.data: List[str] = []
         self.data_labels: List[int] = []
-        for idx, fragment_name in enumerate(self.fragments):
-            data, labels = [], []
-            for img_path in sorted(fragments[fragment_name]):
-                image_name = os.path.basename(
-                    os.path.dirname(os.path.dirname(os.path.dirname(img_path))))
-                fragment, _rv, _col = parse_name(image_name)
-                fragment_ids = fragment.split("_")
-                if fragment_ids[0] not in self.fragment_to_group:
+        for idx, name in enumerate(self.fragments):
+            for r in sorted(by_fragment[name], key=lambda rec: rec.path):
+                if r.piece_ids[0] not in self.fragment_to_group:
                     continue
-                width, height = _image_size(img_path)
-                ratio = (max(round((width * height) / (im_size * im_size)), 1)
-                         if split.is_train() else 1)
-                for _ in range(int(ratio)):
-                    labels.append(idx + base_idx)
-                    data.append(img_path)
-            self.data.extend(data)
-            self.data_labels.extend(labels)
+                repeats = 1
+                if split.is_train():
+                    repeats = max(round(r.area / _REFERENCE_AREA), 1)
+                self.data.extend([r.path] * int(repeats))
+                self.data_labels.extend([idx + base_idx] * int(repeats))
 
-        n = len(self.data)
-        iu = np.triu_indices(n)
-        self.pairs = np.stack([iu[0], iu[1]], axis=1).astype(np.int64)
+        hi, lo = np.triu_indices(len(self.data))
+        self.pairs = np.stack([hi, lo], axis=1).astype(np.int64)
 
     def get_group_id(self, fragment_id: int) -> int:
         return self.fragment_to_group_id[self.fragments[fragment_id]]
 
-    def load_dataset(self, include_verso, min_size_limit, is_train):
-        fragments = {}
-        groups = []
-        for img_path in sorted(glob.glob(os.path.join(self.root_dir, "**", "*.jpg"),
-                                         recursive=True)):
-            if img_path.split(os.sep)[-3] != "papyrus":
-                continue
-            image_name = os.path.basename(
-                os.path.dirname(os.path.dirname(os.path.dirname(img_path))))
-            fragment, rv, _col = parse_name(image_name)
-            if rv.upper() == "V" and not include_verso:
-                continue
-
-            fragment_ids = fragment.split("_")
-            add_items_to_group(fragment_ids + [fragment], groups)
-            if is_train and len(fragment_ids) > 1:
-                # Exclude hand-assembled fragments from training (leakage).
-                continue
-            width, height = _image_size(img_path)
-            if width * height < min_size_limit * min_size_limit:
-                continue
-            fragments.setdefault(fragment, []).append(img_path)
-        return fragments, groups
-
     @property
-    def split(self):
+    def split(self) -> Split:
         return self._split
 
     def __getitem__(self, index: int):
-        x1_id, x2_id = self.pairs[index]
-        img_path = self.data[int(x1_id)]
-        img_label = self.data_labels[int(x1_id)]
-        with Image.open(img_path) as f:
-            image = f.convert("RGB")
-        img2_path = self.data[int(x2_id)]
-        img2_label = self.data_labels[int(x2_id)]
-        with Image.open(img2_path) as f:
-            image2 = f.convert("RGB")
+        i, j = (int(x) for x in self.pairs[index])
+        with Image.open(self.data[i]) as f:
+            first = f.convert("RGB")
+        with Image.open(self.data[j]) as f:
+            second = f.convert("RGB")
         if self.transform:
-            image = self.transform(image)
-            image2 = self.transform(image2)
-        stacked = np.stack([np.asarray(image), np.asarray(image2)], axis=0)
-        return stacked.astype(np.float32), np.asarray([img_label, img2_label], np.int64)
+            first = self.transform(first)
+            second = self.transform(second)
+        stacked = np.stack([np.asarray(first), np.asarray(second)], axis=0)
+        labels = np.asarray([self.data_labels[i], self.data_labels[j]], np.int64)
+        return stacked.astype(np.float32), labels
 
-    def __len__(self):
+    def __len__(self) -> int:
         return len(self.pairs)

@@ -1,8 +1,13 @@
-"""HisFrag20 historical-fragment datasets
-(re-creates /root/reference/data/datasets/hisfrag_dataset.py).
+"""HisFrag20 historical-fragment datasets.
 
-Filename scheme ``writer_page_fragment.jpg``; train/val split carves writers
-93%/7% by sorted order (hisfrag_dataset.py:28-34, 99-101).
+Same capabilities as the reference's ``data/datasets/hisfrag_dataset.py``
+(filename scheme ``writer_page_fragment.jpg``; writer-level 93%/7%
+train/val carve by sorted order, hisfrag_dataset.py:28-34, 99-101; val
+subsampling by strided chunks; the ``lower_bound`` offset that lets the
+O(N^2) scan's x2 stream enumerate only samples past a given index,
+hisfrag_dataset.py:181-194) — rebuilt here around a flat fragment table
+instead of the reference's nested writer->page dict loops. The split
+semantics are locked by tests/test_hisfrag.py and tests/test_multiprocess.py.
 """
 
 from __future__ import annotations
@@ -10,8 +15,9 @@ from __future__ import annotations
 import glob
 import math
 import os
+from dataclasses import dataclass
 from enum import Enum
-from typing import Callable, List, Optional
+from typing import Callable, List, Optional, Sequence, Tuple
 
 import numpy as np
 from PIL import Image
@@ -29,174 +35,180 @@ class Split(Enum):
         return {Split.TRAIN: 0.93, Split.VAL: 0.07, Split.TEST: 1.0}[self]
 
     @property
-    def sub_dir(self):
-        return {Split.TRAIN: "train", Split.VAL: "train", Split.TEST: "test"}[self]
+    def sub_dir(self) -> str:
+        # val images live inside the train directory (held-out writers)
+        return "test" if self is Split.TEST else "train"
 
-    def is_train(self):
-        return self.value == "train"
+    def is_train(self) -> bool:
+        return self is Split.TRAIN
 
-    def is_val(self):
-        return self.value == "val"
+    def is_val(self) -> bool:
+        return self is Split.VAL
 
-    def is_test(self):
-        return self.value == "test"
+    def is_test(self) -> bool:
+        return self is Split.TEST
 
     @staticmethod
-    def from_string(name):
-        for key in Split:
-            if key.value == name:
-                return key
-        return None
+    def from_string(name: str) -> Optional["Split"]:
+        try:
+            return Split(name)
+        except ValueError:
+            return None
 
 
-def get_writers(root_dir, proportion=(0.0, 1.0)):
-    """hisfrag_dataset.py:61-80."""
-    writer_map = {}
-    for img in sorted(glob.glob(os.path.join(root_dir, "**", "*.jpg"), recursive=True)):
-        file_name = os.path.splitext(os.path.basename(img))[0]
-        writer_id, page_id, _fragment_id = tuple(file_name.split("_"))
-        writer_map.setdefault(writer_id, {}).setdefault(page_id, []).append(img)
+@dataclass(frozen=True, order=True)
+class Fragment:
+    """One fragment image file, keyed ``writer_page_fragment.jpg``."""
 
-    writers = sorted(writer_map.keys())
-    n_writers = len(writers)
-    from_idx, to_idx = int(proportion[0] * n_writers), int(proportion[1] * n_writers)
-    writers = writers[from_idx:to_idx]
-    writer_set = set(writers)
-    for writer in list(writer_map.keys()):
-        if writer not in writer_set:
-            del writer_map[writer]
-    return writers, writer_map
+    writer: str
+    page: str
+    path: str
+
+    @staticmethod
+    def parse(path: str) -> "Fragment":
+        stem = os.path.splitext(os.path.basename(path))[0]
+        writer, page, _frag = stem.split("_")
+        return Fragment(writer=writer, page=page, path=path)
+
+
+def _fragment_table(root_dir: str) -> List[Fragment]:
+    """All fragments under ``root_dir``, ordered by (writer, page, path) —
+    the same order the reference's sorted-glob + nested-dict walk yields."""
+    paths = sorted(glob.glob(os.path.join(root_dir, "**", "*.jpg"),
+                             recursive=True))
+    return sorted(Fragment.parse(p) for p in paths)
+
+
+def _writer_window(table: Sequence[Fragment],
+                   proportion: Tuple[float, float]) -> List[str]:
+    """The sorted-writer slice [lo*n : hi*n) the split owns."""
+    writers = sorted({f.writer for f in table})
+    lo, hi = (int(p * len(writers)) for p in proportion)
+    return writers[lo:hi]
+
+
+def _split_proportion(split: Split) -> Tuple[float, float]:
+    if split.is_val():
+        return (1.0 - split.length, 1.0)
+    return (0.0, split.length)
+
+
+def _load_rgb(path: str) -> Image.Image:
+    with Image.open(path) as f:
+        return f.convert("RGB")
 
 
 class HisFrag20:
-    """Train-time dataset: (augmented image, writer idx)."""
+    """Train-time dataset: (augmented image, writer index)."""
 
     Split = Split
 
-    def __init__(self, root: str, split: Split, transform: Optional[Callable] = None):
+    def __init__(self, root: str, split: Split,
+                 transform: Optional[Callable] = None):
         self._split = split
         self.transform = transform
         self.root_dir = os.path.join(root, split.sub_dir)
-        proportion = (0.0, split.length)
-        if split.is_val():
-            proportion = (1.0 - split.length, 1.0)
-        writers, writer_map = get_writers(self.root_dir, proportion)
 
-        self.writer_to_idx = {x: i for i, x in enumerate(writers)}
-        samples, labels = [], []
-        for writer in sorted(writer_map.keys()):
-            for page in sorted(writer_map[writer].keys()):
-                samples += writer_map[writer][page]
-                labels += [self.writer_to_idx[writer]] * len(writer_map[writer][page])
-        self.writer_map = writer_map
-        self.data_labels = labels
-        self.samples = samples
-        self.writers = writers
+        table = _fragment_table(self.root_dir)
+        self.writers = _writer_window(table, _split_proportion(split))
+        rank = {w: i for i, w in enumerate(self.writers)}
+        mine = [f for f in table if f.writer in rank]
+
+        self.samples = [f.path for f in mine]
+        self.data_labels = [rank[f.writer] for f in mine]
+        self.writer_to_idx = rank
 
     @property
-    def split(self):
+    def split(self) -> Split:
         return self._split
 
     def __getitem__(self, index: int):
-        img_path = self.samples[index]
-        file_name = os.path.splitext(os.path.basename(img_path))[0]
-        writer_id = file_name.split("_")[0]
-        with Image.open(img_path) as f:
-            image = f.convert("RGB")
-        label = self.writer_to_idx[writer_id]
+        path = self.samples[index]
+        image = _load_rgb(path)
         if self.transform is not None:
             image = self.transform(image)
+        label = self.data_labels[index]
         return np.asarray(image, np.float32), np.asarray(label, np.int32)
 
-    def __len__(self):
+    def __len__(self) -> int:
         return len(self.samples)
+
+
+def _eval_samples(root_dir: str, split: Split,
+                  val_n_items_per_writer: int) -> List[str]:
+    """Eval sample list: every fragment of the split's writers, with the
+    val split strided down to ~``val_n_items_per_writer`` per writer
+    (chunks(paths, ceil(len / n))[0] — hisfrag_dataset.py:171-173)."""
+    table = _fragment_table(root_dir)
+    keep = set(_writer_window(table, _split_proportion(split)))
+
+    samples: List[str] = []
+    for writer in sorted(keep):
+        paths = [f.path for f in table if f.writer == writer]
+        if split.is_val():
+            stride = math.ceil(len(paths) / val_n_items_per_writer)
+            paths = chunks(paths, stride)[0]
+        samples.extend(paths)
+    return samples
 
 
 class HisFrag20Test:
     """Eval sample list with the ``lower_bound`` offset used by the
-    upper-triangle x2 scan (hisfrag_dataset.py:139-194)."""
+    upper-triangle x2 scan."""
 
     Split = Split
 
-    def __init__(self, root: str, split: Split, transform: Optional[Callable] = None,
+    def __init__(self, root: str, split: Split,
+                 transform: Optional[Callable] = None,
                  samples: Optional[List[str]] = None, lower_bound: int = 0,
                  val_n_items_per_writer: int = 2):
         if split.is_train():
-            raise Exception("This class can only be used in Validation or Testing mode!")
+            raise Exception(
+                "This class can only be used in Validation or Testing mode!")
         self.transform = transform
-
         if samples is None:
-            root_dir = os.path.join(root, split.sub_dir)
-            proportion = (0.0, 1.0)
-            if split.is_val():
-                proportion = (1.0 - split.length, 1.0)
-            writers, writer_map = get_writers(root_dir, proportion)
-
-            samples = []
-            for writer_id in writers:
-                page_patches = []
-                for page_id in sorted(writer_map[writer_id].keys()):
-                    page_patches += sorted(writer_map[writer_id][page_id])
-                if split.is_val():
-                    n_items_per_chunk = math.ceil(len(page_patches) / val_n_items_per_writer)
-                    page_patches = chunks(page_patches, n_items_per_chunk)[0]
-                samples += page_patches
-
+            samples = _eval_samples(os.path.join(root, split.sub_dir), split,
+                                    val_n_items_per_writer)
         self.samples = samples
         self.lower_bound = lower_bound
 
     def __getitem__(self, index: int):
         index = index + self.lower_bound
-        img_path = self.samples[index]
-        with Image.open(img_path) as f:
-            image = f.convert("RGB")
+        image = _load_rgb(self.samples[index])
         if self.transform:
             image = self.transform(image)
         return np.asarray(image, np.float32), np.asarray(index, np.int64)
 
-    def __len__(self):
+    def __len__(self) -> int:
         return len(self.samples) - self.lower_bound
 
 
 class HisFrag20GT:
     """All-pairs ground-truth dataset for the replicated equivalence test
-    (hisfrag_dataset.py:197-252)."""
+    (reference hisfrag_dataset.py:197-252): the upper triangle, diagonal
+    included, over the val/test writers' fragments."""
 
     Split = Split
 
-    def __init__(self, root: str, split: Split, transform: Optional[Callable] = None,
+    def __init__(self, root: str, split: Split,
+                 transform: Optional[Callable] = None,
                  val_n_items_per_writer: int = 2):
         self.transform = transform
-        root_dir = os.path.join(root, Split.TRAIN.sub_dir)
-        proportion = (1.0 - split.length, 1.0)
-        writers, writer_map = get_writers(root_dir, proportion)
-
-        samples = []
-        for writer_id in writers:
-            page_patches = []
-            for page_id in sorted(writer_map[writer_id].keys()):
-                page_patches += sorted(writer_map[writer_id][page_id])
-            if split.is_val():
-                n_items_per_chunk = math.ceil(len(page_patches) / val_n_items_per_writer)
-                page_patches = chunks(page_patches, n_items_per_chunk)[0]
-            samples += page_patches
-
-        self.samples = samples
-        n = len(samples)
-        iu = np.triu_indices(n)
-        self.pairs = np.stack([iu[0], iu[1]], axis=1).astype(np.int64)
+        # the GT variant always reads the train directory (held-out writers)
+        self.samples = _eval_samples(os.path.join(root, Split.TRAIN.sub_dir),
+                                     split, val_n_items_per_writer)
+        hi, lo = np.triu_indices(len(self.samples))
+        self.pairs = np.stack([hi, lo], axis=1).astype(np.int64)
 
     def __getitem__(self, index: int):
-        x1_id, x2_id = self.pairs[index]
-        with Image.open(self.samples[int(x1_id)]) as f:
-            image = f.convert("RGB")
-        with Image.open(self.samples[int(x2_id)]) as f:
-            image2 = f.convert("RGB")
+        i, j = (int(x) for x in self.pairs[index])
+        first = _load_rgb(self.samples[i])
+        second = _load_rgb(self.samples[j])
         if self.transform:
-            image = self.transform(image)
-            image2 = self.transform(image2)
-        stacked = np.stack([np.asarray(image), np.asarray(image2)], axis=0)
+            first = self.transform(first)
+            second = self.transform(second)
+        stacked = np.stack([np.asarray(first), np.asarray(second)], axis=0)
         return stacked.astype(np.float32), self.pairs[index]
 
-    def __len__(self):
+    def __len__(self) -> int:
         return len(self.pairs)

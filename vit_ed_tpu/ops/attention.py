@@ -49,11 +49,14 @@ def _round_up(a: int, b: int) -> int:
     return _cdiv(a, b) * b
 
 
-def _pair_geometry(sq: int, sk: int):
+def _pair_geometry(sq: int, sk: int, target: int = 512):
     """Shared block geometry of the packed pair kernels: q blocks target
-    512 rows (rounded to sublanes), the k/v sequence axis pads to
-    sublanes only. Forward and backward MUST agree on this."""
-    n_blocks = _cdiv(sq, 512)
+    ``target`` rows (rounded to sublanes), the k/v sequence axis pads to
+    sublanes only. The forward kernels use 1024-row blocks (measured
+    fastest at the flagship decode shapes — scripts/bench_attn_defer4.py);
+    the backward keeps 512 (its f32 dk/dv accumulators double the VMEM
+    footprint)."""
+    n_blocks = _cdiv(sq, target)
     block_q = _round_up(_cdiv(sq, n_blocks), 8)
     sq_pad = block_q * n_blocks
     sk_pad = _round_up(max(sk, 8), 8)
@@ -414,8 +417,44 @@ _fused_attention_padded_v2.defvjp(_fused_v2_fwd, _fused_v2_bwd)
 # zeroed lanes contribute nothing to the dot product). Every matmul runs
 # with full 128-wide operands, and the k/v sequence axis lives on
 # SUBLANES, so Sk pads to a multiple of 8 instead of 128 (1025 -> 1032,
-# not 1152). Measured vs transpose+v2 at (32, 6, 1025, 1025, 64):
-# 2597 us -> 1925 us, bit-exact (scripts/bench_attn_pair.py).
+# not 1152).
+#
+# Softmax runs DEFERRED-NORMALIZED with an MXU-computed denominator
+# (scripts/bench_attn_defer{2,4}.py, round 3):
+# - the PV matmul's WASTED half-lanes carry the softmax denominator: V0
+#   packs head-0 values in lanes 0..63 and a row-validity ones-column in
+#   lane 64, so e @ V0 yields the unnormalized output AND s in one pass;
+# - normalization divides the [bq, 128] result, not the [bq, sk] probs;
+# - the max-subtraction is replaced by a static overflow clamp (outputs
+#   are ratios — any finite bound keeps exp2 in range, and padded logit
+#   columns contribute nothing because V0's pad rows are zero);
+# - q is scaled by scale*log2(e) in-kernel (tiny [bq, 128] pass) and the
+#   exponential is exp2.
+# Measured (64, 6 heads, decode shapes) vs the max-subtracting
+# full-normalization version: self 1024/1024 2712 -> 2135 us, self
+# 1025/1025 3207 -> 2560 us, cross 1025/1024 2477 -> 2164 us. A no-softmax
+# ablation runs 2107 us — this kernel is within ~3% of its own MXU floor,
+# and the masked matmuls already run ~25% ABOVE the best XLA batched-GEMM
+# rate at these shapes (scripts/bench_attn_shapes.py).
+
+_EXP2_CLAMP = 80.0    # exp2(80) ~ 1.2e24: f32 sums stay far from overflow
+_LOG2E = math.log2(math.e)
+
+
+def _sum_column_values(v, kv_len):
+    """Per-head V matrices with the denominator ones-column smuggled into
+    the unused half-lanes (f32 build: i1 masks on bf16 hit a Mosaic
+    relayout bug; the cast is one small pass)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+    vf = v.astype(jnp.float32)
+    ones_col = jnp.where(row < kv_len, 1.0, 0.0)
+    v0 = (jnp.where(lane < 64, vf, 0.0)
+          + jnp.where(lane == 64, ones_col, 0.0)).astype(v.dtype)
+    v1 = (jnp.where(lane >= 64, vf, 0.0)
+          + jnp.where(lane == 0, ones_col, 0.0)).astype(v.dtype)
+    return v0, v1
+
 
 def _pair_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int):
     q = q_ref[0]                     # [block_q, 128]  (heads 2g, 2g+1)
@@ -425,27 +464,25 @@ def _pair_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int):
     lane = jax.lax.broadcasted_iota(jnp.int32, k.shape, 1)
     k_lo = jnp.where(lane < 64, k, jnp.zeros_like(k))
     k_hi = jnp.where(lane >= 64, k, jnp.zeros_like(k))
+    v0, v1 = _sum_column_values(v, kv_len)
+    qs = (q.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
 
-    def head_probs(k_masked):
+    def head(k_m, v_m):
         logits = jax.lax.dot_general(
-            q, k_masked, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale    # [block_q, sk_pad]
-        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-        logits = jnp.where(col < kv_len, logits, -jnp.inf)
-        m = jnp.max(logits, axis=-1, keepdims=True)
-        e = jnp.exp(logits - m)
-        s = jnp.sum(e, axis=-1, keepdims=True)
-        return (e / s).astype(v.dtype)
+            qs, k_m, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)            # [bq, sk_pad]
+        e = jnp.exp2(jnp.minimum(logits, _EXP2_CLAMP)).astype(v.dtype)
+        return jax.lax.dot_general(
+            e, v_m, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # [bq, 128]
 
-    p0 = head_probs(k_lo)
-    p1 = head_probs(k_hi)
-    # p @ [v_h0 | v_h1] computes both halves; keep the matching one
-    d0 = jax.lax.dot_general(p0, v, (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)   # [bq, 128]
-    d1 = jax.lax.dot_general(p1, v, (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
+    d0 = head(k_lo, v0)    # lanes<64: unnormalized out, lane 64: s0
+    d1 = head(k_hi, v1)    # lanes>=64: unnormalized out, lane 0: s1
+    s0 = d0[:, 64:65]
+    s1 = d1[:, 0:1]
     olane = jax.lax.broadcasted_iota(jnp.int32, d0.shape, 1)
-    o_ref[0] = jnp.where(olane < 64, d0, d1).astype(o_ref.dtype)
+    o = jnp.where(olane < 64, d0 / s0, d1 / s1)
+    o_ref[0] = o.astype(o_ref.dtype)
 
 
 def _pair_forward(q, k, v, scale):
@@ -454,7 +491,7 @@ def _pair_forward(q, k, v, scale):
     sk = k.shape[1]
     g = c // 128
 
-    n_blocks, block_q, sq_pad, sk_pad = _pair_geometry(sq, sk)
+    n_blocks, block_q, sq_pad, sk_pad = _pair_geometry(sq, sk, target=1024)
     if sq_pad != sq:
         q = jnp.pad(q, ((0, 0), (0, sq_pad - sq), (0, 0)))
     if sk_pad != sk:
@@ -641,7 +678,7 @@ def _pair_forward_qkv(qkv, scale, kv_len):
     c = c3 // 3
     g = c // 128
 
-    n_blocks, block_q, s_pad, _ = _pair_geometry(s, s)
+    n_blocks, block_q, s_pad, _ = _pair_geometry(s, s, target=1024)
     if s_pad != s:
         qkv = jnp.pad(qkv, ((0, 0), (0, s_pad - s), (0, 0)))
 
@@ -694,7 +731,7 @@ def _pair_forward_q_kv(q, kv, scale):
     sk = kv.shape[1]
     g = c // 128
 
-    n_blocks, block_q, sq_pad, sk_pad = _pair_geometry(sq, sk)
+    n_blocks, block_q, sq_pad, sk_pad = _pair_geometry(sq, sk, target=1024)
     if sq_pad != sq:
         q = jnp.pad(q, ((0, 0), (0, sq_pad - sq), (0, 0)))
     if sk_pad != sk:
