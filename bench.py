@@ -68,14 +68,17 @@ def _timed_scan(fn, args, iters):
 
 
 def bench_pair_forwards(img_size, patch_size, depth, c_depth, embed_dim, num_heads,
-                        num_classes, batch, iters=20, fast_gelu=False,
-                        int8_gemm=False):
+                        num_classes, batch, iters=20, fast_gelu=False):
+    # PairwiseScorer's default: the context K/V cache decomposition is
+    # exact but measured SLOWER at both flagship scales (the per-pair
+    # gather's HBM traffic exceeds the GEMMs it saves: 947 -> 720 pairs/s
+    # at patch16_512) — bench the production (scan) path
+    use_kv_cache = False
     from vit_ed_tpu.models.vit_ed import ViTED
 
     model = ViTED(img_size=img_size, patch_size=patch_size, num_classes=num_classes,
                   embed_dim=embed_dim, depth=depth, c_depth=c_depth,
-                  num_heads=num_heads, dtype=jnp.bfloat16, fast_gelu=fast_gelu,
-                  int8_gemm=int8_gemm)
+                  num_heads=num_heads, dtype=jnp.bfloat16, fast_gelu=fast_gelu)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(batch, 2, img_size, img_size, 3)), jnp.float32)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), x[:1])
@@ -86,12 +89,14 @@ def bench_pair_forwards(img_size, patch_size, depth, c_depth, embed_dim, num_hea
     sec = _timed_scan(lambda a, p: model.apply({"params": p}, a), (x, params), iters)
     full_rate = batch / sec
 
-    # decode-only pair score (the O(N^2) scan inner op): encoder features
-    # and x2 tokens precomputed once
+    # decode-only pair score (the O(N^2) scan inner op), exactly the
+    # production dataflow of parallel/pairs.py: encoder features -> the
+    # per-cross-block context K/V cache once per x1 row; stream-2 tokens
+    # advanced through decoder block 0's self-attention once per x2
+    # batch; per pair only the q projections, attention kernels, output
+    # projections and MLPs run (ViTED.score_tokens_kv)
     feats = jax.jit(lambda p, a: model.apply({"params": p}, a, forward_first_part=True))(
         params, x[:, 0])
-    # production scan path: stream-2 tokens advanced through decoder
-    # block 0's self-attention once per x2 batch (parallel/pairs.py)
     tokens = jax.jit(lambda p, a: model.apply({"params": p}, a,
                                               method=model.prepare_x2_scan))(
         params, x[:, 1])
@@ -99,11 +104,20 @@ def bench_pair_forwards(img_size, patch_size, depth, c_depth, embed_dim, num_hea
     pi = jnp.asarray(rng.integers(0, n, size=batch), jnp.int32)
     pj = jnp.asarray(rng.integers(0, n, size=batch), jnp.int32)
 
-    sec = _timed_scan(
-        lambda f, p, t, i, j: model.apply(
-            {"params": p}, jnp.take(f, i, axis=0), jnp.take(t, j, axis=0),
-            method=model.score_tokens_scan),
-        (feats, params, tokens, pi, pj), iters)
+    if use_kv_cache:
+        kv_cache = jax.jit(lambda p, f: model.apply(
+            {"params": p}, f, method=model.context_kv_cache))(params, feats)
+        sec = _timed_scan(
+            lambda kv, p, t, i, j: model.apply(
+                {"params": p}, jnp.take(kv, i, axis=1), jnp.take(t, j, axis=0),
+                method=model.score_tokens_kv),
+            (kv_cache, params, tokens, pi, pj), iters)
+    else:
+        sec = _timed_scan(
+            lambda f, p, t, i, j: model.apply(
+                {"params": p}, jnp.take(f, i, axis=0), jnp.take(t, j, axis=0),
+                method=model.score_tokens_scan),
+            (feats, params, tokens, pi, pj), iters)
     decode_rate = batch / sec
 
     return full_rate, decode_rate
@@ -116,6 +130,11 @@ def bench_pair_forwards(img_size, patch_size, depth, c_depth, embed_dim, num_hea
 # The scan path hoists block 0's self-attention (2.82 GF) out of the pair
 # loop (it depends only on x2; ViTED.prepare_x2_scan), so the per-pair
 # work is 93.9 GF — the MFU below uses the per-pair work actually done.
+# (The further context-KV-cache decomposition — 7.25 GF of kv GEMMs that
+# depend only on x1 — is exact and implemented (ViTED.context_kv_cache)
+# but measured SLOWER end-to-end: the per-pair cache gather moves more
+# HBM bytes than the GEMMs it saves. Default off; negative result
+# recorded in docs/PERFORMANCE.md.)
 DECODE_GFLOPS_PATCH16_512 = 93.9
 V5E_BF16_PEAK_TFLOPS = 197.0
 
@@ -153,17 +172,6 @@ def main():
               f"not bit-parity)", file=sys.stderr)
     except Exception as e:  # pragma: no cover
         print(f"fast-gelu bench failed: {e}", file=sys.stderr)
-
-    try:
-        # TPU.INT8_SCORE: dynamic-int8 projection GEMMs in the scoring
-        # scan (mAP-parity gated, tests/test_quant.py)
-        _, decode_i8 = bench_pair_forwards(
-            img_size=512, patch_size=16, depth=12, c_depth=12, embed_dim=384,
-            num_heads=6, num_classes=1, batch=64, int8_gemm=True)
-        print(f"patch16_512 INT8_SCORE decode={decode_i8 / n_chips:.1f} "
-              f"pair-fwd/s/chip (int8 GEMMs, bf16 attention)", file=sys.stderr)
-    except Exception as e:  # pragma: no cover
-        print(f"int8 bench failed: {e}", file=sys.stderr)
 
     if os.environ.get("VIT_ED_BENCH_TRAIN") == "1":
         # opt-in training-step secondary (adds minutes when the step

@@ -59,8 +59,7 @@ def testing(config, model, params, logger):
 
     mesh = create_mesh(config.TPU.MESH_SHAPE or None)
     scorer = PairwiseScorer(model, params, mesh, num_outputs=config.MODEL.NUM_CLASSES,
-                            pair_chunk=config.DATA.BATCH_SIZE * mesh.devices.size,
-                            int8=config.TPU.INT8_SCORE)
+                            pair_chunk=config.DATA.BATCH_SIZE * mesh.devices.size)
     transform = TwoImgSyncEval(config.DATA.IMG_SIZE)
 
     for subset in ["Cho", "McGill", "BGU"]:

@@ -59,8 +59,7 @@ class PajigsawTrainer(Trainer):
         scorer = PairwiseScorer(self.model, self.params, self.mesh,
                                 num_outputs=self.config.MODEL.NUM_CLASSES,
                                 pair_chunk=self.config.DATA.BATCH_SIZE
-                                * self.mesh.devices.size,
-                                int8=self.config.TPU.INT8_SCORE)
+                                * self.mesh.devices.size)
         transform = TwoImgSyncEval(self.config.DATA.IMG_SIZE)
 
         puzzles, im_names = [], []

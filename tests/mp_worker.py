@@ -1,8 +1,10 @@
-"""Worker process for the multi-process (multi-host) CPU tests.
+"""Worker process for the multi-process (multi-host) CPU tests and the
+driver dryrun's spawned phase.
 
-Launched by tests/test_multiprocess.py with RANK/WORLD_SIZE/MASTER_* env
-vars; each process gets 4 virtual CPU devices, so the pair covers the
-2-host x 4-device topology. Verifies, in order:
+Launched by tests/test_multiprocess.py (2 processes x 4 devices) or
+__graft_entry__.dryrun_multichip (4 processes x 2 devices) with
+RANK/WORLD_SIZE/MASTER_* env vars; MP_LOCAL_DEVICES sets each process's
+virtual CPU device count (default 4). Verifies, in order:
 
 1. maybe_init_distributed env:// rendezvous (mesh.py)
 2. a data-parallel train step over the GLOBAL mesh with per-process local
@@ -17,13 +19,59 @@ import os
 import sys
 
 
+def scan_only(outdir, rank, world, n_local):
+    """MP_SCAN_ONLY mode: just the sharded O(N^2) scan with npz-block
+    resumability; MP_CRASH_AFTER=k hard-kills THIS rank after its k-th
+    image load (mid-scan, after some blocks were cached) — the restart
+    must resume from the cached blocks and produce the identical matrix
+    (the reference's crash story, hisfrag.py:179-195, 260-276)."""
+    import jax
+    import numpy as np
+
+    from vit_ed_tpu.models.vit_ed import ViTED
+    from vit_ed_tpu.parallel.mesh import create_mesh
+    from vit_ed_tpu.parallel.pairs import PairwiseScorer
+
+    mesh = create_mesh()
+    model = ViTED(img_size=32, patch_size=16, num_classes=2, embed_dim=32,
+                  depth=1, c_depth=1, num_heads=2, use_pallas=False)
+    import jax.numpy as jnp
+
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 2, 32, 32, 3)))["params"]
+
+    img_rng = np.random.default_rng(0)   # same dataset every run
+    imgs = img_rng.normal(size=(12, 32, 32, 3)).astype(np.float32)
+    crash_after = int(os.environ.get("MP_CRASH_AFTER", "0"))
+    loads = [0]
+
+    class _DS:
+        def __getitem__(self, i):
+            loads[0] += 1
+            if crash_after and loads[0] > crash_after:
+                os._exit(17)   # simulated hard crash mid-scan
+            return imgs[i], i
+
+        def __len__(self):
+            return len(imgs)
+
+    scorer = PairwiseScorer(model, params, mesh, num_outputs=2, pair_chunk=8)
+    sim = scorer.score_dataset(_DS(), batch_size=2, rank=rank,
+                               world_size=world, num_workers=0,
+                               out_dir=outdir, tag="resume", resume=True)
+    np.save(os.path.join(outdir, f"scan_rank{rank}_sim.npy"), sim)
+    with open(os.path.join(outdir, f"scan_rank{rank}_ok"), "w") as f:
+        f.write("ok")
+
+
 def main():
     outdir = sys.argv[1]
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    n_local = int(os.environ.get("MP_LOCAL_DEVICES", "4"))
     flags = os.environ.get("XLA_FLAGS", "")
     if "host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (flags +
-                                   " --xla_force_host_platform_device_count=4").strip()
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={n_local}").strip()
 
     from vit_ed_tpu.parallel.mesh import (
         create_mesh,
@@ -41,9 +89,15 @@ def main():
 
     rank = jax.process_index()
     world = jax.process_count()
-    assert world == 2, f"expected 2 processes, got {world}"
-    assert len(jax.devices()) == 8, jax.devices()
-    assert len(jax.local_devices()) == 4
+    expected_world = int(os.environ["WORLD_SIZE"])
+    assert world == expected_world, f"expected {expected_world} processes, got {world}"
+    n_total = world * n_local
+    assert len(jax.devices()) == n_total, jax.devices()
+    assert len(jax.local_devices()) == n_local
+
+    if os.environ.get("MP_SCAN_ONLY") == "1":
+        scan_only(outdir, rank, world, n_local)
+        return
 
     from vit_ed_tpu.models.vit_ed import ViTED
     from vit_ed_tpu.parallel.pairs import PairwiseScorer
@@ -70,12 +124,13 @@ def main():
     step = make_train_step(model, tx, bce_with_logits, accum_steps=1)
 
     rng = np.random.default_rng(100 + rank)  # DIFFERENT local data per rank
+    local_bs = n_total // world   # one global sample per device
     local = {
-        "samples": rng.normal(size=(1, 4, 2, 32, 32, 3)).astype(np.float32),
-        "targets": (rng.random(size=(1, 4, 2)) > 0.5).astype(np.float32),
+        "samples": rng.normal(size=(1, local_bs, 2, 32, 32, 3)).astype(np.float32),
+        "targets": (rng.random(size=(1, local_bs, 2)) > 0.5).astype(np.float32),
     }
     batch = shard_host_batch(local, mesh, P(None, "data"))
-    assert batch["samples"].shape == (1, 8, 2, 32, 32, 3)  # global batch
+    assert batch["samples"].shape == (1, n_total, 2, 32, 32, 3)  # global batch
     state, metrics = step(state, batch, jax.random.PRNGKey(7))
     loss = float(jax.device_get(metrics["loss"]))
     assert np.isfinite(loss)
@@ -116,7 +171,9 @@ def main():
     from vit_ed_tpu.parallel.mesh import create_mesh as _cm
     from vit_ed_tpu.parallel.tp import shard_params_tp
 
-    mesh2d = _cm((2, 4), axis_names=("data", "model"))
+    # data axis = one shard per PROCESS so every process contributes one
+    # local sample; model axis spans the remaining devices
+    mesh2d = _cm((world, n_total // world), axis_names=("data", "model"))
     tp_params = shard_params_tp(host_params, mesh2d)
     tp_state = TrainState(params=tp_params, opt_state=tx.init(tp_params),
                           step=jnp.zeros((), jnp.int32))
@@ -126,7 +183,7 @@ def main():
         "targets": (rng_tp.random(size=(1, 1, 2)) > 0.5).astype(np.float32),
     }
     tp_batch = shard_host_batch(tp_local, mesh2d, P(None, "data"))
-    assert tp_batch["samples"].shape == (1, 2, 2, 32, 32, 3)
+    assert tp_batch["samples"].shape == (1, world, 2, 32, 32, 3)
     tp_state, tp_metrics = step(tp_state, tp_batch, jax.random.PRNGKey(9))
     tp_loss = float(jax.device_get(tp_metrics["loss"]))
     assert np.isfinite(tp_loss)

@@ -148,3 +148,44 @@ def test_encoder_parity(flax_model_and_params):
             f = f + _torch_attn(_ln(f, sd, f"{p}.norm1"), sd, f"{p}.attn", HEADS)
             f = f + _mlp(_ln(f, sd, f"{p}.norm2"), sd, f"{p}.mlp")
     np.testing.assert_allclose(feats_flax, f.numpy(), atol=2e-5, rtol=1e-4)
+
+
+def test_flagship_shape_roundtrip():
+    """Strict round-trip at the REAL pjs-S patch16_512 layout (embed 384,
+    depth 12+12, heads 6, 1025-token pos table, 1-logit head) — the
+    published-checkpoint path exercised at the exact production shapes
+    (reference models/build.py:15-32 + configs/hisfrag/hisfrag20_patch16_512.yaml).
+
+    Parameter SHAPES come from jax.eval_shape (no 190-GF init forward);
+    values are small random arrays, so equality failures pinpoint layout
+    bugs (qkv fusion order, conv kernel transposes) rather than init noise.
+    """
+    import flax
+
+    model = ViTED(img_size=512, patch_size=16, num_classes=1, embed_dim=384,
+                  depth=12, c_depth=12, num_heads=6, use_pallas=False)
+    shapes = jax.eval_shape(
+        lambda r: model.init(r, jnp.zeros((1, 2, 512, 512, 3))),
+        jax.random.PRNGKey(0))["params"]
+
+    rng = np.random.default_rng(0)
+    params = jax.tree.map(
+        lambda s: np.asarray(rng.normal(size=s.shape), np.float32), shapes)
+    assert params["pos_embed"].shape == (1, 1025, 384)
+    assert params["cls_token"].shape == (1, 1, 384)
+    assert params["head"]["kernel"].shape == (384, 1)
+
+    sd = params_to_torch_state_dict(params)
+    # the published-checkpoint layout: fused qkv/kv weights, torch [out, in]
+    assert sd["blocks.11.attn.qkv.weight"].shape == (3 * 384, 384)
+    assert sd["cross_blocks.11.cross_attn.kv.weight"].shape == (2 * 384, 384)
+    assert sd["patch_embed.proj.weight"].shape == (384, 3, 16, 16)
+    assert sd["pos_embed"].shape == (1, 1025, 384)
+
+    back = torch_state_dict_to_params(sd)
+    flat_a = flax.traverse_util.flatten_dict(params)
+    flat_b = flax.traverse_util.flatten_dict(back)
+    assert set(flat_a.keys()) == set(flat_b.keys())
+    for k in flat_a:
+        np.testing.assert_array_equal(np.asarray(flat_a[k]),
+                                      np.asarray(flat_b[k]), err_msg=str(k))

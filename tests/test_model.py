@@ -144,3 +144,9 @@ def test_scan_methods_equal_plain_path():
         adv = model.apply(variables, x[:, 1], method=model.prepare_x2_scan)
         out = model.apply(variables, feats, adv, method=model.score_tokens_scan)
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(out)), remat
+
+        # the cached-KV decomposition (context_kv_cache once per x1 row +
+        # score_tokens_kv per pair) must also be exactly equivalent
+        kv = model.apply(variables, feats, method=model.context_kv_cache)
+        out_kv = model.apply(variables, kv, adv, method=model.score_tokens_kv)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(out_kv)), remat

@@ -163,3 +163,71 @@ def test_sharded_rows_reproduce_full_matrix_and_metrics(mp_outputs):
                                   row_labels=labels[lo:hi]))
     ref = get_metrics(1 - sim[..., 0].astype(np.float32), labels)
     np.testing.assert_allclose(merge_partials(parts), ref, rtol=1e-12)
+
+
+def test_midscan_crash_restart_resumes_identically(tmp_path):
+    """Kill rank 1 mid-scan (after its first row blocks are cached as npz),
+    restart the whole 2-process job, and assert the resumed run's matrix
+    equals an uninterrupted run's — the reference's crash-resume story
+    (/root/reference/hisfrag.py:179-195, 260-276) without the
+    shared-filesystem polling."""
+
+    def run_pair(outdir, crash_rank=None, crash_after=0):
+        port = _free_port()
+        procs = []
+        for rank in range(2):
+            env = dict(os.environ)
+            env.pop("XLA_FLAGS", None)
+            env.update({
+                "JAX_PLATFORMS": "cpu",
+                "WORLD_SIZE": "2",
+                "RANK": str(rank),
+                "MASTER_ADDR": "localhost",
+                "MASTER_PORT": str(port),
+                "MP_LOCAL_DEVICES": "2",
+                "MP_SCAN_ONLY": "1",
+                "PYTHONPATH": _REPO,
+            })
+            if crash_rank == rank:
+                env["MP_CRASH_AFTER"] = str(crash_after)
+            procs.append(subprocess.Popen(
+                [sys.executable, _WORKER, outdir], env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+        return procs
+
+    # 1. crashing run: rank 1 dies after 8 image loads (past its first row
+    #    block); rank 0 then hangs at the allgather -> terminate it (a real
+    #    crash takes down the whole job)
+    crash_dir = str(tmp_path / "crash")
+    os.makedirs(crash_dir)
+    procs = run_pair(crash_dir, crash_rank=1, crash_after=8)
+    out1 = procs[1].communicate(timeout=600)[0]
+    assert procs[1].returncode == 17, f"rank1 did not crash as injected:\n{out1[-2000:]}"
+    try:
+        procs[0].communicate(timeout=30)
+    except subprocess.TimeoutExpired:
+        procs[0].terminate()
+        procs[0].communicate(timeout=60)
+    # some npz blocks must exist from before the crash
+    import glob as _glob
+    cached = _glob.glob(os.path.join(crash_dir, "resume_rank*_rows*.npz"))
+    assert cached, "crash happened before any block was cached"
+
+    # 2. restart: both ranks resume; must complete green
+    procs = run_pair(crash_dir)
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for rank, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"restarted rank {rank} failed:\n{out[-3000:]}"
+
+    # 3. uninterrupted reference run in a fresh dir
+    clean_dir = str(tmp_path / "clean")
+    os.makedirs(clean_dir)
+    procs = run_pair(clean_dir)
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for rank, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"clean rank {rank} failed:\n{out[-3000:]}"
+
+    for rank in range(2):
+        resumed = np.load(os.path.join(crash_dir, f"scan_rank{rank}_sim.npy"))
+        clean = np.load(os.path.join(clean_dir, f"scan_rank{rank}_sim.npy"))
+        np.testing.assert_array_equal(resumed, clean)

@@ -192,3 +192,94 @@ def test_custom_random_crop_uses_native_white_pct():
     dark = Image.new("RGB", (100, 100), (10, 10, 10))
     out = T.CustomRandomCrop(32)(dark)
     assert out.size == (32, 32)
+
+
+def test_native_color_jitter_bit_exact_vs_numpy_reference():
+    """vt_color_jitter == the numpy reference chain (transforms._jitter_apply)
+    for every op and random sequences; brightness/contrast/saturation also
+    == PIL ImageEnhance (the semantics they implement)."""
+    import random
+
+    from PIL import Image, ImageEnhance
+
+    from vit_ed_tpu.data import transforms as T
+    from vit_ed_tpu.native import pipeline as npipe
+
+    if not npipe.is_available():
+        pytest.skip("no C++ toolchain")
+
+    rng = np.random.default_rng(0)
+    arr = rng.integers(0, 256, (93, 71, 3), np.uint8)
+    img = Image.fromarray(arr)
+    for f in (0.55, 0.8, 1.0, 1.27, 1.6):
+        np.testing.assert_array_equal(
+            T._jitter_apply(arr.copy(), [("brightness", f)]),
+            np.asarray(ImageEnhance.Brightness(img).enhance(f)))
+        np.testing.assert_array_equal(
+            T._jitter_apply(arr.copy(), [("contrast", f)]),
+            np.asarray(ImageEnhance.Contrast(img).enhance(f)))
+        np.testing.assert_array_equal(
+            T._jitter_apply(arr.copy(), [("saturation", f)]),
+            np.asarray(ImageEnhance.Color(img).enhance(f)))
+
+    random.seed(7)
+    for _ in range(10):
+        ops = [("brightness", random.uniform(0.7, 1.3)),
+               ("contrast", random.uniform(0.7, 1.3)),
+               ("saturation", random.uniform(0.7, 1.3)),
+               ("hue", random.randint(-76, 76))]
+        random.shuffle(ops)
+        np.testing.assert_array_equal(npipe.color_jitter(arr, ops),
+                                      T._jitter_apply(arr.copy(), ops))
+
+
+def test_native_jpeg_decode_bit_exact_vs_pil():
+    """vt_jpeg_decode == PIL.Image.open(...).convert("RGB") (same system
+    libjpeg, same defaults) for baseline, progressive, and grayscale."""
+    import io
+
+    from PIL import Image
+
+    from vit_ed_tpu.native import pipeline as npipe
+
+    if not npipe.is_available():
+        pytest.skip("no C++ toolchain")
+
+    rng = np.random.default_rng(1)
+
+    def check(pil_img, **save_kw):
+        b = io.BytesIO()
+        pil_img.save(b, format="JPEG", **save_kw)
+        data = b.getvalue()
+        got = npipe.decode_jpeg(data)
+        ref = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+        assert got is not None
+        np.testing.assert_array_equal(got, ref)
+
+    for q in (70, 85, 95):
+        check(Image.fromarray(rng.integers(0, 256, (223, 117, 3), np.uint8)),
+              quality=q)
+    check(Image.fromarray(rng.integers(0, 256, (100, 80, 3), np.uint8)),
+          quality=85, progressive=True)
+    check(Image.fromarray(rng.integers(0, 256, (64, 64), np.uint8), "L"),
+          quality=85)
+    # non-JPEG bytes degrade to None (caller falls back to PIL)
+    assert npipe.decode_jpeg(b"not a jpeg") is None
+
+
+def test_open_rgb_jpeg_matches_pil(tmp_path):
+    from PIL import Image
+
+    from vit_ed_tpu.data import transforms as T
+
+    rng = np.random.default_rng(2)
+    arr = rng.integers(0, 256, (120, 90, 3), np.uint8)
+    path = str(tmp_path / "img.jpg")
+    Image.fromarray(arr).save(path, quality=90)
+    np.testing.assert_array_equal(
+        np.asarray(T.open_rgb(path)),
+        np.asarray(Image.open(path).convert("RGB")))
+    # png path goes through PIL unchanged
+    path2 = str(tmp_path / "img.png")
+    Image.fromarray(arr).save(path2)
+    np.testing.assert_array_equal(np.asarray(T.open_rgb(path2)), arr)

@@ -84,3 +84,40 @@ def test_row_ranges_cover_all_rows():
     ranges = balanced_row_ranges(iu[0], 4)
     rows = [r for rg in ranges for r in rg]
     assert rows == list(range(n))
+
+
+def test_native_pool_batch_prep_matches_per_sample(tmp_path):
+    """score_dataset with the native PipelinePool batch-prep path
+    (num_workers>0 + raw_image + OneImgEval.pool_crop) must produce the
+    same matrix as the per-sample path."""
+    from PIL import Image
+
+    from vit_ed_tpu.data.hisfrag import HisFrag20Test, Split
+    from vit_ed_tpu.data.transforms import OneImgEval
+    from vit_ed_tpu.models.vit_ed import ViTED
+    from vit_ed_tpu.native import pipeline as npipe
+    from vit_ed_tpu.parallel.mesh import create_mesh
+    from vit_ed_tpu.parallel.pairs import PairwiseScorer
+
+    if not npipe.is_available():
+        pytest.skip("no C++ toolchain")
+
+    rng = np.random.default_rng(0)
+    d = tmp_path / "test"
+    d.mkdir()
+    for w in range(3):
+        for f in range(3):
+            arr = rng.integers(0, 256, (72 + 8 * f, 80, 3), np.uint8)
+            Image.fromarray(arr).save(str(d / f"w{w}_0_{f}.jpg"), quality=92)
+
+    dataset = HisFrag20Test(str(tmp_path), Split.TEST,
+                            transform=OneImgEval(64, crop=True))
+    model = ViTED(img_size=64, patch_size=32, num_classes=1, embed_dim=16,
+                  depth=1, c_depth=1, num_heads=2, use_pallas=False)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 2, 64, 64, 3)))["params"]
+    mesh = create_mesh()
+    scorer = PairwiseScorer(model, params, mesh, num_outputs=1, pair_chunk=16)
+    sim_serial = scorer.score_dataset(dataset, batch_size=4, num_workers=0)
+    sim_pool = scorer.score_dataset(dataset, batch_size=4, num_workers=2)
+    np.testing.assert_array_equal(sim_serial, sim_pool)

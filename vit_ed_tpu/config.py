@@ -317,7 +317,6 @@ def default_config() -> ConfigNode:
     c.TPU.PROFILE_DIR = ""         # non-empty -> jax profiler traces land here
     c.TPU.PEAK_TFLOPS = 197.0      # per-chip bf16 peak for the MFU report (v5e)
     c.TPU.FAST_GELU = False        # tanh GELU (~+11%% decode); not bit-parity
-    c.TPU.INT8_SCORE = False       # int8 GEMMs in the O(N^2) scoring scan
     c.TPU.SHARDED_EVAL_METRICS = False  # never assemble the N x N matrix
 
     return c

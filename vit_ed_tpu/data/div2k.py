@@ -76,8 +76,7 @@ class DIV2KPatch:
 
     def read_image(self, index: int) -> Image.Image:
         img_path = self.dataset[index]
-        with Image.open(img_path) as f:
-            image = f.convert("RGB")
+        image = T.open_rgb(img_path)
         if self._split.is_train():
             if random.random() < 0.5:
                 image = image.transpose(Image.FLIP_LEFT_RIGHT)

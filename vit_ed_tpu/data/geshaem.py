@@ -128,8 +128,9 @@ class MergeDataset:
         return len(self.data)
 
     def __getitem__(self, idx: int):
-        with Image.open(self.data[idx]) as img:
-            image = self.transform(img.convert("RGB"))
+        from vit_ed_tpu.data.transforms import open_rgb
+
+        image = self.transform(open_rgb(self.data[idx]))
         return (np.asarray(image, np.float32),
                 np.asarray(self.data_labels[idx], np.int32))
 
@@ -203,10 +204,10 @@ class GeshaemPatch:
 
     def __getitem__(self, index: int):
         i, j = (int(x) for x in self.pairs[index])
-        with Image.open(self.data[i]) as f:
-            first = f.convert("RGB")
-        with Image.open(self.data[j]) as f:
-            second = f.convert("RGB")
+        from vit_ed_tpu.data.transforms import open_rgb
+
+        first = open_rgb(self.data[i])
+        second = open_rgb(self.data[j])
         if self.transform:
             first = self.transform(first)
             second = self.transform(second)

@@ -94,8 +94,9 @@ def _split_proportion(split: Split) -> Tuple[float, float]:
 
 
 def _load_rgb(path: str) -> Image.Image:
-    with Image.open(path) as f:
-        return f.convert("RGB")
+    from vit_ed_tpu.data.transforms import open_rgb
+
+    return open_rgb(path)
 
 
 class HisFrag20:
@@ -171,6 +172,12 @@ class HisFrag20Test:
                                     val_n_items_per_writer)
         self.samples = samples
         self.lower_bound = lower_bound
+
+    def raw_image(self, index: int) -> np.ndarray:
+        """Decoded u8 HWC image WITHOUT the transform — the native
+        batch-prep pool applies crop/resize/normalize in C++
+        (parallel/pairs.py wires this into the O(N^2) scan)."""
+        return np.asarray(_load_rgb(self.samples[index]), np.uint8)
 
     def __getitem__(self, index: int):
         index = index + self.lower_bound

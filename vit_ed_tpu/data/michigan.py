@@ -110,8 +110,9 @@ class MichiganDataset:
 
     def __getitem__(self, idx):
         fragment = self.data[idx]
-        with Image.open(fragment) as img:
-            image = self.transforms(img.convert("RGB"))
+        from vit_ed_tpu.data.transforms import open_rgb
+
+        image = self.transforms(open_rgb(fragment))
         label = self.data_labels[idx]
         return np.asarray(image, np.float32), np.asarray(label, np.int32)
 
@@ -133,8 +134,9 @@ class MichiganTest(MichiganDataset):
     def __getitem__(self, index: int):
         index = index + self.lower_bound
         fragment = self.data[index]
-        with Image.open(fragment) as img:
-            image = self.transforms(img.convert("RGB"))
+        from vit_ed_tpu.data.transforms import open_rgb
+
+        image = self.transforms(open_rgb(fragment))
         return np.asarray(image, np.float32), np.asarray(index, np.int64)
 
     def __len__(self):

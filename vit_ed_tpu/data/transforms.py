@@ -34,6 +34,27 @@ def _native_ok(img) -> bool:
             and img.mode == "RGB" and _npipe.is_available())
 
 
+def open_rgb(path: str) -> Image.Image:
+    """Image.open(path).convert("RGB") with the native libjpeg fast path.
+
+    For .jpg/.jpeg files the C++ decoder (native/pipeline.cc) is used —
+    bit-exact vs PIL (same system libjpeg, same defaults; verified in
+    tests/test_native_pipeline.py) and without PIL's lazy-file plumbing.
+    Everything else (or when the native build is unavailable) goes through
+    PIL unchanged."""
+    if (_npipe is not None and path.lower().endswith((".jpg", ".jpeg"))
+            and _npipe.is_available()):
+        try:
+            with open(path, "rb") as f:
+                arr = _npipe.decode_jpeg(f.read())
+            if arr is not None:
+                return Image.fromarray(arr)
+        except OSError:
+            pass
+    with Image.open(path) as f:
+        return f.convert("RGB")
+
+
 def _resize_target(img: Image.Image, size) -> Tuple[int, int]:
     """(out_h, out_w) under torchvision Resize semantics (see resize())."""
     if isinstance(size, int):
@@ -235,36 +256,108 @@ def random_affine(img: Image.Image, degrees=5, translate=(0.1, 0.1), fill=0,
     return Image.fromarray(out)
 
 
+def _pil_l_channel(arr: np.ndarray) -> np.ndarray:
+    """PIL convert("L"): (R*19595 + G*38470 + B*7471 + 0x8000) >> 16."""
+    return ((arr[..., 0].astype(np.uint32) * 19595
+             + arr[..., 1].astype(np.uint32) * 38470
+             + arr[..., 2].astype(np.uint32) * 7471 + 0x8000) >> 16)
+
+
+def _jitter_hue_int(arr: np.ndarray, shift: int) -> np.ndarray:
+    """Hue rotation through EXACT integer HSV (h = floor(255*num/(6*cr)),
+    s = floor(255*cr/maxc), v = maxc; back-conversion is PIL's float
+    HSV->RGB, verified bit-exact vs Image.convert). PIL's own float
+    RGB->HSV differs by +-1/255 hue on ~0.3% of pixels; the integer
+    forward is deterministic and portable, and the native C++ path
+    (native/pipeline.cc::jitter_hue) implements the identical formulas."""
+    r = arr[..., 0].astype(np.int64)
+    g = arr[..., 1].astype(np.int64)
+    b = arr[..., 2].astype(np.int64)
+    maxc = np.maximum(np.maximum(r, g), b)
+    minc = np.minimum(np.minimum(r, g), b)
+    cr = maxc - minc
+    crs = np.maximum(cr, 1)
+    num = np.where(r == maxc, g - b,
+                   np.where(g == maxc, 2 * cr + (b - r), 4 * cr + (r - g)))
+    num = num % (6 * crs)
+    h = np.where(cr == 0, 0, (255 * num) // (6 * crs))
+    s = np.where(cr == 0, 0, (255 * cr) // np.maximum(maxc, 1))
+    v = maxc
+
+    h = (h + shift) % 256
+    f32 = np.float32
+    hf = (h.astype(f32) / f32(255.0)).astype(f32)
+    sf = (s.astype(f32) / f32(255.0)).astype(f32)
+    vf = v.astype(f32)
+    i6 = (hf * f32(6.0)).astype(np.int32)
+    fr = (hf * f32(6.0) - i6.astype(f32)).astype(f32)
+    p = (vf * (f32(1.0) - sf) + f32(0.5)).astype(np.int32)
+    q = (vf * (f32(1.0) - sf * fr) + f32(0.5)).astype(np.int32)
+    t = (vf * (f32(1.0) - sf * (f32(1.0) - fr)) + f32(0.5)).astype(np.int32)
+    vi = v.astype(np.int32)
+    im = i6 % 6
+    sel = lambda a0, a1, a2, a3, a4, a5: np.select(
+        [im == 0, im == 1, im == 2, im == 3, im == 4, im == 5],
+        [a0, a1, a2, a3, a4, a5])
+    out = np.stack([sel(vi, q, p, p, t, vi),
+                    sel(t, vi, vi, q, p, p),
+                    sel(p, p, t, vi, vi, q)], axis=-1)
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def _jitter_apply(arr: np.ndarray, ops) -> np.ndarray:
+    """numpy reference for the jitter op sequence; formulas identical to
+    native/pipeline.cc::vt_color_jitter (brightness/contrast/saturation
+    are PIL ImageEnhance bit-exact: float32 blend with the degenerate
+    image, truncating cast)."""
+    f32 = np.float32
+    for op, f in ops:
+        x = arr.astype(f32)
+        if op == "brightness":
+            arr = np.clip((f32(f) * x).astype(np.int32), 0, 255).astype(np.uint8)
+        elif op == "contrast":
+            mean = f32(int(_pil_l_channel(arr).mean() + 0.5))
+            arr = np.clip((mean + f32(f) * (x - mean)).astype(np.int32),
+                          0, 255).astype(np.uint8)
+        elif op == "saturation":
+            l = _pil_l_channel(arr).astype(f32)[..., None]
+            arr = np.clip((l + f32(f) * (x - l)).astype(np.int32),
+                          0, 255).astype(np.uint8)
+        elif op == "hue":
+            arr = _jitter_hue_int(arr, int(f))
+    return arr
+
+
 def color_jitter(img: Image.Image, brightness=0.3, contrast=0.3, saturation=0.3,
                  hue=0.3, p=0.5) -> Image.Image:
-    """torchvision ColorJitter equivalent (random order of 4 adjustments)."""
+    """torchvision ColorJitter equivalent (random order of 4 adjustments).
+
+    Brightness/contrast/saturation keep PIL ImageEnhance semantics exactly
+    (float32 blend, truncating cast — verified vs ImageEnhance in
+    tests/test_native_pipeline.py); hue rotates through exact integer HSV
+    (see _jitter_hue_int). The native C++ path applies the identical op
+    sequence in fused passes and is bit-exact vs the numpy path."""
     if random.random() >= p:
         return img
-    from PIL import ImageEnhance
-
     ops = []
     if brightness:
-        f = random.uniform(max(0, 1 - brightness), 1 + brightness)
-        ops.append(lambda im: ImageEnhance.Brightness(im).enhance(f))
+        ops.append(("brightness",
+                    random.uniform(max(0, 1 - brightness), 1 + brightness)))
     if contrast:
-        f = random.uniform(max(0, 1 - contrast), 1 + contrast)
-        ops.append(lambda im: ImageEnhance.Contrast(im).enhance(f))
+        ops.append(("contrast",
+                    random.uniform(max(0, 1 - contrast), 1 + contrast)))
     if saturation:
-        f = random.uniform(max(0, 1 - saturation), 1 + saturation)
-        ops.append(lambda im: ImageEnhance.Color(im).enhance(f))
+        ops.append(("saturation",
+                    random.uniform(max(0, 1 - saturation), 1 + saturation)))
     if hue:
-        shift = random.uniform(-hue, hue)
-
-        def hue_op(im, shift=shift):
-            hsv = np.asarray(im.convert("HSV")).copy()
-            hsv[..., 0] = (hsv[..., 0].astype(np.int16) + int(shift * 255)) % 256
-            return Image.fromarray(hsv, "HSV").convert("RGB")
-
-        ops.append(hue_op)
+        ops.append(("hue", int(random.uniform(-hue, hue) * 255)))
     random.shuffle(ops)
-    for op in ops:
-        img = op(img)
-    return img
+    if _native_ok(img):
+        return Image.fromarray(_npipe.color_jitter(img, ops))
+    arr = np.asarray(img, np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        return img
+    return Image.fromarray(_jitter_apply(arr, ops))
 
 
 class GaussianBlur:
@@ -309,17 +402,27 @@ class OneImgEval:
         self.image_size = image_size
         self.crop = crop
 
-    def __call__(self, img):
-        if _native_ok(img):
-            if not self.crop:
-                return _npipe.prep(img, _resize_target(img, self.image_size))
+    def pool_crop(self, shape_hw):
+        """(crop_rect, out_size) for the native batch-prep pool, or None
+        when this image needs the Python fallback (padding case)."""
+        h, w = shape_hw
+        if self.crop:
             th, tw = ((self.image_size, self.image_size)
                       if isinstance(self.image_size, int) else self.image_size)
-            w, h = img.size
-            if w >= tw and h >= th:  # pad-needed case falls back below
+            if w >= tw and h >= th:
                 left = int(round((w - tw) / 2.0))
                 top = int(round((h - th) / 2.0))
-                return _npipe.prep(img, (th, tw), crop=(top, left, th, tw))
+                return (top, left, th, tw), (th, tw)
+            return None
+        class _Sz:
+            size = (w, h)
+        return (0, 0, h, w), _resize_target(_Sz, self.image_size)
+
+    def __call__(self, img):
+        if _native_ok(img):
+            pc = self.pool_crop((img.size[1], img.size[0]))
+            if pc is not None:
+                return _npipe.prep(img, pc[1], crop=pc[0])
         img = center_crop(img, self.image_size) if self.crop else resize(img, self.image_size)
         return normalize(to_tensor(img))
 

@@ -14,7 +14,6 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from vit_ed_tpu.ops.quant import QuantDense
 from vit_ed_tpu.ops.attention import (
     attention_probs,
     fused_attention,
@@ -87,11 +86,10 @@ class Mlp(nn.Module):
     dropout: float = 0.0
     dtype: Dtype = jnp.float32
     fast_gelu: bool = False
-    int8_gemm: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        dense = QuantDense if self.int8_gemm else nn.Dense
+        dense = nn.Dense
         x = dense(self.hidden_dim, dtype=self.dtype, kernel_init=trunc_normal_init,
                   name="fc1")(x)
         x = jax.nn.gelu(x, approximate=True) if self.fast_gelu else gelu_exact(x)
@@ -132,15 +130,17 @@ def _per_head_norm(x, num_heads, ln):
     return ln(x.reshape(b, n, num_heads, d)).reshape(b, n, c)
 
 
-def _explicit_attention(mod, q, k, v, num_heads, attn_drop, keep_attn,
+def _explicit_attention(mod, q, k, v, num_heads, dropout, keep_attn,
                         deterministic):
     """Reference manual path: explicit probabilities (sown for keep_attn)
-    with dropout applied to them (vision_transformer.py:68-75)."""
+    with dropout applied to them (vision_transformer.py:68-75).
+    ``dropout`` is an nn.Dropout module (setup-defined callers cannot
+    create submodules inline)."""
     qh, kh, vh = (_split_heads(t, num_heads) for t in (q, k, v))
     attn = attention_probs(qh, kh)
     if keep_attn:
         mod.sow("intermediates", "attn", attn)
-    attn = nn.Dropout(attn_drop)(attn, deterministic=deterministic)
+    attn = dropout(attn, deterministic=deterministic)
     out = jnp.einsum("bhqk,bhkd->bhqd", attn.astype(vh.dtype), vh)
     return _merge_heads(out)
 
@@ -167,11 +167,10 @@ class Attention(nn.Module):
     keep_attn: bool = False
     use_pallas: Optional[bool] = None
     dtype: Dtype = jnp.float32
-    int8_gemm: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        dense = QuantDense if self.int8_gemm else nn.Dense
+        dense = nn.Dense
         qkv = dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype,
                     kernel_init=trunc_normal_init, name="qkv")(x)
         explicit = self.keep_attn or (self.attn_drop > 0.0 and not deterministic)
@@ -191,8 +190,8 @@ class Attention(nn.Module):
                                                 name="k_norm"))
             if explicit:
                 out = _explicit_attention(self, q, k, v, self.num_heads,
-                                          self.attn_drop, self.keep_attn,
-                                          deterministic)
+                                          nn.Dropout(self.attn_drop),
+                                          self.keep_attn, deterministic)
             else:
                 out = fused_attention_packed(q, k, v, self.num_heads,
                                              use_pallas=self.use_pallas)
@@ -205,7 +204,12 @@ class Attention(nn.Module):
 
 class CrossAttention(nn.Module):
     """Q from the decoder stream, K/V from the encoder context
-    (vision_transformer.py:130-200)."""
+    (vision_transformer.py:130-200).
+
+    Split into ``kv_for`` (the context-only K/V projection) and
+    ``attend_kv`` (query projection + attention + output projection): the
+    O(N^2) pair scan computes ``kv_for`` ONCE per x1 row and reuses it for
+    every pair sharing that context (ViTED.context_kv_cache)."""
 
     dim: int
     num_heads: int = 8
@@ -216,15 +220,31 @@ class CrossAttention(nn.Module):
     keep_attn: bool = False
     use_pallas: Optional[bool] = None
     dtype: Dtype = jnp.float32
-    int8_gemm: bool = False
 
-    @nn.compact
-    def __call__(self, x, context, deterministic: bool = True):
-        dense = QuantDense if self.int8_gemm else nn.Dense
-        q = dense(self.dim, use_bias=self.qkv_bias, dtype=self.dtype,
-                  kernel_init=trunc_normal_init, name="q")(x)
-        kv = dense(self.dim * 2, use_bias=self.qkv_bias, dtype=self.dtype,
-                   kernel_init=trunc_normal_init, name="kv")(context)
+    def setup(self):
+        dense = nn.Dense
+        self.q_dense = dense(self.dim, use_bias=self.qkv_bias, dtype=self.dtype,
+                             kernel_init=trunc_normal_init, name="q")
+        self.kv_dense = dense(self.dim * 2, use_bias=self.qkv_bias,
+                              dtype=self.dtype, kernel_init=trunc_normal_init,
+                              name="kv")
+        self.proj = dense(self.dim, dtype=self.dtype,
+                          kernel_init=trunc_normal_init, name="proj")
+        self.proj_dropout = nn.Dropout(self.proj_drop)
+        self.attn_dropout = nn.Dropout(self.attn_drop)
+        if self.qk_norm:
+            self.q_norm = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                       name="q_norm")
+            self.k_norm = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                       name="k_norm")
+
+    def kv_for(self, context):
+        """Fused K/V projection of the (already norm_context-ed) context."""
+        return self.kv_dense(context)
+
+    def attend_kv(self, x, kv, deterministic: bool = True):
+        """Attention from the decoder stream against a precomputed kv."""
+        q = self.q_dense(x)
         explicit = self.keep_attn or (self.attn_drop > 0.0 and not deterministic)
         if not explicit and not self.qk_norm:
             out = fused_attention_packed_kv(q, kv, self.num_heads,
@@ -232,24 +252,21 @@ class CrossAttention(nn.Module):
         else:
             k, v = jnp.split(kv, 2, axis=-1)
             if self.qk_norm:
-                q = _per_head_norm(q, self.num_heads,
-                                   nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
-                                                name="q_norm"))
-                k = _per_head_norm(k, self.num_heads,
-                                   nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
-                                                name="k_norm"))
+                q = _per_head_norm(q, self.num_heads, self.q_norm)
+                k = _per_head_norm(k, self.num_heads, self.k_norm)
             if explicit:
                 out = _explicit_attention(self, q, k, v, self.num_heads,
-                                          self.attn_drop, self.keep_attn,
+                                          self.attn_dropout, self.keep_attn,
                                           deterministic)
             else:
                 out = fused_attention_packed(q, k, v, self.num_heads,
                                              use_pallas=self.use_pallas)
 
-        out = dense(self.dim, dtype=self.dtype, kernel_init=trunc_normal_init,
-                    name="proj")(out)
-        out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
-        return out
+        out = self.proj(out)
+        return self.proj_dropout(out, deterministic=deterministic)
+
+    def __call__(self, x, context, deterministic: bool = True):
+        return self.attend_kv(x, self.kv_for(context), deterministic)
 
 
 class Block(nn.Module):
@@ -268,14 +285,13 @@ class Block(nn.Module):
     use_pallas: Optional[bool] = None
     dtype: Dtype = jnp.float32
     fast_gelu: bool = False
-    int8_gemm: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         y = Attention(self.dim, self.num_heads, self.qkv_bias, self.qk_norm,
                       self.attn_drop, self.proj_drop, self.keep_attn,
-                      self.use_pallas, self.dtype, int8_gemm=self.int8_gemm,
+                      self.use_pallas, self.dtype,
                       name="attn")(y, deterministic)
         if self.init_values:
             y = LayerScale(self.dim, self.init_values, name="ls1")(y)
@@ -283,7 +299,7 @@ class Block(nn.Module):
 
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         y = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.proj_drop,
-                self.dtype, self.fast_gelu, int8_gemm=self.int8_gemm,
+                self.dtype, self.fast_gelu,
                 name="mlp")(y, deterministic)
         if self.init_values:
             y = LayerScale(self.dim, self.init_values, name="ls2")(y)
@@ -314,14 +330,12 @@ class CrossBlock(nn.Module):
     use_pallas: Optional[bool] = None
     dtype: Dtype = jnp.float32
     fast_gelu: bool = False
-    int8_gemm: bool = False
 
     def setup(self):
         self.norm1 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")
         self.attn = Attention(self.dim, self.num_heads, self.qkv_bias,
                               self.qk_norm, self.attn_drop, self.proj_drop,
-                              self.keep_attn, self.use_pallas, self.dtype,
-                              int8_gemm=self.int8_gemm, name="attn")
+                              self.keep_attn, self.use_pallas, self.dtype, name="attn")
         self.norm_cross = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
                                        name="norm_cross")
         self.norm_context = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
@@ -330,12 +344,11 @@ class CrossBlock(nn.Module):
                                          self.qkv_bias, self.qk_norm,
                                          self.attn_drop, self.proj_drop,
                                          self.keep_attn, self.use_pallas,
-                                         self.dtype, int8_gemm=self.int8_gemm,
+                                         self.dtype,
                                          name="cross_attn")
         self.norm2 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")
         self.mlp = Mlp(int(self.dim * self.mlp_ratio), self.dim,
-                       self.proj_drop, self.dtype, self.fast_gelu,
-                       int8_gemm=self.int8_gemm, name="mlp")
+                       self.proj_drop, self.dtype, self.fast_gelu, name="mlp")
         if self.init_values:
             self.ls1 = LayerScale(self.dim, self.init_values, name="ls1")
             self.ls_cross = LayerScale(self.dim, self.init_values,
@@ -351,10 +364,15 @@ class CrossBlock(nn.Module):
             y = self.ls1(y)
         return x + self.drop_path1(y, deterministic)
 
-    def cross_mlp(self, x, context, deterministic: bool = True):
-        y = self.norm_cross(x)
-        ctx = self.norm_context(context)
-        y = self.cross_attn(y, ctx, deterministic)
+    def context_kv(self, context):
+        """The context-only half of the cross-attention: norm_context +
+        fused K/V projection. Depends only on the encoder features, so the
+        O(N^2) scan computes it once per x1 row (ViTED.context_kv_cache)."""
+        return self.cross_attn.kv_for(self.norm_context(context))
+
+    def cross_mlp_kv(self, x, kv, deterministic: bool = True):
+        """cross_mlp with a precomputed ``context_kv`` result."""
+        y = self.cross_attn.attend_kv(self.norm_cross(x), kv, deterministic)
         if self.init_values:
             y = self.ls_cross(y)
         x = x + self.drop_path_cross(y, deterministic)
@@ -363,6 +381,9 @@ class CrossBlock(nn.Module):
         if self.init_values:
             y = self.ls2(y)
         return x + self.drop_path2(y, deterministic)
+
+    def cross_mlp(self, x, context, deterministic: bool = True):
+        return self.cross_mlp_kv(x, self.context_kv(context), deterministic)
 
     def __call__(self, x, context, deterministic: bool = True):
         return self.cross_mlp(self.self_part(x, deterministic), context,

@@ -35,10 +35,14 @@ def build_and_load(src: str, lib_path: str, extra_flags=()):
 
     def _compile() -> bool:
         tmp = f"{lib_path}.{os.getpid()}.tmp"
+        # library flags must FOLLOW the source, or the linker records no
+        # DT_NEEDED for them and dlopen fails with unresolved symbols
+        libs = [f for f in extra_flags if f.startswith("-l")]
+        flags = [f for f in extra_flags if not f.startswith("-l")]
         try:
             subprocess.run(
                 ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                 "-std=c++17", *extra_flags, src, "-o", tmp],
+                 "-std=c++17", *flags, src, "-o", tmp, *libs],
                 check=True, capture_output=True, timeout=120)
             os.replace(tmp, lib_path)
             return True

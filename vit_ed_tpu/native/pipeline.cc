@@ -22,13 +22,27 @@
 #include <atomic>
 #include <cmath>
 #include <condition_variable>
+#include <csetjmp>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <functional>
 #include <mutex>
 #include <queue>
 #include <thread>
 #include <vector>
+
+// JPEG decode via the system libjpeg (the SAME library PIL links, with the
+// same defaults — JDCT_ISLOW, fancy upsampling — so outputs are bit-exact
+// vs PIL.Image.open(...).convert("RGB") for baseline/progressive JPEGs;
+// verified in tests/test_native_pipeline.py). Compiled out when jpeglib is
+// unavailable (-DVT_NO_JPEG fallback build).
+#if !defined(VT_NO_JPEG) && __has_include(<jpeglib.h>)
+#define VT_HAVE_JPEG 1
+#include <jpeglib.h>
+#else
+#define VT_HAVE_JPEG 0
+#endif
 
 namespace {
 
@@ -348,6 +362,188 @@ int vt_prep_one(const uint8_t* src, int h, int w, int c, int y0, int x0,
   std::vector<uint8_t> scratch(static_cast<size_t>(oh) * ow * c);
   return prep_one(src, h, w, c, y0, x0, ch_, cw_, oh, ow, filter, mean, std_,
                   out, scratch.data());
+}
+
+// ---------------------------------------------------------------------------
+// Color jitter (data/transforms.py::color_jitter): PIL ImageEnhance
+// brightness/contrast/saturation semantics (float32 blend with the
+// degenerate image, truncating cast — verified bit-exact vs PIL over
+// random factors in tests/test_native_pipeline.py) plus the integer-HSV
+// hue shift (h = floor(255*num/(6*cr)) exactly; PIL's float convert("HSV")
+// differs by +-1/255 hue on ~0.3% of pixels — the numpy reference path in
+// transforms.py uses the SAME integer formula, so native and Python are
+// bit-identical).
+// ---------------------------------------------------------------------------
+
+inline uint8_t clip255(int v) {
+  return v < 0 ? 0 : (v > 255 ? 255 : static_cast<uint8_t>(v));
+}
+
+void jitter_brightness(uint8_t* p, int64_t n, float f) {
+  // blend(black, img, f): (int)(f * x)
+  for (int64_t i = 0; i < n; ++i)
+    p[i] = clip255(static_cast<int>(f * static_cast<float>(p[i])));
+}
+
+void jitter_contrast(uint8_t* p, int64_t n_px, float f) {
+  // degenerate = solid gray at int(mean(L) + 0.5)
+  uint64_t sum = 0;
+  for (int64_t i = 0; i < n_px; ++i) {
+    const uint8_t* q = p + i * 3;
+    sum += (q[0] * 19595u + q[1] * 38470u + q[2] * 7471u + 0x8000u) >> 16;
+  }
+  float mean = static_cast<float>(
+      static_cast<int>(static_cast<double>(sum) / n_px + 0.5));
+  for (int64_t i = 0; i < n_px * 3; ++i)
+    p[i] = clip255(static_cast<int>(mean + f * (static_cast<float>(p[i]) - mean)));
+}
+
+void jitter_saturation(uint8_t* p, int64_t n_px, float f) {
+  // degenerate = per-pixel gray (PIL "L")
+  for (int64_t i = 0; i < n_px; ++i) {
+    uint8_t* q = p + i * 3;
+    float l = static_cast<float>(
+        (q[0] * 19595u + q[1] * 38470u + q[2] * 7471u + 0x8000u) >> 16);
+    for (int ch = 0; ch < 3; ++ch)
+      q[ch] = clip255(static_cast<int>(l + f * (static_cast<float>(q[ch]) - l)));
+  }
+}
+
+void jitter_hue(uint8_t* p, int64_t n_px, int shift) {
+  for (int64_t i = 0; i < n_px; ++i) {
+    uint8_t* q = p + i * 3;
+    int r = q[0], g = q[1], b = q[2];
+    int maxc = r > g ? (r > b ? r : b) : (g > b ? g : b);
+    int minc = r < g ? (r < b ? r : b) : (g < b ? g : b);
+    int cr = maxc - minc;
+    int h, s;
+    if (cr == 0) {
+      h = 0;
+      s = 0;
+    } else {
+      // exact integer hue: num in [0, 6*cr)
+      int num = (r == maxc) ? (g - b)
+                            : ((g == maxc) ? 2 * cr + (b - r) : 4 * cr + (r - g));
+      num %= 6 * cr;
+      if (num < 0) num += 6 * cr;
+      h = (255 * num) / (6 * cr);
+      s = (255 * cr) / maxc;
+    }
+    int v = maxc;
+    h = (h + shift) % 256;
+    if (h < 0) h += 256;
+    // HSV -> RGB, PIL convert semantics (float32; verified bit-exact)
+    float hf = static_cast<float>(h) / 255.0f;
+    float sf = static_cast<float>(s) / 255.0f;
+    float vf = static_cast<float>(v);
+    int i6 = static_cast<int>(hf * 6.0f);
+    float fr = hf * 6.0f - static_cast<float>(i6);
+    int pp = static_cast<int>(vf * (1.0f - sf) + 0.5f);
+    int qq = static_cast<int>(vf * (1.0f - sf * fr) + 0.5f);
+    int tt = static_cast<int>(vf * (1.0f - sf * (1.0f - fr)) + 0.5f);
+    int vi = v;
+    switch (i6 % 6) {
+      case 0: q[0] = clip255(vi); q[1] = clip255(tt); q[2] = clip255(pp); break;
+      case 1: q[0] = clip255(qq); q[1] = clip255(vi); q[2] = clip255(pp); break;
+      case 2: q[0] = clip255(pp); q[1] = clip255(vi); q[2] = clip255(tt); break;
+      case 3: q[0] = clip255(pp); q[1] = clip255(qq); q[2] = clip255(vi); break;
+      case 4: q[0] = clip255(tt); q[1] = clip255(pp); q[2] = clip255(vi); break;
+      default: q[0] = clip255(vi); q[1] = clip255(pp); q[2] = clip255(qq); break;
+    }
+  }
+}
+
+// In-place jitter on an RGB u8 buffer. ops[i] in {0: brightness,
+// 1: contrast, 2: saturation, 3: hue}; factors[i] is the enhance factor
+// (ops 0-2) or the hue shift in [-255, 255] (op 3, pre-rounded to int).
+void vt_color_jitter(uint8_t* img, int64_t n_px, const int32_t* ops,
+                     const float* factors, int n_ops) {
+  for (int i = 0; i < n_ops; ++i) {
+    switch (ops[i]) {
+      case 0: jitter_brightness(img, n_px * 3, factors[i]); break;
+      case 1: jitter_contrast(img, n_px, factors[i]); break;
+      case 2: jitter_saturation(img, n_px, factors[i]); break;
+      case 3: jitter_hue(img, n_px, static_cast<int>(factors[i])); break;
+      default: break;
+    }
+  }
+}
+
+#if VT_HAVE_JPEG
+struct VtJpegErr {
+  jpeg_error_mgr mgr;
+  jmp_buf jb;
+};
+
+void vt_jpeg_error_exit(j_common_ptr cinfo) {
+  longjmp(reinterpret_cast<VtJpegErr*>(cinfo->err)->jb, 1);
+}
+#endif
+
+// Parse a JPEG's output dimensions: hw = {height, width, channels}.
+// Returns 0 on success, nonzero on parse failure / no libjpeg.
+int vt_jpeg_dims(const uint8_t* buf, int64_t len, int32_t* hw) {
+#if VT_HAVE_JPEG
+  jpeg_decompress_struct cinfo;
+  VtJpegErr err;
+  cinfo.err = jpeg_std_error(&err.mgr);
+  err.mgr.error_exit = vt_jpeg_error_exit;
+  if (setjmp(err.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 2;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, buf, static_cast<unsigned long>(len));
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_calc_output_dimensions(&cinfo);
+  hw[0] = static_cast<int32_t>(cinfo.output_height);
+  hw[1] = static_cast<int32_t>(cinfo.output_width);
+  hw[2] = 3;
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+#else
+  (void)buf; (void)len; (void)hw;
+  return 1;
+#endif
+}
+
+// Decode a JPEG into a preallocated RGB u8 buffer [h, w, 3] (dims from
+// vt_jpeg_dims). Returns 0 on success.
+int vt_jpeg_decode(const uint8_t* buf, int64_t len, uint8_t* out, int h,
+                   int w) {
+#if VT_HAVE_JPEG
+  jpeg_decompress_struct cinfo;
+  VtJpegErr err;
+  cinfo.err = jpeg_std_error(&err.mgr);
+  err.mgr.error_exit = vt_jpeg_error_exit;
+  if (setjmp(err.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 2;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, buf, static_cast<unsigned long>(len));
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;   // PIL convert("RGB") target
+  jpeg_start_decompress(&cinfo);
+  if (static_cast<int>(cinfo.output_height) != h ||
+      static_cast<int>(cinfo.output_width) != w ||
+      cinfo.output_components != 3) {
+    jpeg_abort_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return 3;
+  }
+  while (cinfo.output_scanline < cinfo.output_height) {
+    JSAMPROW row = out + static_cast<int64_t>(cinfo.output_scanline) * w * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+#else
+  (void)buf; (void)len; (void)out; (void)h; (void)w;
+  return 1;
+#endif
 }
 
 void* vt_pool_create(int n_threads) { return new Pool(n_threads); }

@@ -46,7 +46,11 @@ def _load():
             return None
         from vit_ed_tpu.native import build_and_load
 
-        lib = build_and_load(_SRC, _LIB_PATH, extra_flags=("-pthread",))
+        lib = build_and_load(_SRC, _LIB_PATH, extra_flags=("-pthread", "-ffp-contract=off", "-ljpeg"))
+        if lib is None:
+            # no system libjpeg: rebuild with the decoder compiled out
+            lib = build_and_load(_SRC, _LIB_PATH,
+                                 extra_flags=("-pthread", "-ffp-contract=off", "-DVT_NO_JPEG"))
         if lib is None:
             _build_failed = True
             return None
@@ -63,6 +67,14 @@ def _load():
         lib.vt_prep_one.restype = ctypes.c_int
         lib.vt_prep_one.argtypes = [_u8] + [ctypes.c_int] * 10 + \
             [_f32, _f32, _f32]
+        lib.vt_color_jitter.restype = None
+        lib.vt_color_jitter.argtypes = [_u8, ctypes.c_int64, _i32, _f32,
+                                        ctypes.c_int]
+        lib.vt_jpeg_dims.restype = ctypes.c_int
+        lib.vt_jpeg_dims.argtypes = [_u8, ctypes.c_int64, _i32]
+        lib.vt_jpeg_decode.restype = ctypes.c_int
+        lib.vt_jpeg_decode.argtypes = [_u8, ctypes.c_int64, _u8,
+                                       ctypes.c_int, ctypes.c_int]
         lib.vt_pool_create.restype = ctypes.c_void_p
         lib.vt_pool_create.argtypes = [ctypes.c_int]
         lib.vt_pool_destroy.restype = None
@@ -148,6 +160,44 @@ def prep(img, size: Tuple[int, int],
                          _f32v(mean, c), _f32v(std, c), out)
     if rc != 0:
         raise ValueError(f"vt_prep_one failed (crop {crop} of {arr.shape})")
+    return out
+
+
+def color_jitter(img, ops) -> np.ndarray:
+    """In-place-on-copy color jitter on an RGB image.
+
+    ``ops`` is a sequence of (op, factor) with op in {"brightness",
+    "contrast", "saturation"} (factor = PIL ImageEnhance factor) or
+    ("hue", integer shift in [-255, 255]). Bit-exact vs the numpy
+    reference chain in data/transforms.py (the same formulas)."""
+    lib = _load()
+    arr = _as_u8(img).copy()
+    h, w, c = arr.shape
+    if c != 3:
+        raise ValueError("color_jitter requires RGB")
+    codes = {"brightness": 0, "contrast": 1, "saturation": 2, "hue": 3}
+    op_arr = np.asarray([codes[o] for o, _ in ops], np.int32)
+    f_arr = np.asarray([f for _, f in ops], np.float32)
+    lib.vt_color_jitter(arr.reshape(-1), h * w, op_arr, f_arr, len(ops))
+    return arr
+
+
+def decode_jpeg(data: bytes) -> Optional[np.ndarray]:
+    """Decode a JPEG byte string to an RGB u8 array, bit-exact vs
+    PIL.Image.open(...).convert("RGB") (same libjpeg, same defaults).
+    Returns None when the native decoder is unavailable or the stream is
+    not decodable (caller falls back to PIL)."""
+    lib = _load()
+    if lib is None:
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    hw = np.zeros(3, np.int32)
+    if lib.vt_jpeg_dims(buf, len(data), hw) != 0:
+        return None
+    out = np.empty((int(hw[0]), int(hw[1]), 3), np.uint8)
+    if lib.vt_jpeg_decode(buf, len(data), out.reshape(-1), int(hw[0]),
+                          int(hw[1])) != 0:
+        return None
     return out
 
 

