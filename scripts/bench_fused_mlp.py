@@ -42,36 +42,31 @@ def timed(fn, args, iters=20):
     return (time.time() - t0) / iters
 
 
-def _erf(z):
-    """Abramowitz-Stegun 7.1.26 minimax erf (f32, max abs error 1.5e-7 —
-    below bf16 output resolution). Mosaic has no erf primitive."""
-    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
-                          -1.453152027, 1.061405429)
-    p = 0.3275911
-    s = jnp.sign(z)
-    za = jnp.abs(z)
-    t = 1.0 / (1.0 + p * za)
-    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
-    return s * (1.0 - poly * jnp.exp(-za * za))
+from vit_ed_tpu.ops.gelu import _SQRT_HALF, erfc_bf16
 
 
-def _gelu_exact(x):
-    return 0.5 * x * (1.0 + _erf(x * np.float32(1.0 / np.sqrt(2.0))))
+def _gelu_bf16(h):
+    """gelu_exact's exact bf16 op chain (ops/gelu.py:137-139)."""
+    sqrt_half = jnp.asarray(_SQRT_HALF, jnp.bfloat16)
+    return (0.5 * h) * erfc_bf16(-h * sqrt_half)
 
 
 def mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, chunk, hidden):
+    """Replicates the XLA (flax Dense) op sequence exactly: dot output
+    rounded to bf16, bias added in bf16, the bit-exact GELU chain, second
+    dot rounded to bf16, bias in bf16."""
     x = x_ref[...]                       # [bq, d]
     acc = jnp.zeros((x.shape[0], o_ref.shape[-1]), jnp.float32)
     for c0 in range(0, hidden, chunk):
         h = jax.lax.dot_general(
             x, w1_ref[:, c0:c0 + chunk], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        h = (h + b1_ref[0, c0:c0 + chunk][None, :]).astype(jnp.bfloat16)
-        g = _gelu_exact(h.astype(jnp.float32))
+        h = h.astype(jnp.bfloat16) + b1_ref[0, c0:c0 + chunk][None, :]
+        g = _gelu_bf16(h)
         acc = acc + jax.lax.dot_general(
-            g.astype(jnp.bfloat16), w2_ref[c0:c0 + chunk, :],
+            g, w2_ref[c0:c0 + chunk, :],
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    o_ref[...] = (acc + b2_ref[0][None, :]).astype(o_ref.dtype)
+    o_ref[...] = acc.astype(o_ref.dtype) + b2_ref[0][None, :]
 
 
 def fused_mlp(x, w1, b1, w2, b2, block_m=512, chunk=512):
@@ -98,35 +93,38 @@ def fused_mlp(x, w1, b1, w2, b2, block_m=512, chunk=512):
 
 
 def xla_mlp(x, w1, b1, w2, b2):
-    h = (jax.lax.dot_general(x, w1, (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-         + b1[0][None, :]).astype(jnp.bfloat16)
-    g = jax.nn.gelu(h.astype(jnp.float32), approximate=False).astype(jnp.bfloat16)
-    return (jax.lax.dot_general(g, w2, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-            + b2[0][None, :]).astype(x.dtype)
+    """The model's actual MLP path: flax Dense (bf16-out dot + bf16 bias)
+    with the bit-exact fast GELU (models/layers.py::Mlp)."""
+    h = jax.lax.dot_general(x, w1, (((1,), (0,)), ((), ()))) + b1[0][None, :]
+    g = _gelu_bf16(h)
+    return jax.lax.dot_general(g, w2, (((1,), (0,)), ((), ()))) + b2[0][None, :]
 
 
 def main():
     rng = np.random.default_rng(0)
-    M, D, H = 32 * 1025, 384, 1536
+    M, D, H = 64 * 1025, 384, 1536
     x = jnp.asarray(rng.normal(size=(M, D)), jnp.bfloat16)
     w1 = jnp.asarray(rng.normal(size=(D, H)) * 0.05, jnp.bfloat16)
     b1 = jnp.asarray(rng.normal(size=(1, H)) * 0.01, jnp.bfloat16)
     w2 = jnp.asarray(rng.normal(size=(H, D)) * 0.05, jnp.bfloat16)
     b2 = jnp.asarray(rng.normal(size=(1, D)) * 0.01, jnp.bfloat16)
 
+    gflop = 2 * 2 * M * D * H / 1e9
     sec_x = timed(lambda a, *r: xla_mlp(a, *r), (x, w1, b1, w2, b2))
-    print(f"XLA mlp (exact gelu): {sec_x*1e3:7.2f} ms", flush=True)
-    for bm, ck in [(512, 512), (512, 256), (1024, 512), (256, 512), (512, 768)]:
+    print(f"XLA mlp (exact gelu): {sec_x*1e3:7.2f} ms  "
+          f"({gflop/sec_x/1e3:5.1f} TF/s)", flush=True)
+    ref = np.asarray(xla_mlp(x, w1, b1, w2, b2), np.float32)
+    for bm, ck in [(512, 512), (512, 1536), (1024, 512), (512, 256),
+                   (1024, 768), (2048, 512)]:
         try:
             sec = timed(lambda a, *r: fused_mlp(a, *r, block_m=bm, chunk=ck),
                         (x, w1, b1, w2, b2))
-            d = np.abs(np.asarray(xla_mlp(x, w1, b1, w2, b2), np.float32)
-                       - np.asarray(fused_mlp(x, w1, b1, w2, b2, bm, ck),
-                                    np.float32)).max()
-            print(f"fused bm={bm} chunk={ck}: {sec*1e3:7.2f} ms  maxdiff {d:.2e}",
-                  flush=True)
+            got = np.asarray(fused_mlp(x, w1, b1, w2, b2, bm, ck), np.float32)
+            d = np.abs(ref - got).max()
+            neq = int((ref != got).sum())
+            print(f"fused bm={bm} chunk={ck}: {sec*1e3:7.2f} ms  "
+                  f"({gflop/sec/1e3:5.1f} TF/s)  maxdiff {d:.2e}  "
+                  f"neq {neq}/{ref.size}", flush=True)
         except Exception as e:
             print(f"fused bm={bm} chunk={ck}: FAILED {str(e)[:140]}")
 
