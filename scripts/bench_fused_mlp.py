@@ -51,7 +51,16 @@ def _gelu_bf16(h):
     return (0.5 * h) * erfc_bf16(-h * sqrt_half)
 
 
-def mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, chunk, hidden):
+def _act(g, kind):
+    if kind == "exact":
+        return _gelu_bf16(g)
+    if kind == "tanh":
+        return jax.nn.gelu(g, approximate=True)
+    return g
+
+
+def mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, chunk, hidden,
+               act="exact"):
     """Replicates the XLA (flax Dense) op sequence exactly: dot output
     rounded to bf16, bias added in bf16, the bit-exact GELU chain, second
     dot rounded to bf16, bias in bf16."""
@@ -62,21 +71,21 @@ def mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, chunk, hidden):
             x, w1_ref[:, c0:c0 + chunk], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         h = h.astype(jnp.bfloat16) + b1_ref[0, c0:c0 + chunk][None, :]
-        g = _gelu_bf16(h)
+        g = _act(h, act)
         acc = acc + jax.lax.dot_general(
             g, w2_ref[c0:c0 + chunk, :],
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     o_ref[...] = acc.astype(o_ref.dtype) + b2_ref[0][None, :]
 
 
-def fused_mlp(x, w1, b1, w2, b2, block_m=512, chunk=512):
+def fused_mlp(x, w1, b1, w2, b2, block_m=512, chunk=512, act="exact"):
     m, d = x.shape
     hidden = w1.shape[1]
     m_pad = -(-m // block_m) * block_m
     if m_pad != m:
         x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
     out = pl.pallas_call(
-        functools.partial(mlp_kernel, chunk=chunk, hidden=hidden),
+        functools.partial(mlp_kernel, chunk=chunk, hidden=hidden, act=act),
         grid=(m_pad // block_m,),
         in_specs=[
             pl.BlockSpec((block_m, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -114,19 +123,23 @@ def main():
     print(f"XLA mlp (exact gelu): {sec_x*1e3:7.2f} ms  "
           f"({gflop/sec_x/1e3:5.1f} TF/s)", flush=True)
     ref = np.asarray(xla_mlp(x, w1, b1, w2, b2), np.float32)
-    for bm, ck in [(512, 512), (512, 1536), (1024, 512), (512, 256),
-                   (1024, 768), (2048, 512)]:
+    for bm, ck, act in [(512, 1536, "exact"), (512, 1536, "none"),
+                        (512, 1536, "tanh"), (256, 1536, "exact"),
+                        (1024, 1536, "exact"), (128, 1536, "exact"),
+                        (512, 768, "none")]:
         try:
-            sec = timed(lambda a, *r: fused_mlp(a, *r, block_m=bm, chunk=ck),
+            sec = timed(lambda a, *r: fused_mlp(a, *r, block_m=bm, chunk=ck,
+                                                act=act),
                         (x, w1, b1, w2, b2))
-            got = np.asarray(fused_mlp(x, w1, b1, w2, b2, bm, ck), np.float32)
+            got = np.asarray(fused_mlp(x, w1, b1, w2, b2, bm, ck, act),
+                             np.float32)
             d = np.abs(ref - got).max()
             neq = int((ref != got).sum())
-            print(f"fused bm={bm} chunk={ck}: {sec*1e3:7.2f} ms  "
+            print(f"fused bm={bm} chunk={ck} act={act}: {sec*1e3:7.2f} ms  "
                   f"({gflop/sec/1e3:5.1f} TF/s)  maxdiff {d:.2e}  "
                   f"neq {neq}/{ref.size}", flush=True)
         except Exception as e:
-            print(f"fused bm={bm} chunk={ck}: FAILED {str(e)[:140]}")
+            print(f"fused bm={bm} chunk={ck} act={act}: FAILED {str(e)[:140]}")
 
 
 if __name__ == "__main__":
