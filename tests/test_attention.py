@@ -183,6 +183,44 @@ def test_packed_kv_matches_split_path():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+def test_packed_kv_shared_matches_broadcast():
+    """The shared-context kernel (one kv row serving the whole q batch —
+    the row-sharded O(N^2) scan chunk) must equal the per-pair kernel on
+    a materialised broadcast."""
+    from vit_ed_tpu.ops.attention import (fused_attention_packed_kv,
+                                          fused_attention_packed_kv_shared)
+
+    rng = np.random.default_rng(9)
+    h, c, b = 2, 128, 3
+    for sq, sk in [(261, 300), (64, 64), (1025, 1024)]:
+        q = jnp.asarray(rng.normal(size=(b, sq, c)), jnp.float32)
+        kv = jnp.asarray(rng.normal(size=(1, sk, 2 * c)), jnp.float32)
+        out = fused_attention_packed_kv_shared(q, kv, h, use_pallas=True)
+        kv_b = jnp.broadcast_to(kv, (b, sk, 2 * c))
+        ref = fused_attention_packed_kv(q, kv_b, h, use_pallas=True)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_packed_qkv_cls_matches_full_first_row():
+    """The CLS-query kernel (last-decoder-block short-circuit) must equal
+    the first output row of the full packed qkv kernel."""
+    from vit_ed_tpu.ops.attention import (fused_attention_packed_qkv,
+                                          fused_attention_packed_qkv_cls)
+
+    rng = np.random.default_rng(10)
+    h, c, b = 2, 128, 3
+    for s in (64, 261, 1025):
+        qkv = jnp.asarray(rng.normal(size=(b, s, 3 * c)), jnp.float32)
+        out = fused_attention_packed_qkv_cls(qkv, h, use_pallas=True)
+        full = fused_attention_packed_qkv(qkv, h, use_pallas=True)
+        assert out.shape == (b, 1, c)
+        # CPU interpret mode blocks the f32 dot accumulation differently
+        # for the 8-row q block vs the full q block (ulp-level); on TPU
+        # the per-row MXU accumulation is identical
+        np.testing.assert_allclose(np.asarray(out), np.asarray(full[:, :1]),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_packed_qkv_gradients():
     from vit_ed_tpu.ops.attention import fused_attention_packed_qkv
 

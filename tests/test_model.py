@@ -150,3 +150,17 @@ def test_scan_methods_equal_plain_path():
         kv = model.apply(variables, feats, method=model.context_kv_cache)
         out_kv = model.apply(variables, kv, adv, method=model.score_tokens_kv)
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(out_kv)), remat
+
+        # the row-sharded decomposition (one shared x1 row per pair
+        # chunk) must equal scoring each pair against that row
+        for row in range(feats.shape[0]):
+            kv_row = model.apply(variables, feats[row:row + 1],
+                                 method=model.context_kv_cache)
+            out_row = model.apply(variables, kv_row, adv,
+                                  method=model.score_tokens_row)
+            feats_b = jnp.broadcast_to(feats[row:row + 1],
+                                       (adv.shape[0],) + feats.shape[1:])
+            ref_row = model.apply(variables, feats_b, adv,
+                                  method=model.score_tokens_scan)
+            np.testing.assert_array_equal(np.asarray(ref_row),
+                                          np.asarray(out_row)), (remat, row)

@@ -19,7 +19,9 @@ from vit_ed_tpu.ops.attention import (
     fused_attention,
     fused_attention_packed,
     fused_attention_packed_kv,
+    fused_attention_packed_kv_shared,
     fused_attention_packed_qkv,
+    fused_attention_packed_qkv_cls,
     reference_attention,
 )
 
@@ -169,7 +171,11 @@ class Attention(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, cls_only: bool = False):
+        """``cls_only=True`` returns the attention output for the FIRST
+        (CLS) query row only, [B, 1, C] — k/v still cover the full
+        sequence. Used by the pair scan's last-decoder-block
+        short-circuit (only the CLS row feeds the head)."""
         dense = nn.Dense
         qkv = dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype,
                     kernel_init=trunc_normal_init, name="qkv")(x)
@@ -177,8 +183,12 @@ class Attention(nn.Module):
         if not explicit and not self.qk_norm:
             # fused path: the kernel reads q/k/v tiles straight out of the
             # projection output (no split/pad copies)
-            out = fused_attention_packed_qkv(qkv, self.num_heads,
-                                             use_pallas=self.use_pallas)
+            if cls_only:
+                out = fused_attention_packed_qkv_cls(qkv, self.num_heads,
+                                                     use_pallas=self.use_pallas)
+            else:
+                out = fused_attention_packed_qkv(qkv, self.num_heads,
+                                                 use_pallas=self.use_pallas)
         else:
             q, k, v = jnp.split(qkv, 3, axis=-1)
             if self.qk_norm:
@@ -195,6 +205,8 @@ class Attention(nn.Module):
             else:
                 out = fused_attention_packed(q, k, v, self.num_heads,
                                              use_pallas=self.use_pallas)
+            if cls_only:
+                out = out[:, :1]
 
         out = dense(self.dim, dtype=self.dtype, kernel_init=trunc_normal_init,
                     name="proj")(out)
@@ -262,6 +274,34 @@ class CrossAttention(nn.Module):
                 out = fused_attention_packed(q, k, v, self.num_heads,
                                              use_pallas=self.use_pallas)
 
+        out = self.proj(out)
+        return self.proj_dropout(out, deterministic=deterministic)
+
+    def attend_kv_shared(self, x, kv, deterministic: bool = True):
+        """``attend_kv`` where ONE context kv [1, Sk, 2C] serves the whole
+        batch (the row-sharded O(N^2) scan chunk — parallel/pairs.py).
+        Exactly attend_kv(x, broadcast_to(kv, [B, ...])) without
+        materialising the broadcast on the kernel path."""
+        q = self.q_dense(x)
+        explicit = self.keep_attn or (self.attn_drop > 0.0 and not deterministic)
+        if not explicit and not self.qk_norm:
+            out = fused_attention_packed_kv_shared(q, kv, self.num_heads,
+                                                   use_pallas=self.use_pallas)
+        else:
+            # explain/qk_norm paths are not throughput-critical: reuse the
+            # batched formulation on a materialised broadcast
+            kv_b = jnp.broadcast_to(kv, (x.shape[0],) + kv.shape[1:])
+            k, v = jnp.split(kv_b, 2, axis=-1)
+            if self.qk_norm:
+                q = _per_head_norm(q, self.num_heads, self.q_norm)
+                k = _per_head_norm(k, self.num_heads, self.k_norm)
+            if explicit:
+                out = _explicit_attention(self, q, k, v, self.num_heads,
+                                          self.attn_dropout, self.keep_attn,
+                                          deterministic)
+            else:
+                out = fused_attention_packed(q, k, v, self.num_heads,
+                                             use_pallas=self.use_pallas)
         out = self.proj(out)
         return self.proj_dropout(out, deterministic=deterministic)
 
@@ -381,6 +421,33 @@ class CrossBlock(nn.Module):
         if self.init_values:
             y = self.ls2(y)
         return x + self.drop_path2(y, deterministic)
+
+    def cross_mlp_kv_shared(self, x, kv, deterministic: bool = True):
+        """``cross_mlp_kv`` with a single shared ``context_kv`` row
+        [1, Sk, 2C] serving the whole batch (row-sharded pair scan)."""
+        y = self.cross_attn.attend_kv_shared(self.norm_cross(x), kv,
+                                             deterministic)
+        if self.init_values:
+            y = self.ls_cross(y)
+        x = x + self.drop_path_cross(y, deterministic)
+
+        y = self.mlp(self.norm2(x), deterministic)
+        if self.init_values:
+            y = self.ls2(y)
+        return x + self.drop_path2(y, deterministic)
+
+    def cls_self_part(self, x, deterministic: bool = True):
+        """``self_part`` producing only the CLS row [B, 1, C].
+
+        Valid ONLY for the last decoder block of a scoring pass: the head
+        consumes just the CLS token, so every non-CLS row of this block's
+        output is dead work (the k/v of the CLS query still cover the
+        full sequence). The subsequent cross-attention + MLP then run on
+        [B, 1, C] via the regular shared-kv methods."""
+        y = self.attn(self.norm1(x), deterministic, cls_only=True)
+        if self.init_values:
+            y = self.ls1(y)
+        return x[:, :1] + self.drop_path1(y, deterministic)
 
     def cross_mlp(self, x, context, deterministic: bool = True):
         return self.cross_mlp_kv(x, self.context_kv(context), deterministic)

@@ -206,6 +206,41 @@ class ViTED(nn.Module):
             x = blk.cross_mlp_kv(blk.self_part(x, det), kv_cache[i], det)
         return self.forward_head(self.norm(x), train)
 
+    def score_tokens_row(self, kv_cache_row, x2_advanced, train: bool = False):
+        """Pair logits for a chunk of pairs that all share ONE x1 row.
+
+        ``kv_cache_row`` is ``context_kv_cache`` of a single encoder row
+        [c_depth, 1, Sk, 2C]; ``x2_advanced`` is a ``prepare_x2_scan``
+        batch [B, Sq, C]. This is the row-sharded O(N^2) scan schedule
+        (parallel/pairs.py): because the production scan owns contiguous
+        x1 rows and streams x2 columns, every pair chunk can share its
+        row's context — the 12 norm_context + K/V projections (7.25 GF
+        and ~100 MB of HBM streams per pair at patch16_512) run once per
+        ROW instead of once per pair, and the attention kernel keeps the
+        shared K/V tiles VMEM-resident across the chunk.
+
+        Additionally the LAST decoder block computes only the CLS row
+        (``CrossBlock.cls_self_part``): the head consumes just the CLS
+        token, so the full-sequence cross-attention, output projection
+        and MLP of the final block (~7.1 GF/pair at patch16_512) are
+        dead work in a scoring pass. Equivalent to ``score_tokens_scan``
+        with the row's features broadcast per pair (tests/test_model.py).
+        Reference role: the inner pair loop of
+        /root/reference/hisfrag.py:225-229."""
+        det = not train
+        blocks = self.cross_blocks
+        x = x2_advanced
+        for i, blk in enumerate(blocks):
+            last = i == len(blocks) - 1
+            if i > 0:
+                x = blk.cls_self_part(x, det) if last else blk.self_part(x, det)
+            elif last:
+                # single-block decoder: its self-attention is hoisted into
+                # prepare_x2_scan and only the CLS row feeds the head
+                x = x[:, :1]
+            x = blk.cross_mlp_kv_shared(x, kv_cache_row[i], det)
+        return self.forward_head(self.norm(x), train)
+
     def __call__(self, x, x2=None, forward_first_part: bool = False,
                  train: bool = False):
         """Reference forward dispatch (vision_transformer.py:412-420):

@@ -779,6 +779,114 @@ def _packed_q_kv_bwd(meta, res, g):
 _packed_attention_q_kv.defvjp(_packed_q_kv_fwd, _packed_q_kv_bwd)
 
 
+def _pair_forward_qkv_cls(qkv, scale):
+    """Self-attention output for the FIRST (CLS) query row only, straight
+    from the fused qkv projection [B, S, 3C] -> [B, 1, C].
+
+    The pair head (ViTED.forward_head) consumes only the CLS token, so
+    the LAST decoder block's self-attention needs just one query row; the
+    k/v tiles still cover the full sequence. Same kernel math as the full
+    pair kernel (the q block is the first 8 sublane rows; rows 1-7 are
+    computed and discarded). Eval-only: no VJP."""
+    b, s, c3 = qkv.shape
+    c = c3 // 3
+    g = c // 128
+
+    sk_pad = _round_up(s, 8)
+    if sk_pad != s:
+        qkv = jnp.pad(qkv, ((0, 0), (0, sk_pad - s), (0, 0)))
+
+    out = pl.pallas_call(
+        functools.partial(_pair_kernel, scale=scale, kv_len=s),
+        grid=(b, g),
+        in_specs=[
+            pl.BlockSpec((1, 8, 128), lambda bi, gi: (bi, 0, gi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk_pad, 128), lambda bi, gi, _g=g: (bi, 0, _g + gi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk_pad, 128),
+                         lambda bi, gi, _g=g: (bi, 0, 2 * _g + gi),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, 128), lambda bi, gi: (bi, 0, gi),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 8, c), qkv.dtype),
+        interpret=_INTERPRET,
+        cost_estimate=pl.CostEstimate(
+            flops=8 * b * g * 8 * sk_pad * 128,
+            bytes_accessed=2 * qkv.size // 3 * 2,
+            transcendentals=2 * b * g * 8 * sk_pad,
+        ),
+    )(qkv, qkv, qkv)
+    return out[:, :1, :]
+
+
+def fused_attention_packed_qkv_cls(qkv: jax.Array, num_heads: int,
+                                   scale: Optional[float] = None,
+                                   use_pallas: Optional[bool] = None
+                                   ) -> jax.Array:
+    """CLS-query self-attention from the fused qkv projection [B, S, 3C]
+    -> [B, 1, C]. Equals ``fused_attention_packed_qkv(qkv, ...)[:, :1]``
+    without computing the other S-1 query rows."""
+    b, s, c3 = qkv.shape
+    c = c3 // 3
+    d = c // num_heads
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu" and s >= 256
+    if use_pallas and d == 64 and c % 128 == 0:
+        return _pair_forward_qkv_cls(qkv, scale)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    return fused_attention_packed(q[:, :1], k, v, num_heads, scale=scale,
+                                  use_pallas=use_pallas)
+
+
+def _pair_forward_q_kv_shared(q, kv, scale):
+    """q [B, Sq, C], kv [1, Sk, 2C] SHARED by every batch element.
+
+    The O(N^2) scan's row-sharded schedule scores a whole chunk of pairs
+    against ONE x1 row (parallel/pairs.py), so the context K/V is the
+    same for every pair in the chunk. The kv BlockSpec ignores the batch
+    coordinate and the batch axis runs INNERMOST in the grid, so Mosaic
+    keeps each (head-pair) K/V tile resident in VMEM across the whole
+    pair batch instead of re-fetching it per pair. Eval-only: no VJP
+    (training never shares contexts across a batch)."""
+    b, sq, c = q.shape
+    sk = kv.shape[1]
+    g = c // 128
+
+    n_blocks, block_q, sq_pad, sk_pad = _pair_geometry(sq, sk, target=1024)
+    if sq_pad != sq:
+        q = jnp.pad(q, ((0, 0), (0, sq_pad - sq), (0, 0)))
+    if sk_pad != sk:
+        kv = jnp.pad(kv, ((0, 0), (0, sk_pad - sk), (0, 0)))
+
+    out = pl.pallas_call(
+        functools.partial(_pair_kernel, scale=scale, kv_len=sk),
+        grid=(n_blocks, g, b),
+        in_specs=[
+            pl.BlockSpec((1, block_q, 128), lambda i, gi, bi: (bi, i, gi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk_pad, 128), lambda i, gi, bi: (0, 0, gi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk_pad, 128),
+                         lambda i, gi, bi, _g=g: (0, 0, _g + gi),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, 128), lambda i, gi, bi: (bi, i, gi),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        interpret=_INTERPRET,
+        cost_estimate=pl.CostEstimate(
+            flops=8 * b * g * sq_pad * sk_pad * 128,
+            bytes_accessed=2 * (q.size + kv.size),
+            transcendentals=2 * b * g * sq_pad * sk_pad,
+        ),
+    )(q, kv, kv)
+    return out[:, :sq, :]
+
+
 def fused_attention_packed_qkv(qkv: jax.Array, num_heads: int,
                                scale: Optional[float] = None,
                                use_pallas: Optional[bool] = None) -> jax.Array:
@@ -795,6 +903,29 @@ def fused_attention_packed_qkv(qkv: jax.Array, num_heads: int,
     q, k, v = jnp.split(qkv, 3, axis=-1)
     return fused_attention_packed(q, k, v, num_heads, scale=scale,
                                   use_pallas=use_pallas)
+
+
+def fused_attention_packed_kv_shared(q: jax.Array, kv: jax.Array,
+                                     num_heads: int,
+                                     scale: Optional[float] = None,
+                                     use_pallas: Optional[bool] = None
+                                     ) -> jax.Array:
+    """Cross-attention where ONE context kv [1, Sk, 2C] serves the whole
+    q batch [B, Sq, C] (the row-sharded O(N^2) scan chunk). Equivalent to
+    ``fused_attention_packed_kv(q, broadcast_to(kv, [B, ...]))`` without
+    materialising the broadcast. Eval-only (no VJP on the kernel path)."""
+    b, sq, c = q.shape
+    sk = kv.shape[1]
+    d = c // num_heads
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu" and sk >= 256
+    if use_pallas and d == 64 and c % 128 == 0:
+        return _pair_forward_q_kv_shared(q, kv, scale)
+    kv_b = jnp.broadcast_to(kv, (b,) + kv.shape[1:])
+    return fused_attention_packed_kv(q, kv_b, num_heads, scale=scale,
+                                     use_pallas=use_pallas)
 
 
 def fused_attention_packed_kv(q: jax.Array, kv: jax.Array, num_heads: int,

@@ -56,7 +56,7 @@ class PairwiseScorer:
 
     def __init__(self, model, params, mesh: Mesh, num_outputs: int = 1,
                  pair_chunk: int = 512, dtype=np.float16,
-                 use_kv_cache: bool = False):
+                 use_kv_cache: bool = False, row_shared: bool = True):
         from vit_ed_tpu.parallel.mesh import local_mesh
 
         # Every process scores a DIFFERENT row range, so the jit programs
@@ -123,6 +123,27 @@ class PairwiseScorer:
                               in_shardings=(rep, rep, rep, shard0, shard0),
                               out_shardings=rep)
 
+        # Row-sharded schedule (default): every pair chunk shares ONE x1
+        # row, so the whole context_kv block for the row range is computed
+        # once ([L, R, Sk, 2C] — bounds device memory to ~19 MB x R at
+        # patch16_512; choose batch_size accordingly) and each dispatch
+        # slices its row and runs the shared-context attention kernel
+        # (ViTED.score_tokens_row). Unlike the per-pair kv gather (the
+        # use_kv_cache=True path, measured SLOWER), the slice is one row —
+        # no per-pair HBM traffic — and the kernel keeps the row's K/V
+        # tiles VMEM-resident across the chunk.
+        self.row_shared = row_shared and not use_kv_cache
+
+        def score_row(p, kv_block, tokens, ri, pj):
+            kv_row = jax.lax.dynamic_slice_in_dim(kv_block, ri, 1, axis=1)
+            t = jnp.take(tokens, pj, axis=0)
+            return model.apply({"params": p}, kv_row, t,
+                               method=model.score_tokens_row)
+
+        self._score_row = jax.jit(
+            score_row,
+            in_shardings=(rep, rep, rep, rep, shard0), out_shardings=rep)
+
     # ------------------------------------------------------------------
     def score_pairs_block(self, context, tokens, pair_i: np.ndarray,
                           pair_j: np.ndarray, max_in_flight: int = 4
@@ -154,6 +175,46 @@ class PairwiseScorer:
         for flo, fhi, fl in in_flight:
             out[flo:fhi] = np.asarray(fl, np.float32)[: fhi - flo]
         return out
+
+    # ------------------------------------------------------------------
+    def score_rows_block(self, kv_block, tokens, rows_cols,
+                         max_in_flight: int = 4) -> list:
+        """Row-sharded scoring: for each ``(row_idx, col_idx)`` in
+        ``rows_cols`` score the pairs (row_idx, j), j in col_idx — every
+        chunk shares the single x1 row sliced out of ``kv_block``
+        ([L, R, Sk, 2C], the ``context_kv_cache`` of the current row
+        range), so the shared-context kernel keeps the row's K/V tiles
+        VMEM-resident across the chunk (ViTED.score_tokens_row).
+
+        Dispatches are pipelined across rows AND chunks (up to
+        ``max_in_flight`` queued before the oldest result is fetched).
+        Returns a list of [len(col_idx), num_outputs] float32 arrays."""
+        # full pair_chunk dispatches when the column batch allows it, but
+        # never a chunk larger than the token batch (wasted padding)
+        chunk = min(self.pair_chunk,
+                    _round_up(int(tokens.shape[0]), self.n_devices))
+        outs = [np.empty((len(cols), self.num_outputs), np.float32)
+                for _, cols in rows_cols]
+        in_flight = []
+
+        def drain_one():
+            oi, flo, fhi, fl = in_flight.pop(0)
+            outs[oi][flo:fhi] = np.asarray(fl, np.float32)[: fhi - flo]
+
+        for oi, (row_idx, cols) in enumerate(rows_cols):
+            ri = jnp.asarray(row_idx, jnp.int32)
+            for lo in range(0, len(cols), chunk):
+                hi = min(lo + chunk, len(cols))
+                pj = np.zeros(chunk, np.int32)
+                pj[: hi - lo] = cols[lo:hi]
+                logits = self._score_row(self.params, kv_block, tokens, ri,
+                                         jnp.asarray(pj))
+                in_flight.append((oi, lo, hi, logits))
+                if len(in_flight) >= max_in_flight:
+                    drain_one()
+        while in_flight:
+            drain_one()
+        return outs
 
     # ------------------------------------------------------------------
     def score_dataset(self, dataset, batch_size: int, logger=None,
@@ -239,22 +300,49 @@ class PairwiseScorer:
                             if out_dir else None)
                 if resume and blk_path and os.path.exists(blk_path):
                     data = np.load(blk_path)
-                    slab[rows.start - r0:rows.stop - r0] = data["scores"]
+                    cached = data["scores"]
+                    want = slab[rows.start - r0:rows.stop - r0].shape
+                    if cached.shape == want:
+                        slab[rows.start - r0:rows.stop - r0] = cached
+                        if logger:
+                            logger.info(f"Block rows {rows.start}:{rows.stop} "
+                                        "loaded from cache")
+                        continue
+                    # stale cache from a different dataset/world layout
+                    # (e.g. a leftover OUTPUT dir): rescore instead of
+                    # crashing — mirrors the reference's is_finished check
+                    # semantics (hisfrag.py:181-187)
                     if logger:
-                        logger.info(f"Block rows {rows.start}:{rows.stop} loaded from cache")
-                    continue
+                        logger.warning(
+                            f"Ignoring stale cache {blk_path}: shape "
+                            f"{cached.shape} != {want}")
 
                 i0 = rows.start
                 imgs = load_images(list(rows))
                 feats = self._encode(self.params, self._pad_batch(imgs))
                 ctx = (self._context_kv(self.params, feats)
-                       if self.use_kv_cache else feats)
+                       if (self.use_kv_cache or self.row_shared) else feats)
 
                 # stream x2 column batches from the diagonal onward
                 for j0 in range(i0, n, batch_size):
                     j1 = min(j0 + batch_size, n)
                     col_imgs = load_images(list(range(j0, j1)))
                     tokens = self._prepare(self.params, self._pad_batch(col_imgs))
+
+                    if self.row_shared:
+                        # row-sharded schedule: per row i, all columns
+                        # j >= i of this batch share the row's context
+                        rows_cols = [
+                            (i - i0, np.arange(max(i, j0), j1))
+                            for i in range(rows.start, rows.stop)
+                            if max(i, j0) < j1
+                        ]
+                        outs = self.score_rows_block(
+                            ctx, tokens,
+                            [(li, cols - j0) for li, cols in rows_cols])
+                        for (li, cols), scores in zip(rows_cols, outs):
+                            slab[li + i0 - r0, cols] = scores.astype(self.dtype)
+                        continue
 
                     # pairs (i, j) with i in rows, j in [j0, j1), i <= j
                     gi, gj = np.meshgrid(np.arange(rows.start, rows.stop),
@@ -347,20 +435,49 @@ class PairwiseScorer:
         runs per pair. Returns [N, N, num_outputs] float32 (diagonal zero).
         """
         n = len(images)
+        use_kv = self.use_kv_cache or self.row_shared
+        # the whole piece set's context_kv block lives on device at once
+        # here (unlike score_dataset's per-row-range block): guard against
+        # models/piece-counts where [L, n, Sk, 2C] would not fit
+        row_shared = self.row_shared
+        if row_shared:
+            model = self.model
+            l_blocks = getattr(model, "c_depth", 12)
+            sk = getattr(model, "num_patches", 1024)
+            kv_bytes = 2 * l_blocks * n * sk * 2 * getattr(model, "embed_dim", 384)
+            if kv_bytes > 4 << 30:
+                row_shared = False
+                use_kv = self.use_kv_cache
         ctx_parts, token_parts = [], []
         for lo in range(0, n, batch_size):
             imgs = self._pad_batch(images[lo:lo + batch_size])
             feats = self._encode(self.params, imgs)
-            if self.use_kv_cache:
+            if use_kv:
                 ctx_parts.append(np.asarray(
                     self._context_kv(self.params, feats))[:, : min(batch_size, n - lo)])
             else:
                 ctx_parts.append(np.asarray(feats)[: min(batch_size, n - lo)])
             token_parts.append(np.asarray(
                 self._prepare(self.params, imgs))[: min(batch_size, n - lo)])
-        batch_axis = 1 if self.use_kv_cache else 0
+        batch_axis = 1 if use_kv else 0
         context = jnp.asarray(np.concatenate(ctx_parts, axis=batch_axis))
         tokens = jnp.asarray(np.concatenate(token_parts))
+
+        # A pair (i, j) stacks [img_i, img_j]: img_i is the ENCODER/context
+        # stream (pair_i indexes feats), img_j the decoder stream (pair_j
+        # indexes tokens) — forward_features convention
+        # (vision_transformer.py:407-410).
+        out = np.zeros((n, n, self.num_outputs), np.float32)
+        if row_shared:
+            rows_cols = []
+            for i in range(n):
+                cols = np.arange(n) if include_diagonal else \
+                    np.concatenate([np.arange(i), np.arange(i + 1, n)])
+                rows_cols.append((i, cols))
+            outs = self.score_rows_block(context, tokens, rows_cols)
+            for (i, cols), scores in zip(rows_cols, outs):
+                out[i, cols] = scores
+            return out
 
         gi, gj = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
         if include_diagonal:
@@ -368,12 +485,7 @@ class PairwiseScorer:
         else:
             mask = gi != gj
         pi, pj = gi[mask], gj[mask]
-        # A pair (i, j) stacks [img_i, img_j]: img_i is the ENCODER/context
-        # stream (pair_i indexes feats), img_j the decoder stream (pair_j
-        # indexes tokens) — forward_features convention
-        # (vision_transformer.py:407-410).
         scores = self.score_pairs_block(context, tokens, pair_i=pi, pair_j=pj)
-        out = np.zeros((n, n, self.num_outputs), np.float32)
         out[pi, pj] = scores
         return out
 
