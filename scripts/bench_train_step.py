@@ -38,18 +38,30 @@ def useful_flops_per_pair(img=512, patch=16, c=384, depth=12, c_depth=12):
     analysis counts — so this is the honest numerator for model-FLOP
     utilisation. Backward multipliers: GEMMs/conv 2x fwd; attention
     useful bwd = 2.5x fwd (5 recompute-minimum dots vs 2).
+
+    The LAST decoder block runs in CLS-query mode (only the head's CLS
+    row is computed — ViTED.cross_part_cls): its query-dependent terms
+    shrink to the 8-sublane kernel rows while qkv/kv projections stay
+    full-sequence. The numerator counts that reduced schedule — skipped
+    dead rows are NOT credited as useful work.
     """
     s = (img // patch) ** 2         # encoder tokens
     sq = s + 1                      # decoder tokens (CLS)
+    sq_cls = 8                      # CLS-mode query rows (sublane pad)
     gemm = 0.0
     attn = 0.0
     # encoder: qkv + proj + mlp(4x) GEMMs, self-attention
     gemm += depth * 24 * s * c * c
     attn += depth * 4 * s * s * c
-    # decoder: self (qkv+proj) + cross (q + kv + proj) + mlp
-    gemm += c_depth * (8 * sq * c * c + (2 + 4) * sq * c * c + 2 * s * c * 2 * c
-                       + 16 * sq * c * c)
-    attn += c_depth * (4 * sq * sq * c + 4 * sq * s * c)
+    for i in range(c_depth):
+        q_rows = sq_cls if i == c_depth - 1 else sq
+        # self: qkv on the full sequence (k/v needed), proj on q rows
+        gemm += 6 * sq * c * c + 2 * q_rows * c * c
+        # cross: q + proj on q rows, kv on the context
+        gemm += (2 + 2) * q_rows * c * c + 2 * s * c * 2 * c
+        # mlp on q rows
+        gemm += 16 * q_rows * c * c
+        attn += 4 * q_rows * sq * c + 4 * q_rows * s * c
     # patch embed conv (both streams)
     conv = 2 * 2 * s * (patch * patch * 3) * c
     fwd = gemm + attn + conv

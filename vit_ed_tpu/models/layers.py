@@ -452,6 +452,17 @@ class CrossBlock(nn.Module):
     def cross_mlp(self, x, context, deterministic: bool = True):
         return self.cross_mlp_kv(x, self.context_kv(context), deterministic)
 
+    def cls_call(self, x, context, deterministic: bool = True):
+        """Whole block producing only the CLS row [B, 1, C] (the
+        last-decoder-block short-circuit; see ``cls_self_part``). Fully
+        differentiable — in training only the CLS row carries gradient
+        through the head, so the skipped rows' work is dead in both
+        directions. DropPath rng draws are shape-identical to the full
+        block's ((B, 1, 1) masks), so stochastic-depth training
+        trajectories are unchanged."""
+        x = self.cls_self_part(x, deterministic)
+        return self.cross_mlp(x, context, deterministic)
+
     def __call__(self, x, context, deterministic: bool = True):
         return self.cross_mlp(self.self_part(x, deterministic), context,
                               deterministic)

@@ -132,6 +132,34 @@ class ViTED(nn.Module):
             x2_tokens = blk(x2_tokens, x1_feats, det)
         return self.norm(x2_tokens)
 
+    def cross_part_cls(self, x1_feats, x2_tokens, train: bool = False):
+        """``cross_part`` computing only the CLS row of the LAST block —
+        [B, 1, C], the head's sole input.
+
+        Every head-scoring forward (train AND eval) uses this when
+        ``keep_attn`` is off: the last decoder block's full-sequence
+        cross-attention, output projection and MLP feed nothing but the
+        discarded non-CLS rows (~7.1 GF/pair forward, ~2x that backward
+        at patch16_512), and in training those rows carry zero gradient.
+        The CLS query still attends the full sequence, so the function
+        computed is identical (CrossBlock.cls_call); ``keep_attn``
+        (Chefer rollout needs every block's full attention maps) keeps
+        the full path."""
+        det = not train
+        for blk in self.cross_blocks[:-1]:
+            x2_tokens = blk(x2_tokens, x1_feats, det)
+        x2_tokens = self.cross_blocks[-1].cls_call(x2_tokens, x1_feats, det)
+        return self.norm(x2_tokens)
+
+    def _head_scores(self, x1_feats, x2_tokens, train: bool = False):
+        """Pair logits from decoder inputs — CLS-short-circuited unless
+        keep_attn needs the full maps."""
+        if self.keep_attn:
+            return self.forward_head(self.cross_part(x1_feats, x2_tokens, train),
+                                     train)
+        return self.forward_head(self.cross_part_cls(x1_feats, x2_tokens, train),
+                                 train)
+
     def decode(self, x1_feats, x2, train: bool = False):
         """forward_second_part (L403-405): raw image 2 + encoder features."""
         x2 = self.prepare_x2(x2, train)
@@ -153,13 +181,14 @@ class ViTED(nn.Module):
     def decode_head(self, x1_feats, x2, train: bool = False):
         """Pair logits from precomputed encoder features (the O(N^2) eval
         inner op, hisfrag.py:225-229)."""
-        return self.forward_head(self.decode(x1_feats, x2, train), train)
+        x2 = self.prepare_x2(x2, train)
+        return self._head_scores(x1_feats, x2, train)
 
     def score_tokens(self, x1_feats, x2_tokens, train: bool = False):
         """Pair logits from precomputed encoder features AND precomputed
         decoder input tokens — lets the sharded pairwise scan also amortise
         patch-embedding of stream 2."""
-        return self.forward_head(self.cross_part(x1_feats, x2_tokens, train), train)
+        return self._head_scores(x1_feats, x2_tokens, train)
 
     # -------------------------------------------------- O(N^2) scan methods
     def prepare_x2_scan(self, x2):
@@ -175,11 +204,23 @@ class ViTED(nn.Module):
         return self.cross_blocks[0].self_part(tokens, deterministic=True)
 
     def score_tokens_scan(self, x1_feats, x2_advanced, train: bool = False):
-        """Pair logits from ``prepare_x2_scan`` outputs (the scan inner op)."""
+        """Pair logits from ``prepare_x2_scan`` outputs (the scan inner
+        op). Like every head-scoring path, the last decoder block
+        computes only the CLS row (``CrossBlock.cls_call``) unless
+        ``keep_attn`` needs the full maps."""
         det = not train
-        x = self.cross_blocks[0].cross_mlp(x2_advanced, x1_feats, det)
-        for blk in self.cross_blocks[1:]:
-            x = blk(x, x1_feats, det)
+        blocks = self.cross_blocks
+        x = x2_advanced
+        for i, blk in enumerate(blocks):
+            last = i == len(blocks) - 1 and not self.keep_attn
+            if i == 0:
+                if last:
+                    x = x[:, :1]
+                x = blk.cross_mlp(x, x1_feats, det)
+            elif last:
+                x = blk.cls_call(x, x1_feats, det)
+            else:
+                x = blk(x, x1_feats, det)
         return self.forward_head(self.norm(x), train)
 
     def context_kv_cache(self, x1_feats):
@@ -199,11 +240,18 @@ class ViTED(nn.Module):
 
     def score_tokens_kv(self, kv_cache, x2_advanced, train: bool = False):
         """Pair logits from a ``context_kv_cache`` slice (gathered per
-        pair) and ``prepare_x2_scan`` outputs."""
+        pair) and ``prepare_x2_scan`` outputs. CLS-short-circuited last
+        block like every head-scoring path."""
         det = not train
-        x = self.cross_blocks[0].cross_mlp_kv(x2_advanced, kv_cache[0], det)
-        for i, blk in enumerate(self.cross_blocks[1:], start=1):
-            x = blk.cross_mlp_kv(blk.self_part(x, det), kv_cache[i], det)
+        blocks = self.cross_blocks
+        x = x2_advanced
+        for i, blk in enumerate(blocks):
+            last = i == len(blocks) - 1 and not self.keep_attn
+            if i > 0:
+                x = blk.cls_self_part(x, det) if last else blk.self_part(x, det)
+            elif last:
+                x = x[:, :1]
+            x = blk.cross_mlp_kv(x, kv_cache[i], det)
         return self.forward_head(self.norm(x), train)
 
     def score_tokens_row(self, kv_cache_row, x2_advanced, train: bool = False):
@@ -231,7 +279,7 @@ class ViTED(nn.Module):
         blocks = self.cross_blocks
         x = x2_advanced
         for i, blk in enumerate(blocks):
-            last = i == len(blocks) - 1
+            last = i == len(blocks) - 1 and not self.keep_attn
             if i > 0:
                 x = blk.cls_self_part(x, det) if last else blk.self_part(x, det)
             elif last:
@@ -252,5 +300,6 @@ class ViTED(nn.Module):
         if forward_first_part:
             return self.encode(x, train)
         if x2 is not None:
-            return self.forward_head(self.decode(x, x2, train), train)
-        return self.forward_head(self.forward_features(x, train), train)
+            return self.decode_head(x, x2, train)
+        x1 = self.encode(x[:, 0], train)
+        return self.decode_head(x1, x[:, 1], train)

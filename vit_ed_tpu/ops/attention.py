@@ -787,7 +787,7 @@ def _pair_forward_qkv_cls(qkv, scale):
     the LAST decoder block's self-attention needs just one query row; the
     k/v tiles still cover the full sequence. Same kernel math as the full
     pair kernel (the q block is the first 8 sublane rows; rows 1-7 are
-    computed and discarded). Eval-only: no VJP."""
+    computed and discarded)."""
     b, s, c3 = qkv.shape
     c = c3 // 3
     g = c // 128
@@ -821,13 +821,43 @@ def _pair_forward_qkv_cls(qkv, scale):
     return out[:, :1, :]
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _packed_attention_qkv_cls(qkv, meta):
+    scale, n_heads = meta
+    return _pair_forward_qkv_cls(qkv, scale)
+
+
+def _packed_qkv_cls_fwd(qkv, meta):
+    return _packed_attention_qkv_cls(qkv, meta), (qkv,)
+
+
+def _packed_qkv_cls_bwd(meta, res, g):
+    """Backward via the fused pair-backward kernel at Sq=1 (the 8-row q
+    block pads with zero rows, which contribute nothing to dK/dV — the
+    kernel's q_len masking zeroes their probabilities). dQ scatters into
+    row 0 of the full-length gradient; the other query rows received no
+    cotangent, so their dQ is zero."""
+    scale, n_heads = meta
+    (qkv,) = res
+    c = qkv.shape[-1] // 3
+    q, k, v = qkv[..., :c], qkv[..., c:2 * c], qkv[..., 2 * c:]
+    dq1, dk, dv = _pair_backward(q[:, :1], k, v, g, scale)
+    dq = jnp.pad(dq1, ((0, 0), (0, q.shape[1] - 1), (0, 0)))
+    return (jnp.concatenate([dq, dk, dv], axis=-1),)
+
+
+_packed_attention_qkv_cls.defvjp(_packed_qkv_cls_fwd, _packed_qkv_cls_bwd)
+
+
 def fused_attention_packed_qkv_cls(qkv: jax.Array, num_heads: int,
                                    scale: Optional[float] = None,
                                    use_pallas: Optional[bool] = None
                                    ) -> jax.Array:
     """CLS-query self-attention from the fused qkv projection [B, S, 3C]
     -> [B, 1, C]. Equals ``fused_attention_packed_qkv(qkv, ...)[:, :1]``
-    without computing the other S-1 query rows."""
+    without computing the other S-1 query rows. Differentiable (the
+    training forward also short-circuits the last decoder block: only
+    the CLS row carries gradient)."""
     b, s, c3 = qkv.shape
     c = c3 // 3
     d = c // num_heads
@@ -836,7 +866,7 @@ def fused_attention_packed_qkv_cls(qkv: jax.Array, num_heads: int,
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu" and s >= 256
     if use_pallas and d == 64 and c % 128 == 0:
-        return _pair_forward_qkv_cls(qkv, scale)
+        return _packed_attention_qkv_cls(qkv, (scale, num_heads))
     q, k, v = jnp.split(qkv, 3, axis=-1)
     return fused_attention_packed(q[:, :1], k, v, num_heads, scale=scale,
                                   use_pallas=use_pallas)
