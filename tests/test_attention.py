@@ -221,6 +221,36 @@ def test_packed_qkv_cls_matches_full_first_row():
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_packed_qkv_cls_gradients():
+    """The CLS kernel's custom VJP (Sq=1 padded to an 8-row block, dQ
+    scattered into row 0) must match autodiff through the XLA reference
+    formulation restricted to the CLS query. This is the default flagship
+    TRAINING path's last decoder block — a regression here silently
+    corrupts training gradients."""
+    from vit_ed_tpu.ops.attention import (fused_attention_packed,
+                                          fused_attention_packed_qkv_cls)
+
+    rng = np.random.default_rng(11)
+    h, c, b = 2, 128, 2
+    for s in (64, 261):
+        qkv = jnp.asarray(rng.normal(size=(b, s, 3 * c)), jnp.float32)
+
+        def loss_cls(a):
+            out = fused_attention_packed_qkv_cls(a, h, use_pallas=True)
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        def loss_ref(a):
+            q, k, v = jnp.split(a, 3, axis=-1)
+            out = fused_attention_packed(q[:, :1], k, v, h, use_pallas=False)
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        g_cls = np.asarray(jax.grad(loss_cls)(qkv))
+        g_ref = np.asarray(jax.grad(loss_ref)(qkv))
+        # the non-CLS query rows' dQ must be exactly zero
+        np.testing.assert_array_equal(g_cls[:, 1:, :c], np.zeros_like(g_cls[:, 1:, :c]))
+        np.testing.assert_allclose(g_cls, g_ref, rtol=2e-4, atol=2e-5)
+
+
 def test_packed_qkv_gradients():
     from vit_ed_tpu.ops.attention import fused_attention_packed_qkv
 

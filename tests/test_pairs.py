@@ -63,6 +63,30 @@ def test_sharded_matches_replicated(setup, tmp_path):
     np.testing.assert_almost_equal(m1, m2)
 
 
+def test_row_shared_matches_mixed_schedule(setup, tmp_path):
+    """The row-sharded schedule (default) and the mixed-chunk schedule
+    (row_shared=False) must produce the same matrix — they score the
+    same pairs through mathematically identical paths."""
+    model, params, imgs = setup
+    mesh = create_mesh()
+    ds = ArrayDataset(imgs)
+    row = PairwiseScorer(model, params, mesh, num_outputs=1, pair_chunk=16)
+    assert row.row_shared
+    mixed = PairwiseScorer(model, params, mesh, num_outputs=1, pair_chunk=16,
+                           row_shared=False)
+    assert not mixed.row_shared
+    s_row = row.score_dataset(ds, batch_size=4, num_workers=0)
+    s_mixed = mixed.score_dataset(ds, batch_size=4, num_workers=0)
+    np.testing.assert_array_equal(s_row, s_mixed)
+    # score_dense keeps f32: the kv projection GEMM batches differently
+    # between the schedules (whole-block vs per-row), so CPU reassociates
+    # the f32 accumulation at the ulp level (score_dataset rounds to
+    # fp16, hence bitwise above)
+    d_row = row.score_dense(imgs[:5], batch_size=4)
+    d_mixed = mixed.score_dense(imgs[:5], batch_size=4)
+    np.testing.assert_allclose(d_row, d_mixed, atol=1e-6)
+
+
 def test_resume_from_cached_blocks(setup, tmp_path):
     model, params, imgs = setup
     mesh = create_mesh()

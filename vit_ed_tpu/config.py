@@ -317,6 +317,10 @@ def default_config() -> ConfigNode:
     c.TPU.PROFILE_DIR = ""         # non-empty -> jax profiler traces land here
     c.TPU.PEAK_TFLOPS = 197.0      # per-chip bf16 peak for the MFU report (v5e)
     c.TPU.FAST_GELU = False        # tanh GELU (~+11%% decode); not bit-parity
+    c.TPU.CLS_SHORTCUT = True      # last decoder block computes only the CLS
+                                   # row in head-scoring paths (identical math,
+                                   # ulp-level TPU logit shift); set False for
+                                   # bit-parity re-evaluation of checkpoints
     c.TPU.SHARDED_EVAL_METRICS = False  # never assemble the N x N matrix
 
     return c

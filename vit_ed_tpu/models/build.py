@@ -31,6 +31,7 @@ def build_model(config):
             drop_rate=config.MODEL.DROP_RATE,
             drop_path_rate=config.MODEL.DROP_PATH_RATE,
             keep_attn=config.MODEL.PJS.KEEP_ATTN,
+            cls_shortcut=config.TPU.CLS_SHORTCUT,
             use_pallas=None if config.TPU.USE_PALLAS_ATTENTION else False,
             remat=config.TRAIN.USE_CHECKPOINT,
             fast_gelu=config.TPU.FAST_GELU,

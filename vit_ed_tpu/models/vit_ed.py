@@ -53,6 +53,13 @@ class ViTED(nn.Module):
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.0
     keep_attn: bool = False
+    # CLS short-circuit: every head-scoring path computes only the CLS
+    # row of the last decoder block (mathematically identical; on TPU the
+    # logits can shift by one bf16 ulp from the smaller kernel q-block).
+    # Set False to bitwise-reproduce the full-path scores of converted
+    # reference checkpoints (config: TPU.CLS_SHORTCUT). keep_attn also
+    # disables it (rollout needs every block's full maps).
+    cls_shortcut: bool = True
     use_pallas: Optional[bool] = None
     remat: bool = False
     fast_gelu: bool = False
@@ -153,8 +160,9 @@ class ViTED(nn.Module):
 
     def _head_scores(self, x1_feats, x2_tokens, train: bool = False):
         """Pair logits from decoder inputs — CLS-short-circuited unless
-        keep_attn needs the full maps."""
-        if self.keep_attn:
+        keep_attn needs the full maps or ``cls_shortcut=False`` opts out
+        (bit-parity re-evaluation of converted reference checkpoints)."""
+        if not self._cls_last():
             return self.forward_head(self.cross_part(x1_feats, x2_tokens, train),
                                      train)
         return self.forward_head(self.cross_part_cls(x1_feats, x2_tokens, train),
@@ -203,24 +211,35 @@ class ViTED(nn.Module):
         tokens = self.prepare_x2(x2, train=False)
         return self.cross_blocks[0].self_part(tokens, deterministic=True)
 
+    def _cls_last(self) -> bool:
+        return self.cls_shortcut and not self.keep_attn
+
+    def _scan_ladder(self, x, det, cross_fn):
+        """Shared block ladder of the score_tokens_* variants: block 0's
+        self-attention is hoisted into prepare_x2_scan; the last block is
+        CLS-only when the short-circuit applies. ``cross_fn(blk, i, x)``
+        applies block i's cross-attention + MLP (full context / gathered
+        kv / shared kv — the only difference between the variants)."""
+        blocks = self.cross_blocks
+        for i, blk in enumerate(blocks):
+            last = i == len(blocks) - 1 and self._cls_last()
+            if i > 0:
+                x = blk.cls_self_part(x, det) if last else blk.self_part(x, det)
+            elif last:
+                # single-block decoder: its self-attention is hoisted into
+                # prepare_x2_scan and only the CLS row feeds the head
+                x = x[:, :1]
+            x = cross_fn(blk, i, x)
+        return x
+
     def score_tokens_scan(self, x1_feats, x2_advanced, train: bool = False):
         """Pair logits from ``prepare_x2_scan`` outputs (the scan inner
         op). Like every head-scoring path, the last decoder block
-        computes only the CLS row (``CrossBlock.cls_call``) unless
-        ``keep_attn`` needs the full maps."""
+        computes only the CLS row unless ``keep_attn`` /
+        ``cls_shortcut=False`` need the full path."""
         det = not train
-        blocks = self.cross_blocks
-        x = x2_advanced
-        for i, blk in enumerate(blocks):
-            last = i == len(blocks) - 1 and not self.keep_attn
-            if i == 0:
-                if last:
-                    x = x[:, :1]
-                x = blk.cross_mlp(x, x1_feats, det)
-            elif last:
-                x = blk.cls_call(x, x1_feats, det)
-            else:
-                x = blk(x, x1_feats, det)
+        x = self._scan_ladder(x2_advanced, det,
+                              lambda blk, i, x: blk.cross_mlp(x, x1_feats, det))
         return self.forward_head(self.norm(x), train)
 
     def context_kv_cache(self, x1_feats):
@@ -243,15 +262,9 @@ class ViTED(nn.Module):
         pair) and ``prepare_x2_scan`` outputs. CLS-short-circuited last
         block like every head-scoring path."""
         det = not train
-        blocks = self.cross_blocks
-        x = x2_advanced
-        for i, blk in enumerate(blocks):
-            last = i == len(blocks) - 1 and not self.keep_attn
-            if i > 0:
-                x = blk.cls_self_part(x, det) if last else blk.self_part(x, det)
-            elif last:
-                x = x[:, :1]
-            x = blk.cross_mlp_kv(x, kv_cache[i], det)
+        x = self._scan_ladder(
+            x2_advanced, det,
+            lambda blk, i, x: blk.cross_mlp_kv(x, kv_cache[i], det))
         return self.forward_head(self.norm(x), train)
 
     def score_tokens_row(self, kv_cache_row, x2_advanced, train: bool = False):
@@ -276,17 +289,9 @@ class ViTED(nn.Module):
         Reference role: the inner pair loop of
         /root/reference/hisfrag.py:225-229."""
         det = not train
-        blocks = self.cross_blocks
-        x = x2_advanced
-        for i, blk in enumerate(blocks):
-            last = i == len(blocks) - 1 and not self.keep_attn
-            if i > 0:
-                x = blk.cls_self_part(x, det) if last else blk.self_part(x, det)
-            elif last:
-                # single-block decoder: its self-attention is hoisted into
-                # prepare_x2_scan and only the CLS row feeds the head
-                x = x[:, :1]
-            x = blk.cross_mlp_kv_shared(x, kv_cache_row[i], det)
+        x = self._scan_ladder(
+            x2_advanced, det,
+            lambda blk, i, x: blk.cross_mlp_kv_shared(x, kv_cache_row[i], det))
         return self.forward_head(self.norm(x), train)
 
     def __call__(self, x, x2=None, forward_first_part: bool = False,

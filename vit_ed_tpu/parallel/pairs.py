@@ -145,6 +145,17 @@ class PairwiseScorer:
             in_shardings=(rep, rep, rep, rep, shard0), out_shardings=rep)
 
     # ------------------------------------------------------------------
+    def _kv_block_bytes(self, n_rows: int) -> int:
+        """Device bytes of a ``context_kv_cache`` block for ``n_rows``
+        encoder rows: [c_depth, n_rows, Sk, 2C] in the model's compute
+        dtype (replicated per device)."""
+        m = self.model
+        itemsize = jnp.dtype(m.dtype).itemsize
+        return (getattr(m, "c_depth", 12) * n_rows
+                * getattr(m, "num_patches", 1024)
+                * 2 * getattr(m, "embed_dim", 384) * itemsize)
+
+    # ------------------------------------------------------------------
     def score_pairs_block(self, context, tokens, pair_i: np.ndarray,
                           pair_j: np.ndarray, max_in_flight: int = 4
                           ) -> np.ndarray:
@@ -193,6 +204,13 @@ class PairwiseScorer:
         # never a chunk larger than the token batch (wasted padding)
         chunk = min(self.pair_chunk,
                     _round_up(int(tokens.shape[0]), self.n_devices))
+        if getattr(self.model, "num_patches", 0) >= 1024:
+            # measured sweet spot at flagship context sizes: 64 pairs per
+            # device (docs/PERFORMANCE.md chunk sweep: 64 -> 1,054 pairs/s,
+            # 128 -> 932, 256 -> 860 — the working set outgrows
+            # VMEM-adjacent reuse)
+            chunk = min(chunk, 64 * self.n_devices)
+        chunk = max(chunk, self.n_devices)
         outs = [np.empty((len(cols), self.num_outputs), np.float32)
                 for _, cols in rows_cols]
         in_flight = []
@@ -240,6 +258,23 @@ class PairwiseScorer:
         metrics.wi19_sharded.row_partials / merge_partials.
         """
         n = len(dataset)
+        # the row-sharded schedule keeps the row block's context_kv cache
+        # resident per device ([c_depth, rows, Sk, 2C]); guard against
+        # batch sizes where that replica would crowd out HBM and fall
+        # back to the mixed-chunk schedule
+        row_shared = self.row_shared
+        if row_shared:
+            rows_pad = _round_up(batch_size, self.n_devices)
+            kv_bytes = self._kv_block_bytes(rows_pad)
+            if kv_bytes > 4 << 30:
+                row_shared = False
+                if logger:
+                    logger.warning(
+                        f"row-sharded schedule disabled: context_kv block "
+                        f"for {rows_pad} rows would take "
+                        f"{kv_bytes / (1 << 30):.1f} GiB/device; using the "
+                        f"mixed-chunk schedule (reduce batch_size to "
+                        f"re-enable)")
         iu = np.triu_indices(n)
         row_of_pair = iu[0]
         ranges = balanced_row_ranges(row_of_pair, world_size)
@@ -321,7 +356,7 @@ class PairwiseScorer:
                 imgs = load_images(list(rows))
                 feats = self._encode(self.params, self._pad_batch(imgs))
                 ctx = (self._context_kv(self.params, feats)
-                       if (self.use_kv_cache or self.row_shared) else feats)
+                       if (self.use_kv_cache or row_shared) else feats)
 
                 # stream x2 column batches from the diagonal onward
                 for j0 in range(i0, n, batch_size):
@@ -329,7 +364,7 @@ class PairwiseScorer:
                     col_imgs = load_images(list(range(j0, j1)))
                     tokens = self._prepare(self.params, self._pad_batch(col_imgs))
 
-                    if self.row_shared:
+                    if row_shared:
                         # row-sharded schedule: per row i, all columns
                         # j >= i of this batch share the row's context
                         rows_cols = [
@@ -440,14 +475,9 @@ class PairwiseScorer:
         # here (unlike score_dataset's per-row-range block): guard against
         # models/piece-counts where [L, n, Sk, 2C] would not fit
         row_shared = self.row_shared
-        if row_shared:
-            model = self.model
-            l_blocks = getattr(model, "c_depth", 12)
-            sk = getattr(model, "num_patches", 1024)
-            kv_bytes = 2 * l_blocks * n * sk * 2 * getattr(model, "embed_dim", 384)
-            if kv_bytes > 4 << 30:
-                row_shared = False
-                use_kv = self.use_kv_cache
+        if row_shared and self._kv_block_bytes(n) > 4 << 30:
+            row_shared = False
+            use_kv = self.use_kv_cache
         ctx_parts, token_parts = [], []
         for lo in range(0, n, batch_size):
             imgs = self._pad_batch(images[lo:lo + batch_size])
