@@ -55,6 +55,32 @@ def test_tp_matches_replicated():
     np.testing.assert_allclose(out_tp, out_rep, atol=2e-5, rtol=1e-4)
 
 
+def test_tp_activations_stay_sharded():
+    """The compiled TP forward must contain ZERO all-gathers: XLA's SPMD
+    partitioner keeps the activations sharded through the column/row
+    pattern and only inserts the Megatron-style all-reduces after the
+    row-parallel projections — it must NOT fall back to gathering the
+    sharded weights onto every device (which would make TP params-only
+    in effect)."""
+    import re
+
+    model, params, _ = _model_and_params()
+    mesh = create_mesh((1, 8), axis_names=("data", "model"))
+    tp_params = shard_params_tp(params, mesh)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(8, 2, 32, 32, 3)), jnp.float32)
+    fwd = jax.jit(
+        lambda p, a: model.apply({"params": p}, a),
+        in_shardings=(jax.tree.map(lambda t: t.sharding, tp_params),
+                      NamedSharding(mesh, P("data"))),
+        out_shardings=NamedSharding(mesh, P()))
+    txt = fwd.lower(tp_params, x).compile().as_text()
+    n_all_gather = len(re.findall(r"all-gather", txt))
+    n_all_reduce = len(re.findall(r"all-reduce", txt))
+    assert n_all_gather == 0, f"TP forward gathers weights ({n_all_gather})"
+    assert n_all_reduce > 0, "no cross-shard reduction — params not sharded?"
+
+
 def test_tp_training_step():
     """A grad step with TP-sharded params must run and stay sharded."""
     import optax
