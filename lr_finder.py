@@ -3,6 +3,7 @@ ignite dependency): exponential LR sweep over training batches, loss curve
 smoothing, Fastai-style suggestion = LR at the steepest loss descent."""
 
 import argparse
+import os
 
 import jax
 import jax.numpy as jnp
@@ -106,7 +107,11 @@ class LrFinderTrainer(Trainer):
             ax.set_xscale("log")
             ax.set_xlabel("learning rate")
             ax.set_ylabel("loss")
-            fig.savefig("lr_finder_result.jpg")
+            # the reference saves to cwd (lr_finder.py:62); anchor the
+            # plot in the run's OUTPUT dir instead so repeated runs from
+            # a source checkout don't litter it
+            fig.savefig(os.path.join(self.config.OUTPUT,
+                                     "lr_finder_result.jpg"))
         except Exception:
             pass
 
