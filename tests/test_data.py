@@ -96,3 +96,38 @@ def test_shift_scale_rotate_identity_when_p0():
         0, 255, (32, 32, 3), np.uint8))
     out = T.shift_scale_rotate(img, p=0.0)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(img))
+
+
+def test_loader_native_batch_matches_per_sample(tmp_path):
+    """The DataLoader's native whole-batch path (raw_image + item_meta +
+    pool_crop -> PipelinePool.prep_batch) must yield exactly the batches of
+    the per-sample path, including the per-batch fallback when the pool
+    cannot express a sample (center-crop padding case)."""
+    from vit_ed_tpu.data.hisfrag import HisFrag20Test, Split
+    from vit_ed_tpu.data.transforms import OneImgEval
+    from vit_ed_tpu.native import pipeline as npipe
+
+    if not npipe.is_available():
+        import pytest
+
+        pytest.skip("no C++ toolchain")
+
+    rng = np.random.default_rng(3)
+    d = tmp_path / "test"
+    d.mkdir()
+    # 7 croppable images + 1 smaller than the crop (forces the fallback)
+    sizes = [(72, 80)] * 4 + [(90, 70), (64, 64), (80, 72), (40, 40)]
+    for k, (h, w) in enumerate(sizes):
+        arr = rng.integers(0, 256, (h, w, 3), np.uint8)
+        Image.fromarray(arr).save(str(d / f"w{k}_0_0.jpg"), quality=92)
+
+    ds = HisFrag20Test(str(tmp_path), Split.TEST,
+                       transform=OneImgEval(64, crop=True))
+    serial = list(DataLoader(ds, batch_size=3, num_workers=0))
+    loader = DataLoader(ds, batch_size=3, num_workers=2)
+    assert loader._native_pool() is not None  # the path is active
+    pooled = list(loader)
+    assert len(pooled) == len(serial)
+    for (si, sj), (pi, pj) in zip(serial, pooled):
+        np.testing.assert_array_equal(si, pi)
+        np.testing.assert_array_equal(sj, pj)

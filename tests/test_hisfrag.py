@@ -168,3 +168,22 @@ def test_hisfrag_sharded_eval_metrics(hisfrag_env):
     trainer.config.freeze()
     m_ap = trainer.test()
     np.testing.assert_allclose(m_ap, 1 - (1 - ref[0]), rtol=1e-6)
+
+
+def test_raw_image_respects_lower_bound(hisfrag_env):
+    """raw_image (the native batch-prep entry) must index identically to
+    __getitem__: with lower_bound=k, raw_image(i) is the pixels of the
+    (i+k)-th sample, and __getitem__(i) returns index i+k."""
+    from vit_ed_tpu.data.hisfrag import HisFrag20Test, Split
+
+    _tmp, data, _cfg = hisfrag_env
+    d = os.path.join(str(data), "train")
+    samples = sorted(os.path.join(d, f) for f in os.listdir(d))[:5]
+    ds = HisFrag20Test(str(data), Split.TEST, transform=None,
+                       samples=samples, lower_bound=2)
+    assert len(ds) == 3
+    for i in range(len(ds)):
+        img, idx = ds[i]
+        assert int(idx) == i + 2
+        np.testing.assert_array_equal(ds.raw_image(i),
+                                      np.asarray(img, np.uint8))

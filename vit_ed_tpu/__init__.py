@@ -23,3 +23,39 @@ Layer map (mirrors reference SURVEY.md §1, re-architected TPU-first):
 """
 
 __version__ = "0.1.0"
+
+
+def _apply_platform_override():
+    """Honor VIT_ED_PLATFORM (e.g. ``cpu``) and VIT_ED_CPU_DEVICES (virtual
+    CPU device count) for every entry point.
+
+    ``JAX_PLATFORMS`` alone is not enough in environments whose
+    sitecustomize imports jax before user env vars are consulted; backends
+    are initialised lazily, so updating the config here (the package is
+    imported before any backend use) still takes effect. Lets the CLI run
+    on CPU hosts — e.g. smoke-testing without a TPU attached, or a
+    dev-box dry run on a virtual multi-device mesh:
+
+        VIT_ED_PLATFORM=cpu VIT_ED_CPU_DEVICES=8 python main.py ...
+    """
+    import os
+
+    platform = os.environ.get("VIT_ED_PLATFORM")
+    ndev = os.environ.get("VIT_ED_CPU_DEVICES")
+    if not platform and not ndev:
+        return
+    import jax
+
+    try:
+        if ndev:
+            platform = platform or "cpu"
+            jax.config.update("jax_num_cpu_devices", int(ndev))
+        jax.config.update("jax_platforms", platform)
+    except Exception as e:  # backends already live: misconfigured caller
+        raise RuntimeError(
+            f"VIT_ED_PLATFORM={platform!r} could not be applied — a jax "
+            "backend was initialised before vit_ed_tpu was imported"
+        ) from e
+
+
+_apply_platform_override()

@@ -176,8 +176,16 @@ class HisFrag20Test:
     def raw_image(self, index: int) -> np.ndarray:
         """Decoded u8 HWC image WITHOUT the transform — the native
         batch-prep pool applies crop/resize/normalize in C++
-        (parallel/pairs.py wires this into the O(N^2) scan)."""
-        return np.asarray(_load_rgb(self.samples[index]), np.uint8)
+        (parallel/pairs.py wires this into the O(N^2) scan). Indexing is
+        identical to ``__getitem__`` (lower_bound applied) so the pooled
+        and per-sample paths always load the same file."""
+        return np.asarray(_load_rgb(self.samples[index + self.lower_bound]),
+                          np.uint8)
+
+    def item_meta(self, index: int):
+        """Non-image fields of the ``__getitem__`` item, for the loader's
+        native whole-batch path (data/loader.py)."""
+        return (np.asarray(index + self.lower_bound, np.int64),)
 
     def __getitem__(self, index: int):
         index = index + self.lower_bound

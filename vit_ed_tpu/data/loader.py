@@ -4,7 +4,19 @@ Replaces torch DataLoader for this framework: a thread pool maps dataset
 ``__getitem__`` over sampler indices with a bounded prefetch window, and
 batches are collated into stacked numpy arrays ready for ``device_put``
 onto the mesh. Threads suit this workload — PIL/cv2/numpy release the GIL
-for the heavy ops — and sidestep torch's worker-process machinery.
+for the heavy ops — and sidestep torch's worker-process machinery
+(the reference's worker processes, misc/engine.py:109-128).
+
+Native whole-batch preparation: when the dataset opts in (it exposes
+``raw_image(i)`` -> decoded u8 HWC array and ``item_meta(i)`` -> tuple of
+the item's non-image fields, and its ``transform`` exposes ``pool_crop``
+— the deterministic crop/resize/normalize tail), batches are prepared by
+the persistent C++ worker pool (native/pipeline.cc): decode runs in
+GIL-free loader threads, then one ``prep_batch`` call fuses
+crop -> resample -> normalize for the whole batch off the Python thread.
+Bit-exact vs the per-sample path (the same kernels back both); any batch
+the pool cannot express (padding case / ragged output sizes) falls back
+to per-sample ``__getitem__`` transparently.
 """
 
 from __future__ import annotations
@@ -31,7 +43,7 @@ class DataLoader:
     def __init__(self, dataset, sampler: Optional[Iterable[int]] = None,
                  batch_size: int = 1, num_workers: int = 0,
                  drop_last: bool = False, collate_fn: Callable = default_collate,
-                 prefetch_batches: int = 2):
+                 prefetch_batches: int = 2, native_batch: Optional[bool] = None):
         self.dataset = dataset
         self.sampler = sampler
         self.batch_size = batch_size
@@ -39,6 +51,7 @@ class DataLoader:
         self.drop_last = drop_last
         self.collate_fn = collate_fn
         self.prefetch_batches = prefetch_batches
+        self.native_batch = native_batch  # None = auto-detect
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -72,25 +85,84 @@ class DataLoader:
                 return
             yield batch
 
+    def _native_pool(self):
+        """A PipelinePool when this loader can prepare whole batches
+        natively (see module docstring), else None."""
+        if self.native_batch is False or self.num_workers == 0:
+            return None
+        if self.collate_fn is not default_collate:
+            return None  # custom collation: item structure is unknown
+        ds = self.dataset
+        transform = getattr(ds, "transform", None)
+        supported = (hasattr(ds, "raw_image") and hasattr(ds, "item_meta")
+                     and hasattr(transform, "pool_crop"))
+        if not supported:
+            if self.native_batch:
+                raise ValueError(
+                    "native_batch=True needs dataset.raw_image/item_meta and "
+                    "transform.pool_crop")
+            return None
+        from vit_ed_tpu.native import pipeline as npipe
+
+        if not npipe.is_available():
+            return None
+        return npipe.PipelinePool(self.num_workers)
+
     def __iter__(self):
         if self.num_workers == 0:
             for batch_idx in self._batched_indices():
                 yield self.collate_fn([self.dataset[i] for i in batch_idx])
             return
 
+        native_pool = self._native_pool()
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-            batches = self._batched_indices()
-            window = []
-            max_window = max(self.prefetch_batches, 1)
+            try:
+                yield from self._iter_threaded(pool, native_pool)
+            finally:
+                if native_pool is not None:
+                    native_pool.close()
+
+    def _iter_threaded(self, pool, native_pool):
+        ds = self.dataset
+        batches = self._batched_indices()
+        window = []
+        max_window = max(self.prefetch_batches, 1)
+
+        if native_pool is None:
+            def submit(batch_idx):
+                return [pool.submit(ds.__getitem__, i) for i in batch_idx]
+
+            def finish(batch_idx, futures):
+                return self.collate_fn([f.result() for f in futures])
+        else:
+            transform = ds.transform
 
             def submit(batch_idx):
-                return [pool.submit(self.dataset.__getitem__, i) for i in batch_idx]
+                # the prefetch window decodes (GIL-free threads) ...
+                return [pool.submit(ds.raw_image, i) for i in batch_idx]
 
-            for batch_idx in itertools.islice(batches, max_window):
-                window.append(submit(batch_idx))
-            while window:
-                futures = window.pop(0)
-                nxt = next(batches, None)
-                if nxt is not None:
-                    window.append(submit(nxt))
-                yield self.collate_fn([f.result() for f in futures])
+            def finish(batch_idx, futures):
+                # ... and the consumer turn runs ONE pool call over the
+                # whole batch, fusing crop -> resample -> normalize in C++
+                raws = [f.result() for f in futures]
+                crops, size = [], None
+                for a in raws:
+                    pc = transform.pool_crop(a.shape[:2])
+                    if pc is None or (size is not None and pc[1] != size):
+                        # padding case / ragged sizes: per-sample fallback
+                        return self.collate_fn(
+                            list(pool.map(ds.__getitem__, batch_idx)))
+                    crops.append(pc[0])
+                    size = pc[1]
+                images = native_pool.prep_batch(raws, size, crops)
+                metas = [ds.item_meta(i) for i in batch_idx]
+                return (images,) + tuple(default_collate(metas))
+
+        for batch_idx in itertools.islice(batches, max_window):
+            window.append((batch_idx, submit(batch_idx)))
+        while window:
+            batch_idx, payload = window.pop(0)
+            nxt = next(batches, None)
+            if nxt is not None:
+                window.append((nxt, submit(nxt)))
+            yield finish(batch_idx, payload)
