@@ -140,8 +140,29 @@ DECODE_GFLOPS_PATCH16_512 = 80.1
 V5E_BF16_PEAK_TFLOPS = 197.0
 
 
+def _devices_with_retry(tries=6, wait_s=30):
+    """The remote TPU tunnel occasionally reports transient UNAVAILABLE at
+    backend init (observed 2026-08-17); retry briefly before giving up so
+    a blip doesn't void the whole bench run."""
+    for attempt in range(tries):
+        try:
+            return jax.devices()
+        except RuntimeError as e:
+            if attempt == tries - 1:
+                raise
+            print(f"backend init failed ({e}); retry {attempt + 1}/{tries - 1} "
+                  f"in {wait_s}s", file=sys.stderr)
+            time.sleep(wait_s)
+            try:  # a failed init is cached; reset so the retry is real
+                from jax.extend import backend as _backend
+
+                _backend.clear_backends()
+            except Exception:
+                pass
+
+
 def main():
-    n_chips = max(len(jax.devices()), 1)
+    n_chips = max(len(_devices_with_retry()), 1)
 
     full_64, decode_64 = bench_pair_forwards(
         img_size=64, patch_size=8, depth=8, c_depth=8, embed_dim=384,
