@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from typing import Any, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
@@ -63,6 +64,15 @@ class ViTED(nn.Module):
     use_pallas: Optional[bool] = None
     remat: bool = False
     fast_gelu: bool = False
+    # Megatron-style sequence parallelism (beyond reference parity): a
+    # NamedSharding for the [batch, tokens, channels] activations, e.g.
+    # NamedSharding(mesh, P("data", "model", None)). Re-anchored at every
+    # block boundary; with parallel/tp.py's column/row param sharding,
+    # GSPMD turns the Megatron all-reduces into reduce-scatter +
+    # all-gather pairs and the residual stream (plus its saved backward
+    # activations) lives token-sharded — activation memory / model-axis.
+    # Composes with the XLA attention path (see PARITY.md TP caveat).
+    act_sharding: Optional[Any] = None
     dtype: Dtype = jnp.float32
 
     @property
@@ -107,6 +117,13 @@ class ViTED(nn.Module):
         self.pos_drop = nn.Dropout(self.pos_drop_rate)
         self.head_drop = nn.Dropout(self.drop_rate)
 
+    def _constrain(self, x):
+        """Re-anchor a [B, S, C] activation to ``act_sharding`` (sequence
+        parallelism); identity when the mode is off."""
+        if self.act_sharding is None:
+            return x
+        return jax.lax.with_sharding_constraint(x, self.act_sharding)
+
     # ---------------------------------------------------------------- stream 1
     def _pos_embed_no_cls(self, x, deterministic):
         x = x + self.pos_embed[:, 1:].astype(x.dtype)
@@ -117,8 +134,9 @@ class ViTED(nn.Module):
         det = not train
         x1 = self.patch_embed(x1)
         x1 = self._pos_embed_no_cls(x1, det)
+        x1 = self._constrain(x1)
         for blk in self.blocks:
-            x1 = blk(x1, det)
+            x1 = self._constrain(blk(x1, det))
         return x1
 
     # ---------------------------------------------------------------- stream 2
@@ -130,13 +148,13 @@ class ViTED(nn.Module):
                                (x2.shape[0], 1, x2.shape[-1]))
         x2 = jnp.concatenate([cls, x2], axis=1)
         x2 = x2 + self.pos_embed.astype(x2.dtype)
-        return self.pos_drop(x2, deterministic=det)
+        return self._constrain(self.pos_drop(x2, deterministic=det))
 
     def cross_part(self, x1_feats, x2_tokens, train: bool = False):
         """Decoder cross blocks + final norm (cross_part, L397-401)."""
         det = not train
         for blk in self.cross_blocks:
-            x2_tokens = blk(x2_tokens, x1_feats, det)
+            x2_tokens = self._constrain(blk(x2_tokens, x1_feats, det))
         return self.norm(x2_tokens)
 
     def cross_part_cls(self, x1_feats, x2_tokens, train: bool = False):
@@ -154,7 +172,8 @@ class ViTED(nn.Module):
         the full path."""
         det = not train
         for blk in self.cross_blocks[:-1]:
-            x2_tokens = blk(x2_tokens, x1_feats, det)
+            x2_tokens = self._constrain(blk(x2_tokens, x1_feats, det))
+        # the last block's CLS row is [B, 1, C]: nothing left to shard
         x2_tokens = self.cross_blocks[-1].cls_call(x2_tokens, x1_feats, det)
         return self.norm(x2_tokens)
 
