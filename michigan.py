@@ -82,11 +82,10 @@ class MichiganTrainer(HisfragTrainer):
                 img = img.convert("L").convert("RGB")
             return T.normalize_image(img)
 
-        def val_transform(img):
-            img = T.center_crop(img, (img_size, img_size))
-            img = T.resize(img, int(img_size * 1.15))
-            img = T.center_crop(img, img_size)
-            return T.normalize_image(img)
+        # center-crop -> 1.15x zoom resize -> center-crop -> normalize;
+        # carries the pooled-batch protocol so the O(N^2) scan and eval
+        # loaders prepare whole batches in the native C++ pool
+        val_transform = T.OneImgEvalZoom(img_size)
 
         return {"train": train_transform, "validation": val_transform,
                 "val": val_transform, "test": val_transform}

@@ -131,3 +131,49 @@ def test_loader_native_batch_matches_per_sample(tmp_path):
     for (si, sj), (pi, pj) in zip(serial, pooled):
         np.testing.assert_array_equal(si, pi)
         np.testing.assert_array_equal(sj, pj)
+
+
+def test_one_img_eval_zoom_matches_inline_chain():
+    """OneImgEvalZoom must equal the inline Michigan eval chain
+    (center_crop -> 1.15x resize -> center_crop -> normalize) on every
+    size class, including short images that take the padding path."""
+    rng = np.random.default_rng(5)
+    t = T.OneImgEvalZoom(48)
+    for h, w in [(64, 80), (48, 48), (100, 49), (30, 60), (20, 20)]:
+        img = Image.fromarray(rng.integers(0, 256, (h, w, 3), np.uint8))
+        ref = T.normalize_image(
+            T.center_crop(T.resize(T.center_crop(img, (48, 48)),
+                                   int(48 * 1.15)), 48))
+        np.testing.assert_array_equal(t(img), ref)
+
+
+def test_loader_native_batch_with_post_crop(tmp_path):
+    """The pooled loader path with a pool_post_crop transform
+    (OneImgEvalZoom over MichiganTest) must match per-sample batches."""
+    from vit_ed_tpu.data.michigan import MichiganTest, Split
+    from vit_ed_tpu.native import pipeline as npipe
+
+    if not npipe.is_available():
+        import pytest
+
+        pytest.skip("no C++ toolchain")
+
+    rng = np.random.default_rng(11)
+    files = []
+    # croppable sizes + one short image (padding fallback batch)
+    for k, (h, w) in enumerate([(72, 80), (64, 64), (90, 70), (80, 72),
+                                (100, 100), (40, 40)]):
+        p = tmp_path / f"frag{k}.png"
+        Image.fromarray(rng.integers(0, 256, (h, w, 3), np.uint8)).save(str(p))
+        files.append(str(p))
+
+    ds = MichiganTest(str(tmp_path), Split.VAL, T.OneImgEvalZoom(56),
+                      samples=files, lower_bound=1)
+    serial = list(DataLoader(ds, batch_size=2, num_workers=0))
+    loader = DataLoader(ds, batch_size=2, num_workers=2)
+    assert loader._native_pool() is not None
+    pooled = list(loader)
+    assert len(pooled) == len(serial)
+    for (si, sj), (pi, pj) in zip(serial, pooled):
+        np.testing.assert_array_equal(si, pi)
+        np.testing.assert_array_equal(sj, pj)

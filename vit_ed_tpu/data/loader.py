@@ -136,6 +136,7 @@ class DataLoader:
                 return self.collate_fn([f.result() for f in futures])
         else:
             transform = ds.transform
+            post_crop = getattr(transform, "pool_post_crop", None)
 
             def submit(batch_idx):
                 # the prefetch window decodes (GIL-free threads) ...
@@ -155,6 +156,12 @@ class DataLoader:
                     crops.append(pc[0])
                     size = pc[1]
                 images = native_pool.prep_batch(raws, size, crops)
+                if post_crop is not None:
+                    # trailing center-crop commutes with the pointwise
+                    # normalize: a plain slice of the pooled batch
+                    y0, x0, hh, ww = post_crop(size)
+                    images = np.ascontiguousarray(
+                        images[:, y0:y0 + hh, x0:x0 + ww])
                 metas = [ds.item_meta(i) for i in batch_idx]
                 return (images,) + tuple(default_collate(metas))
 

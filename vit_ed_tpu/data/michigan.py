@@ -141,3 +141,18 @@ class MichiganTest(MichiganDataset):
 
     def __len__(self):
         return len(self.data) - self.lower_bound
+
+    # native whole-batch protocol (data/loader.py, parallel/pairs.py);
+    # indexing identical to __getitem__ (lower_bound applied)
+    @property
+    def transform(self):
+        return self.transforms
+
+    def raw_image(self, index: int) -> np.ndarray:
+        from vit_ed_tpu.data.transforms import open_rgb
+
+        return np.asarray(open_rgb(self.data[index + self.lower_bound]),
+                          np.uint8)
+
+    def item_meta(self, index: int):
+        return (np.asarray(index + self.lower_bound, np.int64),)

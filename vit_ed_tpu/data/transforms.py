@@ -427,6 +427,46 @@ class OneImgEval:
         return normalize(to_tensor(img))
 
 
+class OneImgEvalZoom:
+    """Michigan/Geshaem eval chain (reference michigan.py transforms):
+    center-crop to (s, s) (padding short images), resize to int(s * zoom),
+    center-crop back to s, normalize.
+
+    Exposes the pooled whole-batch protocol: ``pool_crop`` maps the first
+    crop + the resize; the trailing center-crop commutes with the
+    pointwise normalize, so it becomes ``pool_post_crop`` — a plain slice
+    of the pool's normalized output. Bit-exact vs ``__call__`` (the same
+    resample kernels back both paths)."""
+
+    def __init__(self, image_size: int, zoom: float = 1.15):
+        self.image_size = int(image_size)
+        self.zoom = zoom
+        self.resized = int(self.image_size * zoom)
+
+    def pool_crop(self, shape_hw):
+        """(crop_rect, out_size) for the native batch-prep pool, or None
+        when the image needs the Python fallback (padding case)."""
+        h, w = shape_hw
+        s = self.image_size
+        if h < s or w < s:
+            return None
+        top = int(round((h - s) / 2.0))
+        left = int(round((w - s) / 2.0))
+        return (top, left, s, s), (self.resized, self.resized)
+
+    def pool_post_crop(self, out_hw):
+        """Slice rect (y0, x0, h, w) applied to the pooled batch."""
+        rh, rw = out_hw
+        s = self.image_size
+        return (int(round((rh - s) / 2.0)), int(round((rw - s) / 2.0)), s, s)
+
+    def __call__(self, img):
+        img = center_crop(img, (self.image_size, self.image_size))
+        img = resize(img, self.resized)
+        img = center_crop(img, self.image_size)
+        return normalize_image(img)
+
+
 # ---------------------------------------------------------------------------
 # grid utilities (transforms.py:121-162)
 # ---------------------------------------------------------------------------

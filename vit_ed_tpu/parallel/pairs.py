@@ -314,6 +314,7 @@ class PairwiseScorer:
 
                 if npipe.is_available():
                     native_pool = npipe.PipelinePool(num_workers)
+                    post_crop = getattr(transform, "pool_post_crop", None)
 
                     def load_images(indices):  # noqa: F811
                         raws = list(loader_pool.map(dataset.raw_image, indices))
@@ -326,7 +327,14 @@ class PairwiseScorer:
                                     lambda i: dataset[i][0], indices)))
                             crops.append(pc[0])
                             size = pc[1]
-                        return native_pool.prep_batch(raws, size, crops)
+                        batch = native_pool.prep_batch(raws, size, crops)
+                        if post_crop is not None:
+                            # trailing center-crop commutes with the
+                            # pointwise normalize: a plain slice
+                            y0, x0, hh, ww = post_crop(size)
+                            batch = np.ascontiguousarray(
+                                batch[:, y0:y0 + hh, x0:x0 + ww])
+                        return batch
 
         try:
             start = time.time()
