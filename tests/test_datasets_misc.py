@@ -107,3 +107,38 @@ def test_pajigsaw_dataset(tmp_path):
     pieces, im_name, grid = pieces_ds[0]
     assert grid == (2, 2)
     assert len(pieces) == 4
+
+
+def test_geshaem_pooled_loader_matches_per_sample(tmp_path):
+    """GeshaemPatch items are stacked pairs; the loader's multi-image
+    pooled path (raw_images + OneImgEval.pool_crop) must reproduce the
+    per-sample batches exactly."""
+    from vit_ed_tpu.data import transforms as T
+    from vit_ed_tpu.data.geshaem import GeshaemPatch
+    from vit_ed_tpu.data.loader import DataLoader
+    from vit_ed_tpu.native import pipeline as npipe
+
+    if not npipe.is_available():
+        pytest.skip("no C++ toolchain")
+
+    root = tmp_path / "gesh3"
+    rng = np.random.default_rng(9)
+    for k, name in enumerate(["A_r_c1", "B_r_c1", "C_r_c1", "D_r_c1",
+                              "A_B_r_c1"]):
+        p = str(root / name / "papyrus" / "x" / "im.jpg")
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        Image.fromarray(rng.integers(0, 255, (100 + 4 * k, 120, 3),
+                                     np.uint8)).save(p, quality=92)
+
+    ds = GeshaemPatch(str(root), GeshaemPatch.Split.VAL,
+                      transform=T.OneImgEval(64, crop=True),
+                      min_size_limit=16)
+    assert len(ds) >= 6
+    serial = list(DataLoader(ds, batch_size=3, num_workers=0))
+    loader = DataLoader(ds, batch_size=3, num_workers=2)
+    assert loader._native_pool() is not None
+    pooled = list(loader)
+    assert len(pooled) == len(serial)
+    for (si, sl), (pi, pl) in zip(serial, pooled):
+        np.testing.assert_array_equal(si, pi)
+        np.testing.assert_array_equal(sl, pl)

@@ -217,3 +217,18 @@ class GeshaemPatch:
 
     def __len__(self) -> int:
         return len(self.pairs)
+
+    # native whole-batch protocol (data/loader.py): each item is a
+    # stacked pair, so raw_images (plural) hands the pool both decoded
+    # fragments and the loader re-stacks [B, 2, H, W, C]
+    def raw_images(self, index: int):
+        from vit_ed_tpu.data.transforms import open_rgb
+
+        i, j = (int(x) for x in self.pairs[index])
+        return [np.asarray(open_rgb(self.data[i]), np.uint8),
+                np.asarray(open_rgb(self.data[j]), np.uint8)]
+
+    def item_meta(self, index: int):
+        i, j = (int(x) for x in self.pairs[index])
+        return (np.asarray([self.data_labels[i], self.data_labels[j]],
+                           np.int64),)

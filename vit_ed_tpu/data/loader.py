@@ -94,13 +94,14 @@ class DataLoader:
             return None  # custom collation: item structure is unknown
         ds = self.dataset
         transform = getattr(ds, "transform", None)
-        supported = (hasattr(ds, "raw_image") and hasattr(ds, "item_meta")
+        supported = ((hasattr(ds, "raw_image") or hasattr(ds, "raw_images"))
+                     and hasattr(ds, "item_meta")
                      and hasattr(transform, "pool_crop"))
         if not supported:
             if self.native_batch:
                 raise ValueError(
-                    "native_batch=True needs dataset.raw_image/item_meta and "
-                    "transform.pool_crop")
+                    "native_batch=True needs dataset.raw_image (or "
+                    "raw_images) + item_meta and transform.pool_crop")
             return None
         from vit_ed_tpu.native import pipeline as npipe
 
@@ -137,15 +138,27 @@ class DataLoader:
         else:
             transform = ds.transform
             post_crop = getattr(transform, "pool_post_crop", None)
+            # multi-image items (e.g. stacked eval pairs): raw_images(i)
+            # returns k decoded images per item, pooled flat and re-stacked
+            multi = hasattr(ds, "raw_images")
+            fetch = ds.raw_images if multi else ds.raw_image
 
             def submit(batch_idx):
                 # the prefetch window decodes (GIL-free threads) ...
-                return [pool.submit(ds.raw_image, i) for i in batch_idx]
+                return [pool.submit(fetch, i) for i in batch_idx]
 
             def finish(batch_idx, futures):
                 # ... and the consumer turn runs ONE pool call over the
                 # whole batch, fusing crop -> resample -> normalize in C++
-                raws = [f.result() for f in futures]
+                if multi:
+                    groups = [f.result() for f in futures]
+                    k = len(groups[0])
+                    if any(len(g) != k for g in groups):
+                        return self.collate_fn(
+                            list(pool.map(ds.__getitem__, batch_idx)))
+                    raws = [a for g in groups for a in g]
+                else:
+                    raws = [f.result() for f in futures]
                 crops, size = [], None
                 for a in raws:
                     pc = transform.pool_crop(a.shape[:2])
@@ -162,6 +175,9 @@ class DataLoader:
                     y0, x0, hh, ww = post_crop(size)
                     images = np.ascontiguousarray(
                         images[:, y0:y0 + hh, x0:x0 + ww])
+                if multi:
+                    images = images.reshape((len(batch_idx), k)
+                                            + images.shape[1:])
                 metas = [ds.item_meta(i) for i in batch_idx]
                 return (images,) + tuple(default_collate(metas))
 
