@@ -177,3 +177,38 @@ def test_loader_native_batch_with_post_crop(tmp_path):
     for (si, sj), (pi, pj) in zip(serial, pooled):
         np.testing.assert_array_equal(si, pi)
         np.testing.assert_array_equal(sj, pj)
+
+
+def test_hisfrag20_eval_loader_pools_but_train_does_not(tmp_path):
+    """HisFrag20 (train-style dataset) pools only when the transform
+    carries pool_crop: OneImgEval activates the native path and matches
+    per-sample; a train-time function transform keeps the plain path."""
+    from vit_ed_tpu.data.hisfrag import HisFrag20, Split
+    from vit_ed_tpu.native import pipeline as npipe
+
+    if not npipe.is_available():
+        import pytest
+
+        pytest.skip("no C++ toolchain")
+
+    rng = np.random.default_rng(13)
+    d = tmp_path / "train"
+    d.mkdir()
+    for w in range(3):
+        for f in range(2):
+            arr = rng.integers(0, 256, (70 + 6 * f, 80, 3), np.uint8)
+            Image.fromarray(arr).save(str(d / f"w{w}_0_{f}.jpg"), quality=92)
+
+    ds = HisFrag20(str(tmp_path), Split.TRAIN,
+                   transform=T.OneImgEval(64, crop=True))
+    serial = list(DataLoader(ds, batch_size=2, num_workers=0))
+    loader = DataLoader(ds, batch_size=2, num_workers=2)
+    assert loader._native_pool() is not None
+    for (si, sl), (pi, pl) in zip(serial, list(loader)):
+        np.testing.assert_array_equal(si, pi)
+        np.testing.assert_array_equal(sl, pl)
+
+    ds_train = HisFrag20(str(tmp_path), Split.TRAIN,
+                         transform=lambda im: np.asarray(im, np.float32))
+    assert DataLoader(ds_train, batch_size=2,
+                      num_workers=2)._native_pool() is None

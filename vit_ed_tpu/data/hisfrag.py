@@ -134,6 +134,15 @@ class HisFrag20:
     def __len__(self) -> int:
         return len(self.samples)
 
+    # native whole-batch protocol (data/loader.py): activates for eval
+    # loaders whose transform carries pool_crop (train-time random
+    # augmentation chains keep the per-sample path)
+    def raw_image(self, index: int) -> np.ndarray:
+        return np.asarray(_load_rgb(self.samples[index]), np.uint8)
+
+    def item_meta(self, index: int):
+        return (np.asarray(self.data_labels[index], np.int32),)
+
 
 def _eval_samples(root_dir: str, split: Split,
                   val_n_items_per_writer: int) -> List[str]:
