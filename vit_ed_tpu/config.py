@@ -92,6 +92,12 @@ class ConfigNode(dict):
 
         Mirrors /root/reference/config.py:241-253.
         """
+        if not os.path.isfile(cfg_file):
+            raise SystemExit(
+                f"config file not found: {cfg_file!r} — pass --cfg a YAML "
+                "under configs/ (e.g. configs/hisfrag/hisfrag20_patch16_512"
+                ".yaml) or check the BASE entries of the file that "
+                "referenced it")
         with open(cfg_file, "r") as f:
             yaml_cfg = yaml.safe_load(f) or {}
         for base in yaml_cfg.get("BASE", [""]):
