@@ -131,6 +131,10 @@ def test_loader_native_batch_matches_per_sample(tmp_path):
     for (si, sj), (pi, pj) in zip(serial, pooled):
         np.testing.assert_array_equal(si, pi)
         np.testing.assert_array_equal(sj, pj)
+    # second epoch reuses the cached persistent pool
+    for (si, sj), (pi, pj) in zip(serial, list(loader)):
+        np.testing.assert_array_equal(si, pi)
+        np.testing.assert_array_equal(sj, pj)
 
 
 def test_one_img_eval_zoom_matches_inline_chain():

@@ -52,6 +52,7 @@ class DataLoader:
         self.collate_fn = collate_fn
         self.prefetch_batches = prefetch_batches
         self.native_batch = native_batch  # None = auto-detect
+        self._pool_cache = None  # persistent across epochs once created
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -107,7 +108,9 @@ class DataLoader:
 
         if not npipe.is_available():
             return None
-        return npipe.PipelinePool(self.num_workers)
+        if self._pool_cache is None:
+            self._pool_cache = npipe.PipelinePool(self.num_workers)
+        return self._pool_cache
 
     def __iter__(self):
         if self.num_workers == 0:
@@ -117,11 +120,7 @@ class DataLoader:
 
         native_pool = self._native_pool()
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-            try:
-                yield from self._iter_threaded(pool, native_pool)
-            finally:
-                if native_pool is not None:
-                    native_pool.close()
+            yield from self._iter_threaded(pool, native_pool)
 
     def _iter_threaded(self, pool, native_pool):
         ds = self.dataset
