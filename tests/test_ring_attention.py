@@ -74,3 +74,51 @@ def test_ring_grad_matches_reference(mesh):
     for gr, gf in zip(g_ring, g_ref):
         np.testing.assert_allclose(np.asarray(gr), np.asarray(gf),
                                    atol=5e-5, rtol=1e-4)
+
+
+def test_model_ring_attn_matches_replicated():
+    """ViTED.ring_attn: the full model with sequence-parallel ring
+    attention (on top of act_sharding) computes the replicated model's
+    function, and the compiled encode moves K/V blocks by
+    collective-permute."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vit_ed_tpu.models.vit_ed import ViTED
+
+    mesh2d = create_mesh((2, 4), axis_names=("data", "model"))
+    act = NamedSharding(mesh2d, P("data", "model", None))
+    kw = dict(img_size=64, patch_size=8, num_classes=4, embed_dim=64,
+              depth=2, c_depth=2, num_heads=4, use_pallas=False)
+    m_ring = ViTED(**kw, act_sharding=act, ring_attn=True)
+    m_rep = ViTED(**kw)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(4, 2, 64, 64, 3)), jnp.float32)
+    params = m_rep.init(jax.random.PRNGKey(0), x)["params"]
+    # ring_attn must not change the param tree (checkpoint compatibility);
+    # init under jit — eager with_sharding_constraint enforces divisibility
+    # on the 65-token axis, while GSPMD pads unevenly under jit
+    ring_params = jax.jit(m_ring.init)(jax.random.PRNGKey(0), x)["params"]
+    assert (jax.tree_util.tree_structure(ring_params)
+            == jax.tree_util.tree_structure(params))
+
+    want = np.asarray(m_rep.apply({"params": params}, x))
+    fwd = jax.jit(lambda p, a: m_ring.apply({"params": p}, a),
+                  out_shardings=NamedSharding(mesh2d, P()))
+    got = np.asarray(fwd(params, jax.device_put(
+        x, NamedSharding(mesh2d, P("data")))))
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4)
+
+    enc = jax.jit(
+        lambda p, a: m_ring.apply({"params": p}, a, forward_first_part=True))
+    txt = enc.lower(params, x[:, 0]).compile().as_text()
+    assert "collective-permute" in txt
+
+
+def test_model_ring_attn_requires_act_sharding():
+    from vit_ed_tpu.models.vit_ed import ViTED
+
+    model = ViTED(img_size=32, patch_size=16, embed_dim=32, depth=1,
+                  c_depth=1, num_heads=2, ring_attn=True, use_pallas=False)
+    with pytest.raises(ValueError, match="act_sharding"):
+        model.init(jax.random.PRNGKey(0), jnp.zeros((1, 2, 32, 32, 3)))

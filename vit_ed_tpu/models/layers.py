@@ -24,6 +24,7 @@ from vit_ed_tpu.ops.attention import (
     fused_attention_packed_qkv_cls,
     reference_attention,
 )
+from vit_ed_tpu.ops.ring_attention import ring_attention_shmap
 
 Dtype = Any
 
@@ -169,6 +170,10 @@ class Attention(nn.Module):
     keep_attn: bool = False
     use_pallas: Optional[bool] = None
     dtype: Dtype = jnp.float32
+    # sequence-parallel attention: (Mesh, axis_name) — tokens sharded over
+    # the axis, K/V blocks ring-rotated (ops/ring_attention.py). Set via
+    # ViTED.ring_attn for token counts beyond one chip.
+    ring: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True, cls_only: bool = False):
@@ -180,7 +185,21 @@ class Attention(nn.Module):
         qkv = dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype,
                     kernel_init=trunc_normal_init, name="qkv")(x)
         explicit = self.keep_attn or (self.attn_drop > 0.0 and not deterministic)
-        if not explicit and not self.qk_norm:
+        if not explicit and self.ring is not None and not cls_only:
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            if self.qk_norm:
+                q = _per_head_norm(q, self.num_heads,
+                                   nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                                name="q_norm"))
+                k = _per_head_norm(k, self.num_heads,
+                                   nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                                name="k_norm"))
+            mesh, axis = self.ring
+            out = _merge_heads(ring_attention_shmap(
+                _split_heads(q, self.num_heads),
+                _split_heads(k, self.num_heads),
+                _split_heads(v, self.num_heads), mesh, axis))
+        elif not explicit and not self.qk_norm:
             # fused path: the kernel reads q/k/v tiles straight out of the
             # projection output (no split/pad copies)
             if cls_only:
@@ -232,6 +251,8 @@ class CrossAttention(nn.Module):
     keep_attn: bool = False
     use_pallas: Optional[bool] = None
     dtype: Dtype = jnp.float32
+    # sequence-parallel attention (Mesh, axis_name) — see Attention.ring
+    ring: Optional[Any] = None
 
     def setup(self):
         dense = nn.Dense
@@ -258,7 +279,17 @@ class CrossAttention(nn.Module):
         """Attention from the decoder stream against a precomputed kv."""
         q = self.q_dense(x)
         explicit = self.keep_attn or (self.attn_drop > 0.0 and not deterministic)
-        if not explicit and not self.qk_norm:
+        if not explicit and self.ring is not None:
+            k, v = jnp.split(kv, 2, axis=-1)
+            if self.qk_norm:
+                q = _per_head_norm(q, self.num_heads, self.q_norm)
+                k = _per_head_norm(k, self.num_heads, self.k_norm)
+            mesh, axis = self.ring
+            out = _merge_heads(ring_attention_shmap(
+                _split_heads(q, self.num_heads),
+                _split_heads(k, self.num_heads),
+                _split_heads(v, self.num_heads), mesh, axis))
+        elif not explicit and not self.qk_norm:
             out = fused_attention_packed_kv(q, kv, self.num_heads,
                                             use_pallas=self.use_pallas)
         else:
@@ -325,13 +356,14 @@ class Block(nn.Module):
     use_pallas: Optional[bool] = None
     dtype: Dtype = jnp.float32
     fast_gelu: bool = False
+    ring: Optional[Any] = None  # sequence-parallel attention, see Attention.ring
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         y = Attention(self.dim, self.num_heads, self.qkv_bias, self.qk_norm,
                       self.attn_drop, self.proj_drop, self.keep_attn,
-                      self.use_pallas, self.dtype,
+                      self.use_pallas, self.dtype, ring=self.ring,
                       name="attn")(y, deterministic)
         if self.init_values:
             y = LayerScale(self.dim, self.init_values, name="ls1")(y)
@@ -370,12 +402,14 @@ class CrossBlock(nn.Module):
     use_pallas: Optional[bool] = None
     dtype: Dtype = jnp.float32
     fast_gelu: bool = False
+    ring: Optional[Any] = None  # sequence-parallel attention, see Attention.ring
 
     def setup(self):
         self.norm1 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")
         self.attn = Attention(self.dim, self.num_heads, self.qkv_bias,
                               self.qk_norm, self.attn_drop, self.proj_drop,
-                              self.keep_attn, self.use_pallas, self.dtype, name="attn")
+                              self.keep_attn, self.use_pallas, self.dtype,
+                              ring=self.ring, name="attn")
         self.norm_cross = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
                                        name="norm_cross")
         self.norm_context = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
@@ -384,7 +418,7 @@ class CrossBlock(nn.Module):
                                          self.qkv_bias, self.qk_norm,
                                          self.attn_drop, self.proj_drop,
                                          self.keep_attn, self.use_pallas,
-                                         self.dtype,
+                                         self.dtype, ring=self.ring,
                                          name="cross_attn")
         self.norm2 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")
         self.mlp = Mlp(int(self.dim * self.mlp_ratio), self.dim,

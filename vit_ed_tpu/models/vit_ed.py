@@ -73,6 +73,14 @@ class ViTED(nn.Module):
     # activations) lives token-sharded — activation memory / model-axis.
     # Composes with the XLA attention path (see PARITY.md TP caveat).
     act_sharding: Optional[Any] = None
+    # Ring attention on top of sequence parallelism (requires
+    # act_sharding): attention itself runs sequence-parallel — K/V blocks
+    # rotate the mesh's token axis via ppermute, so the full [Sq, Sk]
+    # score matrix and a gathered K/V never exist on any chip
+    # (ops/ring_attention.py). For token counts beyond one chip's HBM
+    # (pjs-L / high-res variants); identical numerics to the fused path
+    # up to f32 reduction order (tests/test_ring_attention.py).
+    ring_attn: bool = False
     dtype: Dtype = jnp.float32
 
     @property
@@ -97,18 +105,27 @@ class ViTED(nn.Module):
             block_cls = nn.remat(Block, static_argnums=(2,))
             cross_cls = nn.remat(CrossBlock, static_argnums=(3,))
 
+        ring = None
+        if self.ring_attn:
+            if self.act_sharding is None:
+                raise ValueError("ring_attn requires act_sharding (the mesh "
+                                 "and token axis come from its sharding)")
+            ring = (self.act_sharding.mesh, self.act_sharding.spec[1])
+
         self.blocks = [
             block_cls(self.embed_dim, self.num_heads, self.mlp_ratio, self.qkv_bias,
                       self.qk_norm, self.proj_drop_rate, self.attn_drop_rate,
                       self.init_values, float(dpr[i]), self.keep_attn,
-                      self.use_pallas, self.dtype, self.fast_gelu, name=f"blocks_{i}")
+                      self.use_pallas, self.dtype, self.fast_gelu, ring=ring,
+                      name=f"blocks_{i}")
             for i in range(self.depth)
         ]
         self.cross_blocks = [
             cross_cls(self.embed_dim, self.num_heads, self.mlp_ratio, self.qkv_bias,
                       self.qk_norm, self.proj_drop_rate, self.attn_drop_rate,
                       self.init_values, float(dpr_cross[i]), self.keep_attn,
-                      self.use_pallas, self.dtype, self.fast_gelu, name=f"cross_blocks_{i}")
+                      self.use_pallas, self.dtype, self.fast_gelu, ring=ring,
+                      name=f"cross_blocks_{i}")
             for i in range(self.c_depth)
         ]
         self.norm = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")

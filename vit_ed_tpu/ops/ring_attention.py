@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["ring_attention"]
+__all__ = ["ring_attention", "ring_attention_shmap"]
 
 _NEG_INF = -1e30
 
@@ -83,6 +83,43 @@ def _ring_body(q, k, v, kv_valid, *, axis: str, scale: float):
     return (acc / l_f).astype(q.dtype)
 
 
+def _pad_tokens(x, blocks):
+    """Zero-pad the token axis (dim 2) up to a multiple of ``blocks``."""
+    block = -(-x.shape[2] // blocks)
+    pad = block * blocks - x.shape[2]
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    return x
+
+
+def ring_attention_shmap(q: jax.Array, k: jax.Array, v: jax.Array,
+                         mesh: Mesh, axis: str = "model",
+                         scale: Optional[float] = None,
+                         kv_len: Optional[int] = None) -> jax.Array:
+    """The ring-attention computation itself — safe to call under an
+    enclosing ``jit`` (the model path, ``ViTED.ring_attn``): no nested
+    jit, no input placement; the shard_map in_specs establish the
+    token sharding (a no-op when the activations already carry it, e.g.
+    under ``ViTED.act_sharding``). ``kv_len`` marks how many K/V rows are
+    real when the caller already padded the token axis (the standalone
+    wrapper below); defaults to all of them."""
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    ring = mesh.shape[axis]
+    sq, sk = q.shape[2], kv_len if kv_len is not None else k.shape[2]
+    q_p, k_p, v_p = (_pad_tokens(t, ring) for t in (q, k, v))
+    kv_valid = (jnp.arange(k_p.shape[2]) < sk)
+
+    seq = P(None, None, axis, None)
+    out = jax.shard_map(
+        partial(_ring_body, axis=axis, scale=scale),
+        mesh=mesh,
+        in_specs=(seq, seq, seq, P(axis)),
+        out_specs=seq,
+    )(q_p, k_p, v_p, kv_valid)
+    return out[:, :, :sq]
+
+
 def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array, mesh: Mesh,
                    axis: str = "model",
                    scale: Optional[float] = None) -> jax.Array:
@@ -92,32 +129,25 @@ def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array, mesh: Mesh,
     Shapes: q [B, H, Sq, D], k/v [B, H, Sk, D] -> [B, H, Sq, D]; Sq and
     Sk are global lengths and may differ (cross-attention) and need not
     divide the ring size (blocks are zero-padded; pad K/V rows are masked
-    out of the softmax, pad Q rows are sliced off).
+    out of the softmax, pad Q rows are sliced off). Standalone entry:
+    places the (pre-padded) inputs token-sharded and jits the ring, so
+    the result comes back sequence-sharded; use
+    :func:`ring_attention_shmap` under an existing jit instead (the
+    model path).
     """
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     ring = mesh.shape[axis]
     sq, sk = q.shape[2], k.shape[2]
-
-    def pad_to(x, blocks):
-        block = -(-x.shape[2] // blocks)
-        pad = block * blocks - x.shape[2]
-        if pad:
-            x = jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
-        return x
-
-    q_p, k_p, v_p = pad_to(q, ring), pad_to(k, ring), pad_to(v, ring)
-    kv_valid = (jnp.arange(k_p.shape[2]) < sk)
-
+    # pad OUTSIDE the jit so the placed inputs (and the jit output) shard
+    # evenly over the token axis; slice eagerly after
+    q_p, k_p, v_p = (_pad_tokens(t, ring) for t in (q, k, v))
     seq = P(None, None, axis, None)
+    sharding = NamedSharding(mesh, seq)
     out = jax.jit(
-        jax.shard_map(
-            partial(_ring_body, axis=axis, scale=scale),
-            mesh=mesh,
-            in_specs=(seq, seq, seq, P(axis)),
-            out_specs=seq,
-        ),
-        in_shardings=(NamedSharding(mesh, seq),) * 3
-        + (NamedSharding(mesh, P(axis)),),
-    )(q_p, k_p, v_p, kv_valid)
+        partial(ring_attention_shmap, mesh=mesh, axis=axis, scale=scale,
+                kv_len=sk),
+        in_shardings=(sharding,) * 3,
+        out_shardings=sharding,
+    )(q_p, k_p, v_p)
     return out[:, :, :sq]
