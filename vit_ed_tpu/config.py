@@ -328,6 +328,16 @@ def default_config() -> ConfigNode:
                                    # ulp-level TPU logit shift); set False for
                                    # bit-parity re-evaluation of checkpoints
     c.TPU.SHARDED_EVAL_METRICS = False  # never assemble the N x N matrix
+    # Larger-variant parallelisms (pjs models; see docs/ARCHITECTURE.md).
+    # MESH_AXES names MESH_SHAPE's axes; [] -> ("data",) for 1-D meshes,
+    # ("data", "model") for 2-D. With a "model" axis:
+    c.TPU.TENSOR_PARALLEL = False  # Megatron column/row param sharding
+    c.TPU.SEQ_PARALLEL = False     # token-sharded residual stream between
+                                   # blocks (activation memory / model axis)
+    c.TPU.RING_ATTN = False        # attention itself sequence-parallel:
+                                   # K/V blocks ring-rotate the token axis
+                                   # (requires SEQ_PARALLEL)
+    c.TPU.MESH_AXES = []
 
     return c
 

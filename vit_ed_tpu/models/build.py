@@ -12,9 +12,26 @@ def compute_dtype(config):
     return jnp.bfloat16 if config.AMP_ENABLE else jnp.float32
 
 
-def build_model(config):
+def build_model(config, mesh=None):
+    """Build the MODEL.TYPE model. ``mesh`` (the trainer's device mesh)
+    activates the larger-variant parallelisms on pjs models:
+    TPU.SEQ_PARALLEL token-shards the residual stream over the mesh's
+    'model' axis and TPU.RING_ATTN runs attention itself sequence-parallel
+    (docs/ARCHITECTURE.md)."""
     model_type = config.MODEL.TYPE
     dtype = compute_dtype(config)
+
+    act_sharding = None
+    if config.TPU.SEQ_PARALLEL:
+        if mesh is None or "model" not in mesh.axis_names:
+            raise ValueError("TPU.SEQ_PARALLEL needs a mesh with a 'model' "
+                             "axis (TPU.MESH_SHAPE [data, model])")
+        if model_type != "pjs":
+            raise ValueError("TPU.SEQ_PARALLEL/RING_ATTN are pjs-only")
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        act_sharding = NamedSharding(
+            mesh, PartitionSpec("data", "model", None))
 
     if model_type == "pjs":
         return ViTED(
@@ -35,6 +52,8 @@ def build_model(config):
             use_pallas=None if config.TPU.USE_PALLAS_ATTENTION else False,
             remat=config.TRAIN.USE_CHECKPOINT,
             fast_gelu=config.TPU.FAST_GELU,
+            act_sharding=act_sharding,
+            ring_attn=config.TPU.RING_ATTN,
             dtype=dtype,
         )
     if model_type == "vit":

@@ -145,7 +145,19 @@ class Trainer:
     def __init__(self, args):
         maybe_init_distributed()
         self.config = get_config(args)
-        self.mesh = create_mesh(self.config.TPU.MESH_SHAPE or None)
+        shape = self.config.TPU.MESH_SHAPE or None
+        axes = tuple(self.config.TPU.MESH_AXES)
+        if not axes:
+            axes = ("data", "model")[:len(shape)] if shape else ("data",)
+        self.mesh = create_mesh(shape, axis_names=axes)
+        tpu = self.config.TPU
+        if (tpu.TENSOR_PARALLEL or tpu.SEQ_PARALLEL) and "model" not in axes:
+            raise ValueError("TPU.TENSOR_PARALLEL/SEQ_PARALLEL need a 'model' "
+                             "mesh axis: set TPU.MESH_SHAPE [data, model] "
+                             "(and TPU.MESH_AXES to rename axes)")
+        if tpu.RING_ATTN and not tpu.SEQ_PARALLEL:
+            raise ValueError("TPU.RING_ATTN requires TPU.SEQ_PARALLEL (the "
+                             "token axis to ring over)")
         self.rank = jax.process_index()
         self.world_size = jax.process_count()
         self.n_devices = self.mesh.devices.size
@@ -182,7 +194,7 @@ class Trainer:
         self.logger.info(f"devices: {self.n_devices} x {jax.devices()[0].platform}")
 
         self.logger.info(f"Creating model:{self.config.MODEL.TYPE}/{self.config.MODEL.NAME}")
-        self.model = build_model(self.config)
+        self.model = build_model(self.config, mesh=self.mesh)
         self.params = self._init_params()
         n_parameters = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(self.params))
         self.logger.info(f"number of params: {n_parameters}")
@@ -228,6 +240,11 @@ class Trainer:
         put = lambda tree: jax.tree.map(lambda x: jax.device_put(x, rep), tree)
         self.batch_stats = (put(variables["batch_stats"])
                             if "batch_stats" in variables else None)
+        if self.config.TPU.TENSOR_PARALLEL:
+            from vit_ed_tpu.parallel.tp import shard_params_tp
+
+            return shard_params_tp(jax.device_get(variables["params"]),
+                                   self.mesh)
         return put(variables["params"])
 
     def model_variables(self):
@@ -247,10 +264,18 @@ class Trainer:
         on every process. Single-process this is effectively a no-op."""
         if jax.process_count() == 1:
             return self.params
+        params = self.params
+        if self.config.TPU.TENSOR_PARALLEL:
+            # model-sharded leaves aren't process-addressable: re-replicate
+            # with one global all-gather first (every process calls this)
+            rep = replicated_sharding(self.mesh)
+            params = jax.jit(
+                lambda t: t,
+                out_shardings=jax.tree.map(lambda _: rep, params))(params)
         return jax.tree.map(
             lambda a: jax.device_put(np.asarray(jax.device_get(a)),
                                      jax.local_devices()[0]),
-            self.params)
+            params)
 
     # ------------------------------------------------------------- data hooks
     def get_transforms(self):
