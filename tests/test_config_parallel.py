@@ -148,3 +148,26 @@ def test_tp_without_model_axis_rejected(env, tmp_path):
     args.output = str(tmp_path / "out")
     with pytest.raises(ValueError, match="model"):
         DefaultTrainer(args)
+
+
+def test_tp_pretrained_load_keeps_sharding(env, tmp_path):
+    """MODEL.PRETRAINED merges host arrays into the param tree; under
+    TENSOR_PARALLEL the trainer must re-establish the Megatron shardings
+    afterwards."""
+    from main import DefaultTrainer
+
+    tmp, data, cfg = env
+    ckpt_dir = os.path.join(str(tmp / "out"), "tiny_tp", "test")
+    ckpts = [f for f in os.listdir(ckpt_dir) if f.endswith(".ckpt")]
+    assert ckpts  # produced by test_tp_sp_ring_train_from_config
+
+    args = Args()
+    args.cfg = str(cfg)
+    args.data_path = str(data)
+    args.output = str(tmp_path / "out_pre")
+    args.pretrained = os.path.join(ckpt_dir, ckpts[0])
+    trainer = DefaultTrainer(args)
+    qkv = trainer.params["blocks_0"]["attn"]["qkv"]["kernel"]
+    assert qkv.sharding.spec == P(None, "model")
+    fc2 = trainer.params["blocks_0"]["mlp"]["fc2"]["kernel"]
+    assert fc2.sharding.spec == P("model", None)

@@ -220,6 +220,15 @@ class Trainer:
 
         if self.config.MODEL.PRETRAINED and not self.config.MODEL.RESUME:
             self.params = ckpt.load_pretrained(self.config, self.params, self.logger)
+            if self.config.TPU.TENSOR_PARALLEL:
+                # the non-strict merge hands back host arrays; re-establish
+                # the Megatron shardings or the loaded leaves would ride
+                # into the train step replicated
+                from vit_ed_tpu.parallel.tp import shard_params_tp
+
+                self.params = shard_params_tp(
+                    jax.tree.map(lambda a: np.asarray(jax.device_get(a)),
+                                 self.params), self.mesh)
 
         self.data_loader_registers: Dict[str, DataLoader] = {}
 
