@@ -337,6 +337,10 @@ def default_config() -> ConfigNode:
     c.TPU.RING_ATTN = False        # attention itself sequence-parallel:
                                    # K/V blocks ring-rotate the token axis
                                    # (requires SEQ_PARALLEL)
+    c.TPU.FSDP = False             # ZeRO-3: params + grads + AdamW moments
+                                   # sharded over the "data" axis; XLA
+                                   # gathers on use, reduce-scatters grads
+                                   # (exclusive with TENSOR_PARALLEL)
     c.TPU.MESH_AXES = []
 
     return c

@@ -158,6 +158,13 @@ class Trainer:
         if tpu.RING_ATTN and not tpu.SEQ_PARALLEL:
             raise ValueError("TPU.RING_ATTN requires TPU.SEQ_PARALLEL (the "
                              "token axis to ring over)")
+        if tpu.FSDP and tpu.TENSOR_PARALLEL:
+            raise ValueError("TPU.FSDP and TPU.TENSOR_PARALLEL are exclusive: "
+                             "pick ZeRO-3 over 'data' or Megatron over "
+                             "'model', not both on one leaf")
+        if tpu.FSDP and "data" not in axes:
+            raise ValueError("TPU.FSDP shards over the 'data' mesh axis; "
+                             "TPU.MESH_AXES must keep one")
         self.rank = jax.process_index()
         self.world_size = jax.process_count()
         self.n_devices = self.mesh.devices.size
@@ -220,15 +227,13 @@ class Trainer:
 
         if self.config.MODEL.PRETRAINED and not self.config.MODEL.RESUME:
             self.params = ckpt.load_pretrained(self.config, self.params, self.logger)
-            if self.config.TPU.TENSOR_PARALLEL:
+            if self.config.TPU.TENSOR_PARALLEL or self.config.TPU.FSDP:
                 # the non-strict merge hands back host arrays; re-establish
-                # the Megatron shardings or the loaded leaves would ride
+                # the parallel shardings or the loaded leaves would ride
                 # into the train step replicated
-                from vit_ed_tpu.parallel.tp import shard_params_tp
-
-                self.params = shard_params_tp(
+                self.params = self._shard_new_params(
                     jax.tree.map(lambda a: np.asarray(jax.device_get(a)),
-                                 self.params), self.mesh)
+                                 self.params))
 
         self.data_loader_registers: Dict[str, DataLoader] = {}
 
@@ -240,21 +245,30 @@ class Trainer:
             return (jnp.zeros((1, 2, s, s, 3), jnp.float32),)
         return (jnp.zeros((1, s, s, 3), jnp.float32),)
 
+    def _shard_new_params(self, host_params):
+        """Place a fresh host-side param tree under the configured
+        parallelism (Megatron TP, ZeRO-3 FSDP, or plain replication)."""
+        if self.config.TPU.TENSOR_PARALLEL:
+            from vit_ed_tpu.parallel.tp import shard_params_tp
+
+            return shard_params_tp(host_params, self.mesh)
+        if self.config.TPU.FSDP:
+            from vit_ed_tpu.parallel.fsdp import shard_params_fsdp
+
+            return shard_params_fsdp(host_params, self.mesh)
+        rep = replicated_sharding(self.mesh)
+        return jax.tree.map(lambda x: jax.device_put(x, rep), host_params)
+
     def _init_params(self):
         rng = jax.random.PRNGKey(self.config.SEED)
         variables = jax.jit(self.model.init)(rng, *self._example_input())
-        # replicate across the mesh; keep any BatchNorm running-stats
-        # collection (SimSiam/ResNet model types) alongside the params
+        # keep any BatchNorm running-stats collection (SimSiam/ResNet model
+        # types) alongside the params, always replicated
         rep = replicated_sharding(self.mesh)
         put = lambda tree: jax.tree.map(lambda x: jax.device_put(x, rep), tree)
         self.batch_stats = (put(variables["batch_stats"])
                             if "batch_stats" in variables else None)
-        if self.config.TPU.TENSOR_PARALLEL:
-            from vit_ed_tpu.parallel.tp import shard_params_tp
-
-            return shard_params_tp(jax.device_get(variables["params"]),
-                                   self.mesh)
-        return put(variables["params"])
+        return self._shard_new_params(jax.device_get(variables["params"]))
 
     def model_variables(self):
         """The variables dict for inference-mode ``model.apply`` — includes
@@ -274,8 +288,8 @@ class Trainer:
         if jax.process_count() == 1:
             return self.params
         params = self.params
-        if self.config.TPU.TENSOR_PARALLEL:
-            # model-sharded leaves aren't process-addressable: re-replicate
+        if self.config.TPU.TENSOR_PARALLEL or self.config.TPU.FSDP:
+            # mesh-sharded leaves aren't process-addressable: re-replicate
             # with one global all-gather first (every process calls this)
             rep = replicated_sharding(self.mesh)
             params = jax.jit(
