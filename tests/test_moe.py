@@ -1,0 +1,227 @@
+"""MoE encoder MLPs (models/moe.py) + expert parallelism (parallel/ep.py):
+routing semantics vs an independent per-token computation, capacity
+drops, EP-sharded == replicated numerics, and the TPU.EXPERT_PARALLEL
+config surface through the unmodified main.py CLI."""
+
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+from PIL import Image
+
+from vit_ed_tpu.models.moe import MoeMlp
+from vit_ed_tpu.parallel.ep import ep_param_specs, shard_params_ep
+from vit_ed_tpu.parallel.mesh import create_mesh, replicated_sharding
+
+
+def _erf_gelu(x):
+    return 0.5 * x * (1.0 + np.vectorize(math.erf)(x / math.sqrt(2.0)))
+
+
+def test_moe_routing_matches_per_token_reference():
+    """With ample capacity every token's output is gate_prob * its top
+    expert's MLP — checked against a straight numpy per-token loop."""
+    e, d, h, b, t = 4, 8, 16, 2, 12
+    mod = MoeMlp(hidden_dim=h, out_dim=d, num_experts=e, capacity_factor=4.0)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(b, t, d)), jnp.float32)
+    params = mod.init(jax.random.PRNGKey(0), x)["params"]
+    out = np.asarray(mod.apply({"params": params}, x))
+
+    router = np.asarray(params["router"]["kernel"])
+    w1, b1 = np.asarray(params["w1"]), np.asarray(params["b1"])
+    w2, b2 = np.asarray(params["w2"]), np.asarray(params["b2"])
+    xn = np.asarray(x)
+    logits = xn @ router
+    probs = np.exp(logits - logits.max(-1, keepdims=True))
+    probs /= probs.sum(-1, keepdims=True)
+    for bi in range(b):
+        for ti in range(t):
+            ei = int(np.argmax(probs[bi, ti]))
+            tok = xn[bi, ti]
+            hid = _erf_gelu(tok @ w1[ei] + b1[ei])
+            want = (hid @ w2[ei] + b2[ei]) * probs[bi, ti, ei]
+            np.testing.assert_allclose(out[bi, ti], want, atol=1e-5)
+
+
+def test_moe_capacity_drops_overflow_tokens():
+    """Capacity 1 token/expert: for each (batch, expert) only the FIRST
+    routed token gets expert output; later ones fall back to zero (their
+    block residual passes them through)."""
+    e, d, h, b, t = 2, 8, 16, 1, 10
+    # capacity_factor such that C = 1: ceil(10/2 * f) == 1 -> f = 0.2
+    mod = MoeMlp(hidden_dim=h, out_dim=d, num_experts=e, capacity_factor=0.2)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(b, t, d)), jnp.float32)
+    params = mod.init(jax.random.PRNGKey(0), x)["params"]
+    out = np.asarray(mod.apply({"params": params}, x))
+
+    router = np.asarray(params["router"]["kernel"])
+    logits = np.asarray(x) @ router
+    top = np.argmax(logits, axis=-1)[0]          # [T]
+    seen = set()
+    for ti in range(t):
+        ei = int(top[ti])
+        if ei in seen:
+            np.testing.assert_allclose(out[0, ti], 0.0, atol=1e-7)
+        else:
+            assert np.abs(out[0, ti]).max() > 0
+            seen.add(ei)
+
+
+def test_ep_specs_and_sharded_forward_matches_replicated():
+    from vit_ed_tpu.models.vit_ed import ViTED
+
+    mesh = create_mesh((2, 4), axis_names=("data", "expert"))
+    model = ViTED(img_size=32, patch_size=16, num_classes=4, embed_dim=32,
+                  depth=2, c_depth=2, num_heads=2, use_pallas=False,
+                  moe_experts=4, moe_interval=2)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(4, 2, 32, 32, 3)), jnp.float32)
+    host_params = jax.device_get(
+        jax.jit(model.init)(jax.random.PRNGKey(0), x)["params"])
+
+    specs = ep_param_specs(host_params)
+    assert specs["blocks_1"]["mlp"]["w1"] == P("expert", None, None)
+    assert specs["blocks_1"]["mlp"]["b2"] == P("expert", None)
+    assert specs["blocks_1"]["mlp"]["router"]["kernel"] == P()
+    assert specs["blocks_0"]["mlp"]["fc1"]["kernel"] == P()
+
+    fwd = jax.jit(lambda p, xx: model.apply({"params": p}, xx))
+    rep = jax.tree.map(
+        lambda a: jax.device_put(a, replicated_sharding(mesh)), host_params)
+    xb = jax.device_put(x, NamedSharding(mesh, P("data")))
+    want = np.asarray(fwd(rep, xb))
+
+    ep = shard_params_ep(host_params, mesh)
+    w1 = ep["blocks_1"]["mlp"]["w1"]
+    assert w1.sharding.spec == P("expert", None, None)
+    assert w1.addressable_shards[0].data.shape[0] == 1   # 4 experts / 4-way
+    got = np.asarray(fwd(ep, xb))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+CFG = """
+MODEL:
+  TYPE: pjs
+  NAME: tiny_moe
+  NUM_CLASSES: 4
+  DROP_PATH_RATE: 0.0
+  PJS:
+    EMBED_DIM: 32
+    PATCH_SIZE: 32
+    NUM_HEADS: 4
+    DEPTH: 2
+    C_DEPTH: 2
+    MOE:
+      EXPERTS: 4
+      INTERVAL: 2
+      AUX_WEIGHT: 0.01
+DATA:
+  DATASET: div2k
+  IMG_SIZE: 64
+  BATCH_SIZE: 2
+  NUM_WORKERS: 0
+TRAIN:
+  EPOCHS: 1
+  WARMUP_EPOCHS: 0
+SAVE_FREQ: 1
+PRINT_FREQ: 1
+TPU:
+  MESH_SHAPE: [2, 4]
+  MESH_AXES: [data, expert]
+  EXPERT_PARALLEL: true
+"""
+
+
+class Args:
+    cfg = None
+    opts = None
+    batch_size = None
+    data_path = None
+    pretrained = None
+    resume = None
+    accumulation_steps = None
+    use_checkpoint = None
+    disable_amp = True
+    output = None
+    tag = "test"
+    mode = "train"
+    eval = None
+    throughput = None
+    optim = None
+    keep_attn = None
+    eval_n_items_per_category = None
+
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("moe_train")
+    data = tmp / "data"
+    rng = np.random.default_rng(0)
+    for sub in ["DIV2K_train_HR", "DIV2K_valid_HR"]:
+        d = data / sub
+        os.makedirs(d, exist_ok=True)
+        for i in range(4):
+            arr = rng.integers(0, 255, size=(220, 220, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(str(d / f"{i:04d}.png"))
+    cfg = tmp / "cfg.yaml"
+    cfg.write_text(CFG)
+    return tmp, data, cfg
+
+
+def test_ep_train_from_config(env):
+    from main import DefaultTrainer
+
+    tmp, data, cfg = env
+    args = Args()
+    args.cfg = str(cfg)
+    args.data_path = str(data)
+    args.output = str(tmp / "out")
+
+    trainer = DefaultTrainer(args)
+    assert trainer.mesh.shape == {"data": 2, "expert": 4}
+    w1 = trainer.params["blocks_1"]["mlp"]["w1"]
+    assert w1.sharding.spec == P("expert", None, None)
+
+    state = trainer.train()
+    assert int(state.step) > 0
+    assert np.isfinite(trainer.min_loss)
+    # trailing Nones may be trimmed by the compiler's output sharding
+    post = state.params["blocks_1"]["mlp"]["w1"].sharding.spec
+    assert post and post[0] == "expert"
+    out = os.path.join(args.output, "tiny_moe", "test")
+    assert any(f.endswith(".ckpt") for f in os.listdir(out))
+
+
+def test_ep_without_expert_axis_rejected(env, tmp_path):
+    from main import DefaultTrainer
+
+    _tmp, data, _cfg = env
+    cfg = tmp_path / "bad.yaml"
+    cfg.write_text(CFG.replace("MESH_AXES: [data, expert]",
+                               "MESH_AXES: [data, model]"))
+    args = Args()
+    args.cfg = str(cfg)
+    args.data_path = str(data)
+    args.output = str(tmp_path / "out")
+    with pytest.raises(ValueError, match="expert"):
+        DefaultTrainer(args)
+
+
+def test_ep_without_moe_rejected(env, tmp_path):
+    from main import DefaultTrainer
+
+    _tmp, data, _cfg = env
+    cfg = tmp_path / "bad2.yaml"
+    cfg.write_text(CFG.replace("EXPERTS: 4", "EXPERTS: 0"))
+    args = Args()
+    args.cfg = str(cfg)
+    args.data_path = str(data)
+    args.output = str(tmp_path / "out")
+    with pytest.raises(ValueError, match="MOE.EXPERTS"):
+        DefaultTrainer(args)

@@ -209,6 +209,14 @@ def default_config() -> ConfigNode:
     c.MODEL.PJS.QK_SCALE = None
     c.MODEL.PJS.KEEP_ATTN = False
     c.MODEL.PJS.ARCH_VERSION = "v1"
+    # Mixture-of-Experts encoder MLPs (beyond reference parity; dense when
+    # EXPERTS == 0). Every INTERVAL-th encoder block gets a Switch-routed
+    # expert bank (models/moe.py); decoder stays dense.
+    c.MODEL.PJS.MOE = ConfigNode()
+    c.MODEL.PJS.MOE.EXPERTS = 0
+    c.MODEL.PJS.MOE.INTERVAL = 2
+    c.MODEL.PJS.MOE.CAPACITY = 1.25       # tokens/expert = T/E * CAPACITY
+    c.MODEL.PJS.MOE.AUX_WEIGHT = 0.01     # Switch load-balance loss weight
 
     c.MODEL.VIT = ConfigNode()
     c.MODEL.VIT.PATCH_SIZE = 16
@@ -341,6 +349,10 @@ def default_config() -> ConfigNode:
                                    # sharded over the "data" axis; XLA
                                    # gathers on use, reduce-scatters grads
                                    # (exclusive with TENSOR_PARALLEL)
+    c.TPU.EXPERT_PARALLEL = False  # MoE expert banks split over an
+                                   # "expert" mesh axis (MESH_AXES
+                                   # [data, expert]); needs MOE.EXPERTS
+                                   # divisible by the axis size
     c.TPU.MESH_AXES = []
 
     return c

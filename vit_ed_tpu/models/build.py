@@ -54,6 +54,9 @@ def build_model(config, mesh=None):
             fast_gelu=config.TPU.FAST_GELU,
             act_sharding=act_sharding,
             ring_attn=config.TPU.RING_ATTN,
+            moe_experts=config.MODEL.PJS.MOE.EXPERTS,
+            moe_interval=config.MODEL.PJS.MOE.INTERVAL,
+            moe_capacity=config.MODEL.PJS.MOE.CAPACITY,
             dtype=dtype,
         )
     if model_type == "vit":

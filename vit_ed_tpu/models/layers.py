@@ -357,6 +357,10 @@ class Block(nn.Module):
     dtype: Dtype = jnp.float32
     fast_gelu: bool = False
     ring: Optional[Any] = None  # sequence-parallel attention, see Attention.ring
+    # sparse MLP: > 0 swaps the dense Mlp for a Switch-routed expert bank
+    # (models/moe.py); encoder-only in practice (ViTED.moe_* knobs)
+    moe_experts: int = 0
+    moe_capacity: float = 1.25
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -370,9 +374,16 @@ class Block(nn.Module):
         x = x + DropPath(self.drop_path, name="drop_path1")(y, deterministic)
 
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
-        y = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.proj_drop,
-                self.dtype, self.fast_gelu,
-                name="mlp")(y, deterministic)
+        if self.moe_experts > 0:
+            from vit_ed_tpu.models.moe import MoeMlp
+
+            y = MoeMlp(int(self.dim * self.mlp_ratio), self.dim,
+                       self.moe_experts, self.moe_capacity, self.proj_drop,
+                       self.dtype, self.fast_gelu, name="mlp")(y, deterministic)
+        else:
+            y = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.proj_drop,
+                    self.dtype, self.fast_gelu,
+                    name="mlp")(y, deterministic)
         if self.init_values:
             y = LayerScale(self.dim, self.init_values, name="ls2")(y)
         x = x + DropPath(self.drop_path, name="drop_path2")(y, deterministic)

@@ -1,0 +1,94 @@
+"""Mixture-of-Experts MLP (Switch top-1 routing, GShard dense dispatch).
+
+Beyond reference parity: the reference model family is dense
+(/root/reference/models/vision_transformer.py has a single Mlp per
+block). For ViT-ED variants scaled past what dense FLOPs allow, this
+module swaps the encoder MLP for a sparsely-activated expert bank the
+TPU way — no data-dependent gathers or ragged shapes anywhere:
+
+- routing is Switch-style top-1 with a STATIC per-expert capacity
+  ``C = ceil(T/E * capacity_factor)``; over-capacity tokens are dropped
+  (their residual passes through unchanged, the standard Switch rule);
+- dispatch/combine are one-hot einsums onto a [B, T, E, C] tensor
+  (GShard's formulation), so XLA sees three big static matmuls per
+  bank and — with the expert-major tensors sharded over an ``expert``
+  mesh axis (parallel/ep.py) — inserts the all-to-alls itself;
+- the router runs in f32; the load-balance aux loss
+  ``E * sum_e f_e * P_e`` (Switch eq. 4; 1.0 when perfectly balanced)
+  is sown into the ``moe_aux`` collection — collected by the train
+  step only when MOE.AUX_WEIGHT > 0, a silent no-op otherwise.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from vit_ed_tpu.models.layers import trunc_normal_init
+from vit_ed_tpu.ops.gelu import gelu_exact
+
+Dtype = Any
+
+
+class MoeMlp(nn.Module):
+    """Drop-in for ``layers.Mlp``: same (x, deterministic) call surface."""
+
+    hidden_dim: int
+    out_dim: int
+    num_experts: int
+    capacity_factor: float = 1.25
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+    fast_gelu: bool = False
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        b, t, d = x.shape
+        e = self.num_experts
+        c = max(1, math.ceil(t / e * self.capacity_factor))
+
+        # --- router (f32: softmax over expert logits must not saturate)
+        router = nn.Dense(e, use_bias=False, dtype=jnp.float32,
+                          kernel_init=trunc_normal_init, name="router")
+        probs = jax.nn.softmax(router(x.astype(jnp.float32)), axis=-1)
+        expert_idx = jnp.argmax(probs, axis=-1)              # [B, T]
+        one_hot = jax.nn.one_hot(expert_idx, e, dtype=jnp.float32)
+        gate = jnp.sum(probs * one_hot, axis=-1)             # [B, T]
+
+        # Switch load-balance loss: fraction routed x mean router prob
+        frac = jnp.mean(one_hot, axis=(0, 1))                # [E]
+        mean_p = jnp.mean(probs, axis=(0, 1))                # [E]
+        self.sow("moe_aux", "load_balance", e * jnp.sum(frac * mean_p))
+
+        # --- static-capacity dispatch: position of each token within its
+        # expert's buffer; tokens past capacity are dropped (residual path)
+        pos = jnp.cumsum(one_hot, axis=1) * one_hot - 1.0    # [B, T, E]
+        keep = (pos >= 0) & (pos < c)
+        pos_oh = jax.nn.one_hot(pos.astype(jnp.int32), c,
+                                dtype=jnp.float32)           # [B, T, E, C]
+        dispatch = pos_oh * keep[..., None]                  # 0/1
+        combine = dispatch * gate[:, :, None, None]
+
+        # --- expert bank [E, ...]: three static einsums; with the leaves
+        # P("expert", ...)-sharded, GSPMD inserts the token all-to-alls
+        w1 = self.param("w1", trunc_normal_init, (e, d, self.hidden_dim))
+        b1 = self.param("b1", nn.initializers.zeros, (e, self.hidden_dim))
+        w2 = self.param("w2", trunc_normal_init, (e, self.hidden_dim, self.out_dim))
+        b2 = self.param("b2", nn.initializers.zeros, (e, self.out_dim))
+
+        cdt = self.dtype
+        expert_in = jnp.einsum("btec,btd->ebcd", dispatch.astype(cdt),
+                               x.astype(cdt))                # [E, B, C, D]
+        h = jnp.einsum("ebcd,edh->ebch", expert_in, w1.astype(cdt))
+        h = h + b1.astype(cdt)[:, None, None, :]
+        h = jax.nn.gelu(h, approximate=True) if self.fast_gelu else gelu_exact(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        out = jnp.einsum("ebch,ehd->ebcd", h, w2.astype(cdt))
+        out = out + b2.astype(cdt)[:, None, None, :]
+
+        y = jnp.einsum("btec,ebcd->btd", combine.astype(cdt), out)
+        return nn.Dropout(self.dropout)(y, deterministic=deterministic)

@@ -81,6 +81,15 @@ class ViTED(nn.Module):
     # (pjs-L / high-res variants); identical numerics to the fused path
     # up to f32 reduction order (tests/test_ring_attention.py).
     ring_attn: bool = False
+    # Mixture-of-Experts encoder MLPs (beyond reference parity; the
+    # reference family is dense). moe_experts > 0 swaps the MLP of every
+    # moe_interval-th ENCODER block for a Switch-routed expert bank
+    # (models/moe.py); the decoder stays dense so every pair-scan /
+    # CLS-shortcut schedule is untouched. Shard the [E, ...] expert
+    # leaves over an "expert" mesh axis with parallel/ep.py.
+    moe_experts: int = 0
+    moe_interval: int = 2
+    moe_capacity: float = 1.25
     dtype: Dtype = jnp.float32
 
     @property
@@ -112,11 +121,17 @@ class ViTED(nn.Module):
                                  "and token axis come from its sharding)")
             ring = (self.act_sharding.mesh, self.act_sharding.spec[1])
 
+        def _moe(i):
+            if self.moe_experts <= 0:
+                return 0
+            return self.moe_experts if i % self.moe_interval == self.moe_interval - 1 else 0
+
         self.blocks = [
             block_cls(self.embed_dim, self.num_heads, self.mlp_ratio, self.qkv_bias,
                       self.qk_norm, self.proj_drop_rate, self.attn_drop_rate,
                       self.init_values, float(dpr[i]), self.keep_attn,
                       self.use_pallas, self.dtype, self.fast_gelu, ring=ring,
+                      moe_experts=_moe(i), moe_capacity=self.moe_capacity,
                       name=f"blocks_{i}")
             for i in range(self.depth)
         ]

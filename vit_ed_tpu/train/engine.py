@@ -68,7 +68,8 @@ class TrainState(struct.PyTreeNode):
 
 def make_train_step(model, tx, criterion: Callable, accum_steps: int,
                     loss_fn: Optional[Callable] = None,
-                    has_batch_stats: bool = False):
+                    has_batch_stats: bool = False,
+                    moe_aux_weight: float = 0.0):
     """Build the jitted train step.
 
     ``loss_fn(model, params, batch, rng) -> loss`` defaults to the plain
@@ -80,10 +81,25 @@ def make_train_step(model, tx, criterion: Callable, accum_steps: int,
     running stats are threaded through the state. Under jit-over-mesh the
     batch statistics are computed over the GLOBAL batch — the TPU
     equivalent of SyncBatchNorm (reference models/build.py:53 etc.).
+
+    ``moe_aux_weight > 0`` (MoE models) makes the default loss collect the
+    ``moe_aux`` collection the expert banks sow (models/moe.py) and add
+    the summed Switch load-balance terms, scaled by the weight. A custom
+    ``loss_fn`` that wants the aux terms must collect them itself.
     """
 
     if loss_fn is None:
-        if has_batch_stats:
+        if moe_aux_weight and not has_batch_stats:
+            def loss_fn(model, params, batch, rng):
+                samples, targets = batch["samples"], batch["targets"]
+                logits, mut = model.apply(
+                    {"params": params}, samples, train=True,
+                    rngs={"dropout": rng}, mutable=["moe_aux"])
+                aux = sum(jnp.asarray(v, jnp.float32).sum()
+                          for v in jax.tree.leaves(mut.get("moe_aux", {})))
+                return (criterion(logits.astype(jnp.float32), targets)
+                        + moe_aux_weight * aux)
+        elif has_batch_stats:
             def loss_fn(model, params, batch, rng, batch_stats):
                 samples, targets = batch["samples"], batch["targets"]
                 out, mutated = model.apply(
@@ -165,6 +181,21 @@ class Trainer:
         if tpu.FSDP and "data" not in axes:
             raise ValueError("TPU.FSDP shards over the 'data' mesh axis; "
                              "TPU.MESH_AXES must keep one")
+        if tpu.EXPERT_PARALLEL:
+            if tpu.TENSOR_PARALLEL or tpu.FSDP:
+                raise ValueError("TPU.EXPERT_PARALLEL composes with plain "
+                                 "data parallelism only (one sharding rule "
+                                 "per leaf); drop TENSOR_PARALLEL/FSDP")
+            if "expert" not in axes:
+                raise ValueError("TPU.EXPERT_PARALLEL needs an 'expert' mesh "
+                                 "axis: set TPU.MESH_SHAPE [data, expert] and "
+                                 "TPU.MESH_AXES ['data', 'expert']")
+            n_exp = self.config.MODEL.PJS.MOE.EXPERTS
+            if (self.config.MODEL.TYPE != "pjs" or n_exp <= 0
+                    or n_exp % self.mesh.shape["expert"]):
+                raise ValueError("TPU.EXPERT_PARALLEL needs a pjs model with "
+                                 "MODEL.PJS.MOE.EXPERTS a positive multiple "
+                                 "of the 'expert' axis size")
         self.rank = jax.process_index()
         self.world_size = jax.process_count()
         self.n_devices = self.mesh.devices.size
@@ -227,7 +258,8 @@ class Trainer:
 
         if self.config.MODEL.PRETRAINED and not self.config.MODEL.RESUME:
             self.params = ckpt.load_pretrained(self.config, self.params, self.logger)
-            if self.config.TPU.TENSOR_PARALLEL or self.config.TPU.FSDP:
+            if (self.config.TPU.TENSOR_PARALLEL or self.config.TPU.FSDP
+                    or self.config.TPU.EXPERT_PARALLEL):
                 # the non-strict merge hands back host arrays; re-establish
                 # the parallel shardings or the loaded leaves would ride
                 # into the train step replicated
@@ -256,6 +288,10 @@ class Trainer:
             from vit_ed_tpu.parallel.fsdp import shard_params_fsdp
 
             return shard_params_fsdp(host_params, self.mesh)
+        if self.config.TPU.EXPERT_PARALLEL:
+            from vit_ed_tpu.parallel.ep import shard_params_ep
+
+            return shard_params_ep(host_params, self.mesh)
         rep = replicated_sharding(self.mesh)
         return jax.tree.map(lambda x: jax.device_put(x, rep), host_params)
 
@@ -288,7 +324,8 @@ class Trainer:
         if jax.process_count() == 1:
             return self.params
         params = self.params
-        if self.config.TPU.TENSOR_PARALLEL or self.config.TPU.FSDP:
+        if (self.config.TPU.TENSOR_PARALLEL or self.config.TPU.FSDP
+                    or self.config.TPU.EXPERT_PARALLEL):
             # mesh-sharded leaves aren't process-addressable: re-replicate
             # with one global all-gather first (every process calls this)
             rep = replicated_sharding(self.mesh)
@@ -382,9 +419,13 @@ class Trainer:
         # collection through the step; a custom make_loss_fn for such a model
         # must take (model, params, batch, rng, batch_stats) and return
         # (loss, new_batch_stats).
+        moe = self.config.MODEL.PJS.MOE
+        aux_w = (moe.AUX_WEIGHT if self.config.MODEL.TYPE == "pjs"
+                 and moe.EXPERTS > 0 else 0.0)
         self.train_step = make_train_step(self.model, self.tx, criterion, accum,
                                           self.make_loss_fn(criterion),
-                                          has_batch_stats=has_batch_stats)
+                                          has_batch_stats=has_batch_stats,
+                                          moe_aux_weight=aux_w)
 
         if config.MODEL.RESUME:
             state, self.min_loss, self.start_epoch = self._load_resume(state)
