@@ -213,6 +213,68 @@ def test_ep_without_expert_axis_rejected(env, tmp_path):
         DefaultTrainer(args)
 
 
+def test_moe_split_forward_matches_full():
+    """encode-once / decode-many dispatch stays exact with MoE encoder
+    blocks (the O(N^2) scan path runs through the same encode())."""
+    from vit_ed_tpu.models.vit_ed import ViTED
+
+    m = ViTED(img_size=32, patch_size=16, num_classes=4, embed_dim=32,
+              depth=2, c_depth=2, num_heads=2, use_pallas=False,
+              moe_experts=4, moe_interval=2)
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(2, 2, 32, 32, 3)),
+                    jnp.float32)
+    variables = {"params": m.init(jax.random.PRNGKey(0), x)["params"]}
+    full = m.apply(variables, x)
+    feats = m.apply(variables, x[:, 0], forward_first_part=True)
+    split = m.apply(variables, feats, x[:, 1])
+    np.testing.assert_allclose(np.asarray(full), np.asarray(split), atol=1e-5)
+    tokens = m.apply(variables, x[:, 1], method=ViTED.prepare_x2)
+    scored = m.apply(variables, feats, tokens, method=ViTED.score_tokens)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(scored), atol=1e-5)
+
+
+def test_moe_model_overfits_fixed_batch():
+    """Learning signal through the sparse path: gradients flow through
+    router + expert banks (incl. the aux loss) well enough to fit a fixed
+    4-bin pair batch — a broken dispatch/combine transpose fails here."""
+    import optax
+
+    from tests.test_learning import _make_direction_pairs
+    from vit_ed_tpu.models.vit_ed import ViTED
+    from vit_ed_tpu.train.engine import TrainState, make_train_step
+    from vit_ed_tpu.train.losses import bce_with_logits
+
+    rng = np.random.default_rng(0)
+    imgs, labels = _make_direction_pairs(rng, 64)
+    model = ViTED(img_size=32, patch_size=16, num_classes=4, embed_dim=32,
+                  depth=1, c_depth=1, num_heads=2, use_pallas=False,
+                  moe_experts=4, moe_interval=1, moe_capacity=2.0)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 2, 32, 32, 3)))["params"]
+    assert "w1" in params["blocks_0"]["mlp"]   # the MoE block is really on
+    tx = optax.adamw(1e-3)
+    state = TrainState(params=params, opt_state=tx.init(params),
+                       step=jnp.zeros((), jnp.int32))
+    step_fn = make_train_step(model, tx, bce_with_logits, accum_steps=2,
+                              moe_aux_weight=0.01)
+    batch = {"samples": jnp.asarray(imgs.reshape(2, 32, 2, 32, 32, 3)),
+             "targets": jnp.asarray(labels.reshape(2, 32, 4))}
+    key = jax.random.PRNGKey(1)
+    first_loss = None
+    for _ in range(400):
+        key, sub = jax.random.split(key)
+        state, metrics = step_fn(state, batch, sub)
+        if first_loss is None:
+            first_loss = float(metrics["loss"])
+    final_loss = float(metrics["loss"])
+    assert final_loss < 0.08, f"loss did not converge: {first_loss} -> {final_loss}"
+
+    logits = model.apply({"params": state.params}, jnp.asarray(imgs))
+    preds = (np.asarray(logits) > 0).astype(np.float32)
+    acc = (preds == labels).all(axis=1).mean()
+    assert acc >= 0.95, f"4-bin exact accuracy too low: {acc}"
+
+
 def test_ep_without_moe_rejected(env, tmp_path):
     from main import DefaultTrainer
 
