@@ -189,6 +189,22 @@ def main():
     assert np.isfinite(tp_loss)
     np.save(os.path.join(outdir, f"rank{rank}_tp_loss.npy"), np.float64(tp_loss))
 
+    # ---- 3c. multi-host FSDP (ZeRO-3): params + moments sharded over the
+    # global 'data' axis across BOTH processes; same fresh params + batch
+    # + rng as the DP step, so the loss must match it ---------------------
+    from vit_ed_tpu.parallel.fsdp import shard_params_fsdp
+
+    fsdp_params = shard_params_fsdp(host_params, mesh, min_size=256)
+    fsdp_state = TrainState(params=fsdp_params, opt_state=tx.init(fsdp_params),
+                            step=jnp.zeros((), jnp.int32))
+    fsdp_state, fsdp_metrics = step(fsdp_state, batch, jax.random.PRNGKey(7))
+    fsdp_loss = float(jax.device_get(fsdp_metrics["loss"]))
+    assert abs(fsdp_loss - loss) < 1e-5, (fsdp_loss, loss)
+    fc1 = fsdp_state.params["blocks_0"]["mlp"]["fc1"]["kernel"]
+    assert "data" in fc1.sharding.spec
+    np.save(os.path.join(outdir, f"rank{rank}_fsdp_loss.npy"),
+            np.float64(fsdp_loss))
+
     # ---- 4. collective orbax save/restore ------------------------------
     from vit_ed_tpu.train import checkpoint as ckpt
 

@@ -146,6 +146,18 @@ def test_multihost_tp_step_consistent(mp_outputs):
     assert np.isfinite(tp0)
 
 
+def test_multihost_fsdp_step_matches_dp(mp_outputs):
+    """FSDP (ZeRO-3) over the global 'data' axis spanning both processes:
+    same fresh params/batch/rng as the DP step, so the losses must match
+    bit-for-bit-close across strategies AND across ranks (the worker also
+    asserts the updated params stayed sharded)."""
+    dp0 = np.load(os.path.join(mp_outputs, "rank0_loss.npy"))
+    fs0 = np.load(os.path.join(mp_outputs, "rank0_fsdp_loss.npy"))
+    fs1 = np.load(os.path.join(mp_outputs, "rank1_fsdp_loss.npy"))
+    assert fs0 == fs1
+    assert abs(fs0 - dp0) < 1e-5
+
+
 def test_sharded_rows_reproduce_full_matrix_and_metrics(mp_outputs):
     """assemble=False rows (exchanged slab-by-slab across the 2 processes)
     must tile the assembled matrix exactly, and the row-sharded wi19
