@@ -275,6 +275,49 @@ def test_moe_model_overfits_fixed_batch():
     assert acc >= 0.95, f"4-bin exact accuracy too low: {acc}"
 
 
+def test_dense_checkpoint_upcycles_into_moe(env, tmp_path):
+    """Sparse upcycling: MODEL.PRETRAINED with a DENSE checkpoint on a MoE
+    config initialises every expert from the dense fc1/fc2 (router stays
+    random), through the unmodified CLI surface."""
+    from main import DefaultTrainer
+
+    _tmp, data, _cfg = env
+    dense_cfg = tmp_path / "dense.yaml"
+    dense_cfg.write_text(
+        CFG.replace("EXPERTS: 4", "EXPERTS: 0")
+           .replace("EXPERT_PARALLEL: true", "EXPERT_PARALLEL: false")
+           .replace("NAME: tiny_moe", "NAME: tiny_dense"))
+    args = Args()
+    args.cfg = str(dense_cfg)
+    args.data_path = str(data)
+    args.output = str(tmp_path / "out_dense")
+    trainer = DefaultTrainer(args)
+    trainer.train()
+    dense_fc1 = np.asarray(
+        jax.device_get(trainer.params["blocks_1"]["mlp"]["fc1"]["kernel"]))
+    ckpt = os.path.join(args.output, "tiny_dense", "test", "best_model.ckpt")
+    assert os.path.isdir(ckpt)
+
+    moe_cfg = tmp_path / "moe.yaml"
+    moe_cfg.write_text(CFG)
+    args2 = Args()
+    args2.cfg = str(moe_cfg)
+    args2.data_path = str(data)
+    args2.output = str(tmp_path / "out_upcycled")
+    args2.pretrained = ckpt
+    trainer2 = DefaultTrainer(args2)
+    w1 = np.asarray(jax.device_get(trainer2.params["blocks_1"]["mlp"]["w1"]))
+    assert w1.shape[0] == 4
+    for e in range(4):
+        np.testing.assert_array_equal(w1[e], dense_fc1)
+    # EP shardings survived the pretrained merge + upcycle
+    assert trainer2.params["blocks_1"]["mlp"]["w1"].sharding.spec[0] == "expert"
+    # dense encoder weights rode along too
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(trainer2.params["blocks_0"]["mlp"]["fc1"]["kernel"])),
+        np.asarray(jax.device_get(trainer.params["blocks_0"]["mlp"]["fc1"]["kernel"])))
+
+
 def test_ep_without_moe_rejected(env, tmp_path):
     from main import DefaultTrainer
 

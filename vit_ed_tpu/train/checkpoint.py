@@ -123,12 +123,48 @@ def load_pretrained(config, params, logger):
             loaded["head"] = jax.tree.map(lambda x: np.zeros_like(x), params["head"])
 
     merged, missing, unexpected = _merge_params(params, loaded)
+    _upcycle_moe(merged, loaded, logger)
     if missing:
         logger.warning(f"Missing keys: {sorted(missing)[:20]} ...")
     if unexpected:
         logger.warning(f"Unexpected keys: {sorted(unexpected)[:20]} ...")
     logger.info(f"=> loaded successfully '{path}'")
     return merged
+
+
+def _upcycle_moe(merged, loaded, logger):
+    """Sparse upcycling: when a DENSE checkpoint is loaded into a MoE
+    config, initialise every expert of each Switch bank (models/moe.py:
+    w1/b1/w2/b2) from the dense block's fc1/fc2 — the standard dense->MoE
+    warm start. The router stays at its random init (there is nothing to
+    upcycle it from); shapes must match exactly or the bank is skipped."""
+    n = 0
+    for name, blk in merged.items():
+        mlp = blk.get("mlp") if isinstance(blk, dict) else None
+        src_blk = loaded.get(name) if isinstance(loaded, dict) else None
+        src = src_blk.get("mlp") if isinstance(src_blk, dict) else None
+        if not (isinstance(mlp, dict) and "w1" in mlp
+                and isinstance(src, dict) and "fc1" in src and "w2" in mlp):
+            continue
+        e = np.asarray(mlp["w1"]).shape[0]
+        pairs = [("w1", "b1", "fc1"), ("w2", "b2", "fc2")]
+        if any(np.asarray(mlp[w]).shape[1:] != np.asarray(src[fc]["kernel"]).shape
+               or np.asarray(mlp[b]).shape[1:] != np.asarray(src[fc]["bias"]).shape
+               for w, b, fc in pairs):
+            logger.warning(f"Sparse upcycling skipped for {name}: dense MLP "
+                           f"shapes do not match the expert bank")
+            continue
+        for w, b, fc in pairs:
+            mlp[w] = np.broadcast_to(
+                np.asarray(src[fc]["kernel"]),
+                (e,) + np.asarray(src[fc]["kernel"]).shape).copy()
+            mlp[b] = np.broadcast_to(
+                np.asarray(src[fc]["bias"]),
+                (e,) + np.asarray(src[fc]["bias"]).shape).copy()
+        n += 1
+    if n:
+        logger.info(f"Sparse upcycling: initialised {n} expert banks from "
+                    f"the dense checkpoint's MLPs")
 
 
 def _merge_params(base, loaded, prefix=""):
