@@ -157,26 +157,39 @@ class HisfragTrainer(Trainer):
 
     def make_loss_fn(self, criterion):
         reduction = self.LOSS_REDUCTION
+        moe = self.config.MODEL.PJS.MOE
+        aux_w = (moe.AUX_WEIGHT if self.config.MODEL.TYPE == "pjs"
+                 and moe.EXPERTS > 0 else 0.0)
 
         def loss_fn(model, params, batch, rng):
             import jax
+            import jax.numpy as jnp
 
             rngs = {"dropout": rng}
             samples = batch["samples"]
-            feats = model.apply({"params": params}, samples, train=True,
-                                forward_first_part=True, rngs=rngs)
+            aux = 0.0
+            if aux_w:
+                # the expert banks live in the encoder: collect their
+                # load-balance terms on the forward_first_part apply
+                feats, mut = model.apply({"params": params}, samples,
+                                         train=True, forward_first_part=True,
+                                         rngs=rngs, mutable=["moe_aux"])
+                aux = sum(jnp.asarray(v, jnp.float32).sum()
+                          for v in jax.tree.leaves(mut.get("moe_aux", {})))
+            else:
+                feats = model.apply({"params": params}, samples, train=True,
+                                    forward_first_part=True, rngs=rngs)
             tokens = model.apply({"params": params}, samples, train=True,
                                  method=model.prepare_x2, rngs=rngs)
             f = feats[batch["gj"]]
             t = tokens[batch["gi"]]
             logits = model.apply({"params": params}, f, t, train=True,
                                  method=model.score_tokens, rngs=rngs)
-            import jax.numpy as jnp
 
             return masked_bce_with_logits(logits.astype(jnp.float32),
                                           batch["pair_targets"],
                                           batch["pair_mask"],
-                                          reduction=reduction)
+                                          reduction=reduction) + aux_w * aux
 
         return loss_fn
 
