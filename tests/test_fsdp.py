@@ -221,15 +221,4 @@ def test_fsdp_pretrained_load_keeps_sharding(env, tmp_path):
     assert "data" in fc1.sharding.spec
 
 
-def test_fsdp_with_tp_rejected(env, tmp_path):
-    from main import DefaultTrainer
-
-    _tmp, data, _cfg = env
-    cfg = tmp_path / "bad.yaml"
-    cfg.write_text(CFG + "  TENSOR_PARALLEL: true\n  MESH_SHAPE: [2, 4]\n")
-    args = Args()
-    args.cfg = str(cfg)
-    args.data_path = str(data)
-    args.output = str(tmp_path / "out")
-    with pytest.raises(ValueError, match="exclusive"):
-        DefaultTrainer(args)
+# FSDP composed with TP / EP is covered in tests/test_compose_parallel.py

@@ -347,12 +347,15 @@ def default_config() -> ConfigNode:
                                    # (requires SEQ_PARALLEL)
     c.TPU.FSDP = False             # ZeRO-3: params + grads + AdamW moments
                                    # sharded over the "data" axis; XLA
-                                   # gathers on use, reduce-scatters grads
-                                   # (exclusive with TENSOR_PARALLEL)
+                                   # gathers on use, reduce-scatters grads.
+                                   # Composes with TP/EP as the fallback
+                                   # rule for leaves they leave replicated
     c.TPU.EXPERT_PARALLEL = False  # MoE expert banks split over an
                                    # "expert" mesh axis (MESH_AXES
                                    # [data, expert]); needs MOE.EXPERTS
-                                   # divisible by the axis size
+                                   # divisible by the axis size; composes
+                                   # with TENSOR_PARALLEL and FSDP
+                                   # (parallel/compose.py)
     c.TPU.MESH_AXES = []
 
     return c

@@ -8,8 +8,9 @@ against the expert-major [E, ...] tensors, so XLA's SPMD partitioner
 turns them into the MoE all-to-alls (GShard); no manual collectives.
 
 EP composes with plain data parallelism (the standard deployment:
-mesh ("data", "expert")); it is rejected together with TENSOR_PARALLEL
-or FSDP at the config surface — one sharding rule per leaf.
+mesh ("data", "expert")) and, because expert leaves are disjoint from
+the Megatron TP leaves, with TENSOR_PARALLEL and FSDP too — see
+parallel/compose.py for the per-leaf stacking of the three rules.
 """
 
 from __future__ import annotations

@@ -174,18 +174,10 @@ class Trainer:
         if tpu.RING_ATTN and not tpu.SEQ_PARALLEL:
             raise ValueError("TPU.RING_ATTN requires TPU.SEQ_PARALLEL (the "
                              "token axis to ring over)")
-        if tpu.FSDP and tpu.TENSOR_PARALLEL:
-            raise ValueError("TPU.FSDP and TPU.TENSOR_PARALLEL are exclusive: "
-                             "pick ZeRO-3 over 'data' or Megatron over "
-                             "'model', not both on one leaf")
         if tpu.FSDP and "data" not in axes:
             raise ValueError("TPU.FSDP shards over the 'data' mesh axis; "
                              "TPU.MESH_AXES must keep one")
         if tpu.EXPERT_PARALLEL:
-            if tpu.TENSOR_PARALLEL or tpu.FSDP:
-                raise ValueError("TPU.EXPERT_PARALLEL composes with plain "
-                                 "data parallelism only (one sharding rule "
-                                 "per leaf); drop TENSOR_PARALLEL/FSDP")
             if "expert" not in axes:
                 raise ValueError("TPU.EXPERT_PARALLEL needs an 'expert' mesh "
                                  "axis: set TPU.MESH_SHAPE [data, expert] and "
@@ -279,19 +271,17 @@ class Trainer:
 
     def _shard_new_params(self, host_params):
         """Place a fresh host-side param tree under the configured
-        parallelism (Megatron TP, ZeRO-3 FSDP, or plain replication)."""
-        if self.config.TPU.TENSOR_PARALLEL:
-            from vit_ed_tpu.parallel.tp import shard_params_tp
+        parallelism. The rules compose per leaf (parallel/compose.py):
+        Megatron TP on attention/MLP kernels, EP on MoE expert banks,
+        ZeRO-3 FSDP on whatever the first two left replicated."""
+        tpu = self.config.TPU
+        if tpu.TENSOR_PARALLEL or tpu.FSDP or tpu.EXPERT_PARALLEL:
+            from vit_ed_tpu.parallel.compose import shard_params_composed
 
-            return shard_params_tp(host_params, self.mesh)
-        if self.config.TPU.FSDP:
-            from vit_ed_tpu.parallel.fsdp import shard_params_fsdp
-
-            return shard_params_fsdp(host_params, self.mesh)
-        if self.config.TPU.EXPERT_PARALLEL:
-            from vit_ed_tpu.parallel.ep import shard_params_ep
-
-            return shard_params_ep(host_params, self.mesh)
+            return shard_params_composed(host_params, self.mesh,
+                                         tp=tpu.TENSOR_PARALLEL,
+                                         ep=tpu.EXPERT_PARALLEL,
+                                         fsdp=tpu.FSDP)
         rep = replicated_sharding(self.mesh)
         return jax.tree.map(lambda x: jax.device_put(x, rep), host_params)
 
