@@ -318,6 +318,20 @@ def test_dense_checkpoint_upcycles_into_moe(env, tmp_path):
         np.asarray(jax.device_get(trainer.params["blocks_0"]["mlp"]["fc1"]["kernel"])))
 
 
+def test_moe_tree_rejected_by_torch_exporter():
+    """MoE expert banks have no reference counterpart: exporting to .pth
+    must fail with a clear error, not emit a silently-wrong state dict."""
+    from vit_ed_tpu.models.convert import params_to_torch_state_dict
+    from vit_ed_tpu.models.vit_ed import ViTED
+
+    m = ViTED(img_size=32, patch_size=16, num_classes=4, embed_dim=32,
+              depth=2, c_depth=2, num_heads=2, use_pallas=False,
+              moe_experts=2, moe_interval=2)
+    p = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 2, 32, 32, 3)))["params"]
+    with pytest.raises(ValueError, match="expert bank"):
+        params_to_torch_state_dict(p)
+
+
 def test_ep_without_moe_rejected(env, tmp_path):
     from main import DefaultTrainer
 

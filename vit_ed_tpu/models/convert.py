@@ -135,6 +135,11 @@ def params_to_torch_state_dict(params: Dict[str, Any]) -> Dict[str, np.ndarray]:
 
     for name, p in params.items():
         if name.startswith("blocks_") or name.startswith("cross_blocks_"):
+            if "mlp" in p and "w1" in p["mlp"]:
+                raise ValueError(
+                    f"{name} holds a MoE expert bank (models/moe.py), which "
+                    f"has no reference/torch counterpart — only dense models "
+                    f"export to .pth")
             stem, idx = name.rsplit("_", 1)
             prefix = f"{stem}.{idx}"
             put_ln(prefix + ".norm1", p["norm1"])
