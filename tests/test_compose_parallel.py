@@ -133,6 +133,7 @@ TPU:
   MESH_SHAPE: [2, 2, 2]
   MESH_AXES: [data, model, expert]
   TENSOR_PARALLEL: true
+  SEQ_PARALLEL: true
   EXPERT_PARALLEL: true
   FSDP: true
 """

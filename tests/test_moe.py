@@ -318,6 +318,36 @@ def test_dense_checkpoint_upcycles_into_moe(env, tmp_path):
         np.asarray(jax.device_get(trainer.params["blocks_0"]["mlp"]["fc1"]["kernel"])))
 
 
+def test_moe_under_remat_matches_unremat():
+    """TRAIN.USE_CHECKPOINT wraps blocks in nn.remat: the sown aux loss
+    must not double-count and gradients must match the unremat model."""
+    from vit_ed_tpu.models.vit_ed import ViTED
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 2, 32, 32, 3)),
+                    jnp.float32)
+    outs = {}
+    for remat in (False, True):
+        m = ViTED(img_size=32, patch_size=16, num_classes=4, embed_dim=32,
+                  depth=2, c_depth=2, num_heads=2, use_pallas=False,
+                  moe_experts=4, moe_interval=2, remat=remat)
+        p = m.init(jax.random.PRNGKey(0), x)["params"]
+
+        def loss(p, m=m):
+            lg, mu = m.apply({"params": p}, x, train=True,
+                             rngs={"dropout": jax.random.PRNGKey(1)},
+                             mutable=["moe_aux"])
+            aux = sum(jnp.asarray(v, jnp.float32).sum()
+                      for v in jax.tree.leaves(mu["moe_aux"]))
+            return jnp.sum(lg.astype(jnp.float32) ** 2) + 0.01 * aux, aux
+
+        (val, aux), grads = jax.jit(jax.value_and_grad(loss, has_aux=True))(p)
+        outs[remat] = (float(val), float(aux), jax.device_get(grads))
+    assert abs(outs[False][0] - outs[True][0]) < 1e-6
+    assert abs(outs[False][1] - outs[True][1]) < 1e-6
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, atol=1e-6),
+                 outs[False][2], outs[True][2])
+
+
 def test_moe_tree_rejected_by_torch_exporter():
     """MoE expert banks have no reference counterpart: exporting to .pth
     must fail with a clear error, not emit a silently-wrong state dict."""
