@@ -48,6 +48,38 @@ def test_moe_routing_matches_per_token_reference():
             np.testing.assert_allclose(out[bi, ti], want, atol=1e-5)
 
 
+def test_moe_top2_routing_matches_per_token_reference():
+    """route_k=2 (GShard): each token's output is the renormalized-gate
+    mix of its two best experts — checked against a numpy per-token loop."""
+    e, d, h, b, t = 4, 8, 16, 2, 12
+    mod = MoeMlp(hidden_dim=h, out_dim=d, num_experts=e, capacity_factor=8.0,
+                 route_k=2)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(b, t, d)), jnp.float32)
+    params = mod.init(jax.random.PRNGKey(0), x)["params"]
+    out = np.asarray(mod.apply({"params": params}, x))
+
+    router = np.asarray(params["router"]["kernel"])
+    w1, b1 = np.asarray(params["w1"]), np.asarray(params["b1"])
+    w2, b2 = np.asarray(params["w2"]), np.asarray(params["b2"])
+    xn = np.asarray(x)
+    logits = xn @ router
+    probs = np.exp(logits - logits.max(-1, keepdims=True))
+    probs /= probs.sum(-1, keepdims=True)
+    for bi in range(b):
+        for ti in range(t):
+            order = np.argsort(-probs[bi, ti])
+            e1, e2 = int(order[0]), int(order[1])
+            p1, p2 = probs[bi, ti, e1], probs[bi, ti, e2]
+            g1, g2 = p1 / (p1 + p2), p2 / (p1 + p2)
+            tok = xn[bi, ti]
+            want = np.zeros(d)
+            for ei, g in ((e1, g1), (e2, g2)):
+                hid = _erf_gelu(tok @ w1[ei] + b1[ei])
+                want = want + (hid @ w2[ei] + b2[ei]) * g
+            np.testing.assert_allclose(out[bi, ti], want, atol=1e-5)
+
+
 def test_moe_capacity_drops_overflow_tokens():
     """Capacity 1 token/expert: for each (batch, expert) only the FIRST
     routed token gets expert output; later ones fall back to zero (their

@@ -216,6 +216,7 @@ def default_config() -> ConfigNode:
     c.MODEL.PJS.MOE.EXPERTS = 0
     c.MODEL.PJS.MOE.INTERVAL = 2
     c.MODEL.PJS.MOE.CAPACITY = 1.25       # tokens/expert = T/E * CAPACITY
+    c.MODEL.PJS.MOE.ROUTE_K = 1           # 1 = Switch top-1, 2 = GShard top-2
     c.MODEL.PJS.MOE.AUX_WEIGHT = 0.01     # Switch load-balance loss weight
 
     c.MODEL.VIT = ConfigNode()

@@ -57,6 +57,7 @@ def build_model(config, mesh=None):
             moe_experts=config.MODEL.PJS.MOE.EXPERTS,
             moe_interval=config.MODEL.PJS.MOE.INTERVAL,
             moe_capacity=config.MODEL.PJS.MOE.CAPACITY,
+            moe_route_k=config.MODEL.PJS.MOE.ROUTE_K,
             dtype=dtype,
         )
     if model_type == "vit":

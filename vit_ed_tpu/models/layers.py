@@ -361,6 +361,7 @@ class Block(nn.Module):
     # (models/moe.py); encoder-only in practice (ViTED.moe_* knobs)
     moe_experts: int = 0
     moe_capacity: float = 1.25
+    moe_route_k: int = 1
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -379,7 +380,8 @@ class Block(nn.Module):
 
             y = MoeMlp(int(self.dim * self.mlp_ratio), self.dim,
                        self.moe_experts, self.moe_capacity, self.proj_drop,
-                       self.dtype, self.fast_gelu, name="mlp")(y, deterministic)
+                       self.dtype, self.fast_gelu, route_k=self.moe_route_k,
+                       name="mlp")(y, deterministic)
         else:
             y = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.proj_drop,
                     self.dtype, self.fast_gelu,

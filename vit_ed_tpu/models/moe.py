@@ -44,34 +44,48 @@ class MoeMlp(nn.Module):
     dropout: float = 0.0
     dtype: Dtype = jnp.float32
     fast_gelu: bool = False
+    # 1 = Switch (top-1, gate = router prob); 2 = GShard-style top-2 with
+    # the two gates renormalized to sum to 1. Higher k works the same way.
+    route_k: int = 1
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         b, t, d = x.shape
         e = self.num_experts
+        k = self.route_k
         c = max(1, math.ceil(t / e * self.capacity_factor))
 
         # --- router (f32: softmax over expert logits must not saturate)
         router = nn.Dense(e, use_bias=False, dtype=jnp.float32,
                           kernel_init=trunc_normal_init, name="router")
         probs = jax.nn.softmax(router(x.astype(jnp.float32)), axis=-1)
-        expert_idx = jnp.argmax(probs, axis=-1)              # [B, T]
-        one_hot = jax.nn.one_hot(expert_idx, e, dtype=jnp.float32)
-        gate = jnp.sum(probs * one_hot, axis=-1)             # [B, T]
+        top_p, top_i = jax.lax.top_k(probs, k)               # [B, T, k]
+        oh = jax.nn.one_hot(top_i, e, dtype=jnp.float32)     # [B, T, k, E]
+        gates = top_p if k == 1 else top_p / jnp.sum(top_p, -1, keepdims=True)
 
-        # Switch load-balance loss: fraction routed x mean router prob
-        frac = jnp.mean(one_hot, axis=(0, 1))                # [E]
+        # load-balance loss on the FIRST choice (Switch eq. 4; GShard uses
+        # the same first-choice fraction for its aux term)
+        frac = jnp.mean(oh[:, :, 0, :], axis=(0, 1))         # [E]
         mean_p = jnp.mean(probs, axis=(0, 1))                # [E]
         self.sow("moe_aux", "load_balance", e * jnp.sum(frac * mean_p))
 
-        # --- static-capacity dispatch: position of each token within its
-        # expert's buffer; tokens past capacity are dropped (residual path)
-        pos = jnp.cumsum(one_hot, axis=1) * one_hot - 1.0    # [B, T, E]
-        keep = (pos >= 0) & (pos < c)
-        pos_oh = jax.nn.one_hot(pos.astype(jnp.int32), c,
-                                dtype=jnp.float32)           # [B, T, E, C]
-        dispatch = pos_oh * keep[..., None]                  # 0/1
-        combine = dispatch * gate[:, :, None, None]
+        # --- static-capacity dispatch, k-major priority: every token's
+        # first choice claims buffer slots before any second choice does
+        # (GShard's rule); tokens past capacity are dropped for that
+        # choice (their residual passes through unchanged)
+        dispatch = jnp.zeros((b, t, e, c), jnp.float32)
+        combine = jnp.zeros((b, t, e, c), jnp.float32)
+        prev = jnp.zeros((b, 1, e), jnp.float32)             # slots already claimed
+        for kk in range(k):
+            ohk = oh[:, :, kk, :]                            # [B, T, E]
+            pos = (jnp.cumsum(ohk, axis=1) - 1.0 + prev) * ohk  # [B, T, E]
+            keep = (ohk > 0) & (pos >= 0) & (pos < c)
+            pos_oh = jax.nn.one_hot(pos.astype(jnp.int32), c,
+                                    dtype=jnp.float32)       # [B, T, E, C]
+            dk = pos_oh * keep[..., None]
+            dispatch = dispatch + dk
+            combine = combine + dk * gates[:, :, kk, None, None]
+            prev = prev + jnp.sum(ohk, axis=1, keepdims=True)
 
         # --- expert bank [E, ...]: three static einsums; with the leaves
         # P("expert", ...)-sharded, GSPMD inserts the token all-to-alls

@@ -90,6 +90,7 @@ class ViTED(nn.Module):
     moe_experts: int = 0
     moe_interval: int = 2
     moe_capacity: float = 1.25
+    moe_route_k: int = 1      # 1 = Switch top-1, 2 = GShard top-2
     dtype: Dtype = jnp.float32
 
     @property
@@ -132,6 +133,7 @@ class ViTED(nn.Module):
                       self.init_values, float(dpr[i]), self.keep_attn,
                       self.use_pallas, self.dtype, self.fast_gelu, ring=ring,
                       moe_experts=_moe(i), moe_capacity=self.moe_capacity,
+                      moe_route_k=self.moe_route_k,
                       name=f"blocks_{i}")
             for i in range(self.depth)
         ]
