@@ -158,8 +158,9 @@ class HisfragTrainer(Trainer):
     def make_loss_fn(self, criterion):
         reduction = self.LOSS_REDUCTION
         moe = self.config.MODEL.PJS.MOE
-        aux_w = (moe.AUX_WEIGHT if self.config.MODEL.TYPE == "pjs"
-                 and moe.EXPERTS > 0 else 0.0)
+        is_moe = self.config.MODEL.TYPE == "pjs" and moe.EXPERTS > 0
+        aux_w = moe.AUX_WEIGHT if is_moe else 0.0
+        z_w = moe.Z_WEIGHT if is_moe else 0.0
 
         def loss_fn(model, params, batch, rng):
             import jax
@@ -169,13 +170,14 @@ class HisfragTrainer(Trainer):
             samples = batch["samples"]
             aux = 0.0
             if aux_w:
+                from vit_ed_tpu.models.moe import collect_moe_aux
+
                 # the expert banks live in the encoder: collect their
-                # load-balance terms on the forward_first_part apply
+                # load-balance + z terms on the forward_first_part apply
                 feats, mut = model.apply({"params": params}, samples,
                                          train=True, forward_first_part=True,
                                          rngs=rngs, mutable=["moe_aux"])
-                aux = sum(jnp.asarray(v, jnp.float32).sum()
-                          for v in jax.tree.leaves(mut.get("moe_aux", {})))
+                aux = collect_moe_aux(mut, aux_w, z_w)
             else:
                 feats = model.apply({"params": params}, samples, train=True,
                                     forward_first_part=True, rngs=rngs)
@@ -189,7 +191,7 @@ class HisfragTrainer(Trainer):
             return masked_bce_with_logits(logits.astype(jnp.float32),
                                           batch["pair_targets"],
                                           batch["pair_mask"],
-                                          reduction=reduction) + aux_w * aux
+                                          reduction=reduction) + aux
 
         return loss_fn
 

@@ -80,6 +80,53 @@ def test_moe_top2_routing_matches_per_token_reference():
             np.testing.assert_allclose(out[bi, ti], want, atol=1e-5)
 
 
+def test_moe_router_z_loss_and_weighted_collection():
+    """router_z = mean(logsumexp(logits)^2) is sown alongside the balance
+    term, and collect_moe_aux applies the two weights by sow name."""
+    from vit_ed_tpu.models.moe import collect_moe_aux
+
+    e, d, h, b, t = 4, 8, 16, 2, 6
+    mod = MoeMlp(hidden_dim=h, out_dim=d, num_experts=e)
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(b, t, d)), jnp.float32)
+    params = mod.init(jax.random.PRNGKey(0), x)["params"]
+    _, mut = mod.apply({"params": params}, x, mutable=["moe_aux"])
+
+    logits = np.asarray(x) @ np.asarray(params["router"]["kernel"])
+    lse = (np.log(np.sum(np.exp(logits - logits.max(-1, keepdims=True)), -1))
+           + logits.max(-1))
+    z_want = np.mean(lse ** 2)
+    z_got = float(np.asarray(mut["moe_aux"]["router_z"][0]))
+    np.testing.assert_allclose(z_got, z_want, rtol=1e-5)
+
+    bal = float(np.asarray(mut["moe_aux"]["load_balance"][0]))
+    tot = float(collect_moe_aux(mut, 0.01, 0.001))
+    np.testing.assert_allclose(tot, 0.01 * bal + 0.001 * z_got, rtol=1e-6)
+    # z term excluded when its weight is 0
+    np.testing.assert_allclose(float(collect_moe_aux(mut, 0.01, 0.0)),
+                               0.01 * bal, rtol=1e-6)
+
+
+def test_moe_router_jitter_train_only():
+    """jitter perturbs routing only in training mode; eval is untouched."""
+    e, d, h, b, t = 4, 8, 16, 2, 16
+    mod = MoeMlp(hidden_dim=h, out_dim=d, num_experts=e, jitter=0.5)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(b, t, d)), jnp.float32)
+    params = mod.init(jax.random.PRNGKey(0), x)["params"]
+
+    base = MoeMlp(hidden_dim=h, out_dim=d, num_experts=e)
+    det = mod.apply({"params": params}, x, deterministic=True)
+    np.testing.assert_array_equal(
+        np.asarray(det), np.asarray(base.apply({"params": params}, x)))
+
+    t1 = mod.apply({"params": params}, x, deterministic=False,
+                   rngs={"dropout": jax.random.PRNGKey(1)})
+    t2 = mod.apply({"params": params}, x, deterministic=False,
+                   rngs={"dropout": jax.random.PRNGKey(2)})
+    assert np.abs(np.asarray(t1) - np.asarray(t2)).max() > 0
+
+
 def test_moe_capacity_drops_overflow_tokens():
     """Capacity 1 token/expert: for each (batch, expert) only the FIRST
     routed token gets expert output; later ones fall back to zero (their

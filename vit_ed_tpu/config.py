@@ -218,6 +218,8 @@ def default_config() -> ConfigNode:
     c.MODEL.PJS.MOE.CAPACITY = 1.25       # tokens/expert = T/E * CAPACITY
     c.MODEL.PJS.MOE.ROUTE_K = 1           # 1 = Switch top-1, 2 = GShard top-2
     c.MODEL.PJS.MOE.AUX_WEIGHT = 0.01     # Switch load-balance loss weight
+    c.MODEL.PJS.MOE.Z_WEIGHT = 0.001      # ST-MoE router z-loss weight
+    c.MODEL.PJS.MOE.JITTER = 0.0          # router-input jitter (train only)
 
     c.MODEL.VIT = ConfigNode()
     c.MODEL.VIT.PATCH_SIZE = 16

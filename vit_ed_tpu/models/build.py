@@ -58,6 +58,7 @@ def build_model(config, mesh=None):
             moe_interval=config.MODEL.PJS.MOE.INTERVAL,
             moe_capacity=config.MODEL.PJS.MOE.CAPACITY,
             moe_route_k=config.MODEL.PJS.MOE.ROUTE_K,
+            moe_jitter=config.MODEL.PJS.MOE.JITTER,
             dtype=dtype,
         )
     if model_type == "vit":

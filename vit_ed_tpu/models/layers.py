@@ -362,6 +362,7 @@ class Block(nn.Module):
     moe_experts: int = 0
     moe_capacity: float = 1.25
     moe_route_k: int = 1
+    moe_jitter: float = 0.0
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -381,6 +382,7 @@ class Block(nn.Module):
             y = MoeMlp(int(self.dim * self.mlp_ratio), self.dim,
                        self.moe_experts, self.moe_capacity, self.proj_drop,
                        self.dtype, self.fast_gelu, route_k=self.moe_route_k,
+                       jitter=self.moe_jitter,
                        name="mlp")(y, deterministic)
         else:
             y = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.proj_drop,

@@ -34,6 +34,23 @@ from vit_ed_tpu.ops.gelu import gelu_exact
 Dtype = Any
 
 
+def collect_moe_aux(mutated, balance_weight: float, z_weight: float = 0.0):
+    """Weighted sum of the ``moe_aux`` terms a training apply collected.
+
+    ``load_balance`` sows are scaled by ``balance_weight`` (Switch's
+    alpha, typically 1e-2), ``router_z`` sows by ``z_weight`` (ST-MoE's
+    c_z, typically 1e-3). Returns a scalar f32 (0.0 when nothing sown).
+    """
+    total = jnp.zeros((), jnp.float32)
+    leaves, _ = jax.tree_util.tree_flatten_with_path(
+        mutated.get("moe_aux", {}))
+    for path, leaf in leaves:
+        names = [p.key for p in path if hasattr(p, "key")]
+        w = z_weight if "router_z" in names else balance_weight
+        total = total + w * jnp.asarray(leaf, jnp.float32).sum()
+    return total
+
+
 class MoeMlp(nn.Module):
     """Drop-in for ``layers.Mlp``: same (x, deterministic) call surface."""
 
@@ -47,6 +64,9 @@ class MoeMlp(nn.Module):
     # 1 = Switch (top-1, gate = router prob); 2 = GShard-style top-2 with
     # the two gates renormalized to sum to 1. Higher k works the same way.
     route_k: int = 1
+    # multiplicative router-input jitter during training (Switch §2.2):
+    # logits computed on x * U(1-jitter, 1+jitter); 0 disables
+    jitter: float = 0.0
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -58,7 +78,13 @@ class MoeMlp(nn.Module):
         # --- router (f32: softmax over expert logits must not saturate)
         router = nn.Dense(e, use_bias=False, dtype=jnp.float32,
                           kernel_init=trunc_normal_init, name="router")
-        probs = jax.nn.softmax(router(x.astype(jnp.float32)), axis=-1)
+        xr = x.astype(jnp.float32)
+        if self.jitter > 0.0 and not deterministic:
+            xr = xr * jax.random.uniform(self.make_rng("dropout"), xr.shape,
+                                         jnp.float32, 1.0 - self.jitter,
+                                         1.0 + self.jitter)
+        logits = router(xr)
+        probs = jax.nn.softmax(logits, axis=-1)
         top_p, top_i = jax.lax.top_k(probs, k)               # [B, T, k]
         oh = jax.nn.one_hot(top_i, e, dtype=jnp.float32)     # [B, T, k, E]
         gates = top_p if k == 1 else top_p / jnp.sum(top_p, -1, keepdims=True)
@@ -68,6 +94,10 @@ class MoeMlp(nn.Module):
         frac = jnp.mean(oh[:, :, 0, :], axis=(0, 1))         # [E]
         mean_p = jnp.mean(probs, axis=(0, 1))                # [E]
         self.sow("moe_aux", "load_balance", e * jnp.sum(frac * mean_p))
+        # router z-loss (ST-MoE eq. 5): keeps the router logits from
+        # drifting to magnitudes where bf16 softmax saturates
+        self.sow("moe_aux", "router_z",
+                 jnp.mean(jax.nn.logsumexp(logits, axis=-1) ** 2))
 
         # --- static-capacity dispatch, k-major priority: every token's
         # first choice claims buffer slots before any second choice does

@@ -91,6 +91,7 @@ class ViTED(nn.Module):
     moe_interval: int = 2
     moe_capacity: float = 1.25
     moe_route_k: int = 1      # 1 = Switch top-1, 2 = GShard top-2
+    moe_jitter: float = 0.0   # router-input jitter during training
     dtype: Dtype = jnp.float32
 
     @property
@@ -134,6 +135,7 @@ class ViTED(nn.Module):
                       self.use_pallas, self.dtype, self.fast_gelu, ring=ring,
                       moe_experts=_moe(i), moe_capacity=self.moe_capacity,
                       moe_route_k=self.moe_route_k,
+                      moe_jitter=self.moe_jitter,
                       name=f"blocks_{i}")
             for i in range(self.depth)
         ]

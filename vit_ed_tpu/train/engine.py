@@ -69,7 +69,8 @@ class TrainState(struct.PyTreeNode):
 def make_train_step(model, tx, criterion: Callable, accum_steps: int,
                     loss_fn: Optional[Callable] = None,
                     has_batch_stats: bool = False,
-                    moe_aux_weight: float = 0.0):
+                    moe_aux_weight: float = 0.0,
+                    moe_z_weight: float = 0.0):
     """Build the jitted train step.
 
     ``loss_fn(model, params, batch, rng) -> loss`` defaults to the plain
@@ -84,21 +85,22 @@ def make_train_step(model, tx, criterion: Callable, accum_steps: int,
 
     ``moe_aux_weight > 0`` (MoE models) makes the default loss collect the
     ``moe_aux`` collection the expert banks sow (models/moe.py) and add
-    the summed Switch load-balance terms, scaled by the weight. A custom
-    ``loss_fn`` that wants the aux terms must collect them itself.
+    the weighted load-balance (+ router z-loss, ``moe_z_weight``) terms.
+    A custom ``loss_fn`` that wants the aux terms must collect them
+    itself (see ``models.moe.collect_moe_aux``).
     """
 
     if loss_fn is None:
         if moe_aux_weight and not has_batch_stats:
+            from vit_ed_tpu.models.moe import collect_moe_aux
+
             def loss_fn(model, params, batch, rng):
                 samples, targets = batch["samples"], batch["targets"]
                 logits, mut = model.apply(
                     {"params": params}, samples, train=True,
                     rngs={"dropout": rng}, mutable=["moe_aux"])
-                aux = sum(jnp.asarray(v, jnp.float32).sum()
-                          for v in jax.tree.leaves(mut.get("moe_aux", {})))
                 return (criterion(logits.astype(jnp.float32), targets)
-                        + moe_aux_weight * aux)
+                        + collect_moe_aux(mut, moe_aux_weight, moe_z_weight))
         elif has_batch_stats:
             def loss_fn(model, params, batch, rng, batch_stats):
                 samples, targets = batch["samples"], batch["targets"]
@@ -410,12 +412,12 @@ class Trainer:
         # must take (model, params, batch, rng, batch_stats) and return
         # (loss, new_batch_stats).
         moe = self.config.MODEL.PJS.MOE
-        aux_w = (moe.AUX_WEIGHT if self.config.MODEL.TYPE == "pjs"
-                 and moe.EXPERTS > 0 else 0.0)
+        is_moe = self.config.MODEL.TYPE == "pjs" and moe.EXPERTS > 0
         self.train_step = make_train_step(self.model, self.tx, criterion, accum,
                                           self.make_loss_fn(criterion),
                                           has_batch_stats=has_batch_stats,
-                                          moe_aux_weight=aux_w)
+                                          moe_aux_weight=moe.AUX_WEIGHT if is_moe else 0.0,
+                                          moe_z_weight=moe.Z_WEIGHT if is_moe else 0.0)
 
         if config.MODEL.RESUME:
             state, self.min_loss, self.start_epoch = self._load_resume(state)
