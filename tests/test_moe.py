@@ -80,6 +80,21 @@ def test_moe_top2_routing_matches_per_token_reference():
             np.testing.assert_allclose(out[bi, ti], want, atol=1e-5)
 
 
+def test_moe_eval_is_batch_independent():
+    """Expert capacity is allocated PER SAMPLE (positions cumsum within
+    each batch row), so a sample's eval output cannot depend on what else
+    shares the batch — unlike token-global capacity schemes."""
+    e, d, h, t = 4, 8, 16, 12
+    mod = MoeMlp(hidden_dim=h, out_dim=d, num_experts=e, capacity_factor=0.5)
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(size=(4, t, d)), jnp.float32)
+    params = mod.init(jax.random.PRNGKey(0), x)["params"]
+    full = np.asarray(mod.apply({"params": params}, x))
+    for i in range(4):
+        solo = np.asarray(mod.apply({"params": params}, x[i:i + 1]))
+        np.testing.assert_array_equal(full[i], solo[0])
+
+
 def test_moe_router_z_loss_and_weighted_collection():
     """router_z = mean(logsumexp(logits)^2) is sown alongside the balance
     term, and collect_moe_aux applies the two weights by sow name."""
