@@ -72,18 +72,25 @@ def test_composed_train_step_matches_replicated():
             NamedSharding(mesh, P(None, "data"))),
     }
 
+    # the "composed_sp" variant adds sequence-parallel activation
+    # sharding on top: the MoE dispatch cumsum then runs over a
+    # token-SHARDED stream and must stay exact
+    sp_model = model.clone(act_sharding=NamedSharding(
+        mesh, P("data", "model", None)))
     results = {}
-    for name, placer in [
-        ("dp", lambda p: jax.tree.map(
+    for name, mdl, placer in [
+        ("dp", model, lambda p: jax.tree.map(
             lambda a: jax.device_put(a, replicated_sharding(mesh)), p)),
-        ("composed", lambda p: shard_params_composed(
+        ("composed", model, lambda p: shard_params_composed(
+            p, mesh, tp=True, ep=True, fsdp=True, min_size=256)),
+        ("composed_sp", sp_model, lambda p: shard_params_composed(
             p, mesh, tp=True, ep=True, fsdp=True, min_size=256)),
     ]:
         params = placer(host)
         tx = build_optimizer(cfg, schedule, params)
         state = TrainState(params=params, opt_state=tx.init(params),
                            step=jnp.zeros((), jnp.int32))
-        step = make_train_step(model, tx, bce_with_logits, accum_steps=1,
+        step = make_train_step(mdl, tx, bce_with_logits, accum_steps=1,
                                moe_aux_weight=0.01)
         for _ in range(2):
             state, metrics = step(state, batch, jax.random.PRNGKey(7))
@@ -95,6 +102,10 @@ def test_composed_train_step_matches_replicated():
     assert np.isfinite(dp_loss) and abs(dp_loss - co_loss) < 1e-5
     jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, atol=3e-6),
                  dp_params, co_params)
+    sp_params, sp_loss, _ = results["composed_sp"]
+    assert abs(dp_loss - sp_loss) < 1e-5
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, atol=3e-6),
+                 dp_params, sp_params)
 
     qkv = co_state.params["blocks_0"]["attn"]["qkv"]["kernel"]
     assert "model" in qkv.sharding.spec
