@@ -261,15 +261,24 @@ class HisfragTrainer(Trainer):
             dataset, batch_size=self.config.DATA.BATCH_SIZE, logger=self.logger,
             out_dir=self.config.OUTPUT, tag=split.value, rank=self.rank,
             world_size=self.world_size, num_workers=self.config.DATA.NUM_WORKERS,
-            assemble=False)
+            assemble=False, slab_on_disk=self.config.TPU.EVAL_SLAB_ON_DISK)
         img_names = [os.path.splitext(os.path.basename(s))[0]
                      for s in dataset.samples]
         labels = np.asarray(list_to_idx(img_names, lambda x: x.split("_")[0]))
-        # same dtype chain as the assembled test() path (distance matrix
-        # rounded to float16), so both paths rank ties identically
-        distance_rows = (1.0 - rows.astype(np.float32)).astype(np.float16)
-        part = row_partials(distance_rows.astype(np.float32), labels,
-                            row_labels=labels[row_range.start:row_range.stop])
+        # consume the slab in row blocks (partials are pure sums, so
+        # block partials merge exactly) — host RAM stays O(block x N) even
+        # when the slab is an EVAL_SLAB_ON_DISK memmap; the dtype chain
+        # matches the assembled test() path per element (distance rounded
+        # to float16), so both paths rank ties identically
+        blocks = []
+        for a in range(0, rows.shape[0], 2048):
+            dist = (1.0 - rows[a:a + 2048].astype(np.float32)
+                    ).astype(np.float16)
+            blocks.append(row_partials(
+                dist.astype(np.float32), labels,
+                row_labels=labels[row_range.start + a:
+                                  row_range.start + a + dist.shape[0]]))
+        part = {k: sum(b[k] for b in blocks) for k in blocks[0]}
         keys = sorted(part)
         if self.world_size > 1:
             stacked = np.asarray(process_allgather(

@@ -169,6 +169,17 @@ def test_hisfrag_sharded_eval_metrics(hisfrag_env):
     m_ap = trainer.test()
     np.testing.assert_allclose(m_ap, 1 - (1 - ref[0]), rtol=1e-6)
 
+    # TPU.EVAL_SLAB_ON_DISK: the row slab itself becomes a memmap under
+    # OUTPUT (host RAM O(batch) at any N) — same numbers, bit for bit
+    trainer.config.defrost()
+    trainer.config.TPU.EVAL_SLAB_ON_DISK = True
+    trainer.config.freeze()
+    m_ap2 = trainer.test()
+    assert m_ap2 == m_ap
+    import glob
+
+    assert glob.glob(os.path.join(trainer.config.OUTPUT, "*_rank0_slab.dat"))
+
 
 def test_raw_image_respects_lower_bound(hisfrag_env):
     """raw_image (the native batch-prep entry) must index identically to

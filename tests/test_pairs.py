@@ -100,6 +100,119 @@ def test_resume_from_cached_blocks(setup, tmp_path):
     np.testing.assert_array_equal(sim1, sim2)
 
 
+def test_slab_on_disk_matches_in_memory(setup, tmp_path):
+    """slab_on_disk=True backs the row slab with a memmap under out_dir:
+    scores identical to the in-memory slab, a second run resumes entirely
+    from the .done markers (no re-encoding), and a stale layout (different
+    N under the same tag) is recreated instead of corrupting results."""
+    import glob
+
+    model, params, imgs = setup
+    mesh = create_mesh()
+    ds = ArrayDataset(imgs)
+    scorer = PairwiseScorer(model, params, mesh, num_outputs=1, pair_chunk=16)
+    rows_mem, rng_mem = scorer.score_dataset(ds, batch_size=4, num_workers=0,
+                                             assemble=False)
+    rows_disk, rng_disk = scorer.score_dataset(
+        ds, batch_size=4, num_workers=0, assemble=False,
+        out_dir=str(tmp_path), tag="d", slab_on_disk=True)
+    assert isinstance(rows_disk, np.memmap)
+    assert rng_mem == rng_disk
+    np.testing.assert_array_equal(np.asarray(rows_disk), rows_mem)
+    assert glob.glob(str(tmp_path / "d_rank0_rows*.done"))
+
+    calls = {"n": 0}
+    orig = scorer._encode
+
+    def counting(*a):
+        calls["n"] += 1
+        return orig(*a)
+
+    scorer._encode = counting
+    rows2, _ = scorer.score_dataset(
+        ds, batch_size=4, num_workers=0, assemble=False,
+        out_dir=str(tmp_path), tag="d", slab_on_disk=True)
+    assert calls["n"] == 0  # every block resumed from the memmap
+    np.testing.assert_array_equal(np.asarray(rows2), rows_mem)
+    scorer._encode = orig
+
+    # same tag, different dataset size: slab meta mismatch -> recreate
+    ds2 = ArrayDataset(imgs[:9])
+    rows3, _ = scorer.score_dataset(ds2, batch_size=4, num_workers=0,
+                                    assemble=False, out_dir=str(tmp_path),
+                                    tag="d", slab_on_disk=True)
+    ref3, _ = scorer.score_dataset(ds2, batch_size=4, num_workers=0,
+                                   assemble=False)
+    np.testing.assert_array_equal(np.asarray(rows3), ref3)
+
+    # assembling N x N from a disk slab is refused
+    with pytest.raises(ValueError):
+        scorer.score_dataset(ds, batch_size=4, num_workers=0,
+                             out_dir=str(tmp_path), tag="d",
+                             slab_on_disk=True)
+
+
+def test_blocked_mirror_single_process(setup):
+    """_complete_rows' banded single-process mirror (forced multi-block)
+    equals the naive whole-matrix transpose mirror, incl. num_outputs>1."""
+    model, params, imgs = setup
+    mesh = create_mesh()
+    rng = np.random.default_rng(1)
+    n = 23
+    for c in (1, 2):
+        scorer = PairwiseScorer(model, params, mesh, num_outputs=c,
+                                pair_chunk=16)
+        up = rng.normal(size=(n, n, c)).astype(np.float16)
+        up[np.tril_indices(n, -1)] = 0
+        naive = up.copy()
+        il = np.tril_indices(n, -1)
+        naive[il] = np.swapaxes(naive, 0, 1)[il]
+        got = scorer._complete_rows(up.copy(), [range(0, n)], 0, 1,
+                                    mirror_block=5)
+        np.testing.assert_array_equal(
+            got, naive if c > 1 else naive[..., 0])
+
+
+def test_blocked_mirror_multiprocess_replay(setup, monkeypatch):
+    """The multi-process banded mirror, replayed deterministically: a fake
+    broadcast_one_to_all serves each (process, chunk) step of the global
+    schedule from the known upper-triangle matrix; every rank's completed
+    slab must tile the fully mirrored matrix."""
+    from vit_ed_tpu.data.samplers import balanced_row_ranges
+
+    model, params, imgs = setup
+    mesh = create_mesh()
+    scorer = PairwiseScorer(model, params, mesh, num_outputs=1,
+                            pair_chunk=16)
+    rng = np.random.default_rng(2)
+    n, world, mb = 13, 3, 4
+    up = rng.normal(size=(n, n, 1)).astype(np.float16)
+    up[np.tril_indices(n, -1)] = 0
+    full = up.copy()
+    il = np.tril_indices(n, -1)
+    full[il] = np.swapaxes(full, 0, 1)[il]
+    ranges = balanced_row_ranges(np.triu_indices(n)[0], world)
+
+    import jax.experimental.multihost_utils as mh
+
+    for rank in range(world):
+        seq = iter([(j0, min(j0 + mb, pr.stop))
+                    for pr in ranges for j0 in range(pr.start, pr.stop, mb)])
+
+        def fake_broadcast(pad, is_source):
+            j0, j1 = next(seq)
+            out = np.zeros_like(pad)
+            out[: j1 - j0] = up[j0:j1]
+            return out
+
+        monkeypatch.setattr(mh, "broadcast_one_to_all", fake_broadcast)
+        my = ranges[rank]
+        slab = up[my.start:my.stop].copy()
+        got = scorer._complete_rows(slab, ranges, rank, world,
+                                    mirror_block=mb)
+        np.testing.assert_array_equal(got, full[my.start:my.stop, :, 0])
+
+
 def test_row_ranges_cover_all_rows():
     from vit_ed_tpu.data.samplers import balanced_row_ranges
 

@@ -339,6 +339,10 @@ def default_config() -> ConfigNode:
                                    # ulp-level TPU logit shift); set False for
                                    # bit-parity re-evaluation of checkpoints
     c.TPU.SHARDED_EVAL_METRICS = False  # never assemble the N x N matrix
+    c.TPU.EVAL_SLAB_ON_DISK = False  # back each process's eval row slab
+                                     # with a memmap under OUTPUT (host RAM
+                                     # O(batch) at any N; needs
+                                     # SHARDED_EVAL_METRICS)
     # Larger-variant parallelisms (pjs models; see docs/ARCHITECTURE.md).
     # MESH_AXES names MESH_SHAPE's axes; [] -> ("data",) for 1-D meshes,
     # ("data", "model") for 2-D. With a "model" axis:

@@ -239,7 +239,8 @@ class PairwiseScorer:
                       out_dir: Optional[str] = None, tag: str = "test",
                       rank: int = 0, world_size: int = 1,
                       resume: bool = True, print_freq: int = 10,
-                      num_workers: int = 8, assemble: bool = True):
+                      num_workers: int = 8, assemble: bool = True,
+                      slab_on_disk: bool = False):
         """Compute the full upper-triangular pair score matrix for a dataset
         of N images.
 
@@ -256,6 +257,14 @@ class PairwiseScorer:
         lower-triangle entries are exchanged slab-by-slab, never
         materialising N^2 anywhere) — feed them to
         metrics.wi19_sharded.row_partials / merge_partials.
+
+        ``slab_on_disk=True`` (requires ``out_dir`` and ``assemble=False``)
+        backs the row slab itself with an ``np.memmap`` under ``out_dir``,
+        so host RAM stays O(batch) at ANY N — the memmap file doubles as
+        the resume store (tiny ``.done`` markers replace the per-block
+        ``.npz`` caches, no second copy of the scores on disk). The
+        returned ``rows_scores`` is the memmap; consume it in row blocks
+        (as hisfrag._test_sharded does) to keep the O(batch) envelope.
         """
         n = len(dataset)
         # the row-sharded schedule keeps the row block's context_kv cache
@@ -283,8 +292,17 @@ class PairwiseScorer:
 
         # row slab only: [my rows, N, C]; the full matrix (if requested)
         # is assembled once after the scan
-        slab = np.zeros((my_rows.stop - my_rows.start, n, self.num_outputs),
-                        self.dtype)
+        slab_shape = (my_rows.stop - my_rows.start, n, self.num_outputs)
+        if slab_on_disk:
+            if assemble:
+                raise ValueError("slab_on_disk requires assemble=False "
+                                 "(assembling N x N defeats the point)")
+            if not out_dir:
+                raise ValueError("slab_on_disk requires out_dir")
+            slab = self._open_slab(out_dir, tag, rank, slab_shape,
+                                   fresh=not resume, logger=logger)
+        else:
+            slab = np.zeros(slab_shape, self.dtype)
 
         row_blocks = [
             range(r, min(r + batch_size, my_rows.stop))
@@ -339,9 +357,22 @@ class PairwiseScorer:
         try:
             start = time.time()
             for bi, rows in enumerate(row_blocks):
-                blk_path = (os.path.join(out_dir, f"{tag}_rank{rank}_rows{rows.start}.npz")
-                            if out_dir else None)
-                if resume and blk_path and os.path.exists(blk_path):
+                if slab_on_disk:
+                    # the memmap itself is the persistent score store; a
+                    # tiny marker records that this block's rows are final
+                    blk_path = os.path.join(
+                        out_dir, f"{tag}_rank{rank}_rows{rows.start}.done")
+                    if resume and os.path.exists(blk_path):
+                        if logger:
+                            logger.info(f"Block rows {rows.start}:{rows.stop}"
+                                        " complete on disk")
+                        continue
+                else:
+                    blk_path = (os.path.join(
+                        out_dir, f"{tag}_rank{rank}_rows{rows.start}.npz")
+                        if out_dir else None)
+                if (not slab_on_disk and resume and blk_path
+                        and os.path.exists(blk_path)):
                     data = np.load(blk_path)
                     cached = data["scores"]
                     want = slab[rows.start - r0:rows.stop - r0].shape
@@ -399,8 +430,14 @@ class PairwiseScorer:
                     slab[pri - r0, prj] = scores.astype(self.dtype)
 
                 if blk_path:
-                    np.savez_compressed(blk_path,
-                                        scores=slab[rows.start - r0:rows.stop - r0])
+                    if slab_on_disk:
+                        slab.flush()  # scores durable before the marker
+                        with open(blk_path, "w"):
+                            pass
+                    else:
+                        np.savez_compressed(
+                            blk_path,
+                            scores=slab[rows.start - r0:rows.stop - r0])
                 if logger and bi % print_freq == 0:
                     frac = (bi + 1) / max(len(row_blocks), 1)
                     elapsed = time.time() - start
@@ -438,33 +475,92 @@ class PairwiseScorer:
         out[il] = lower[il]
         return out
 
+    def _open_slab(self, out_dir: str, tag: str, rank: int, shape,
+                   fresh: bool, logger=None) -> np.memmap:
+        """Disk-backed row slab: an ``np.memmap`` under ``out_dir`` whose
+        sidecar meta JSON guards resume validity — a stale layout (different
+        dataset / world split / dtype) is recreated and its ``.done``
+        markers cleared, mirroring the npz stale-cache semantics."""
+        import glob
+        import json
+
+        os.makedirs(out_dir, exist_ok=True)
+        dat = os.path.join(out_dir, f"{tag}_rank{rank}_slab.dat")
+        meta_path = dat + ".json"
+        meta = {"shape": list(shape), "dtype": np.dtype(self.dtype).name}
+        valid = False
+        if not fresh and os.path.exists(dat) and os.path.exists(meta_path):
+            try:
+                with open(meta_path) as f:
+                    valid = json.load(f) == meta
+            except (OSError, ValueError):
+                valid = False
+        if valid:
+            return np.memmap(dat, dtype=self.dtype, mode="r+", shape=shape)
+        for m in glob.glob(os.path.join(out_dir,
+                                        f"{tag}_rank{rank}_rows*.done")):
+            os.unlink(m)
+        if logger and os.path.exists(dat):
+            logger.warning(f"Recreating stale slab {dat}")
+        slab = np.memmap(dat, dtype=self.dtype, mode="w+", shape=shape)
+        with open(meta_path, "w") as f:
+            json.dump(meta, f)
+        return slab
+
     def _complete_rows(self, slab: np.ndarray, ranges, rank: int,
-                       world_size: int) -> np.ndarray:
+                       world_size: int, mirror_block: int = 1024
+                       ) -> np.ndarray:
         """Fill the lower-triangle part of this process's rows with the
-        mirrored scores held by (possibly other processes') slabs, one
-        slab broadcast at a time — peak host memory stays ~2 slabs.
-        Returns the slab squeezed like score_dataset's assembled output."""
+        mirrored scores held by (possibly other processes') slabs.
+
+        Blocked both ways: cross-process broadcasts travel in
+        <= ``mirror_block``-row chunks and writes stream through the slab
+        row-major in column bands, so peak extra host memory is
+        O(mirror_block x N) at ANY N — no slab-sized broadcast buffers and
+        no N^2-sized fancy-index buffers (matters when the slab is a
+        ``slab_on_disk`` memmap, where per-column writes would also touch
+        every page per column). Returns the slab squeezed like
+        score_dataset's assembled output."""
         my_rows = ranges[rank]
         r0 = my_rows.start
         if world_size == 1:
-            il = np.tril_indices(slab.shape[0], -1)
-            slab[il] = np.swapaxes(slab, 0, 1)[il]
+            n = slab.shape[0]
+            for a in range(0, n, mirror_block):
+                b = min(a + mirror_block, n)
+                # off-diagonal bands: rows [a, b) take columns [0, a) from
+                # the transposed upper blocks (one streaming read each)
+                for c in range(0, a, mirror_block):
+                    d = min(c + mirror_block, a)
+                    upper = np.asarray(slab[c:d, a:b])
+                    slab[a:b, c:d] = np.swapaxes(upper, 0, 1)
+                # the diagonal block mirrors in memory
+                blk = np.asarray(slab[a:b, a:b])
+                il = np.tril_indices(b - a, -1)
+                blk[il] = np.swapaxes(blk, 0, 1)[il]
+                slab[a:b, a:b] = blk
             return slab if self.num_outputs > 1 else slab[..., 0]
 
         from jax.experimental.multihost_utils import broadcast_one_to_all
 
-        max_rows = max(r.stop - r.start for r in ranges)
+        i_global = r0 + np.arange(slab.shape[0])
         for p, prange in enumerate(ranges):
-            pad = np.zeros((max_rows,) + slab.shape[1:], self.dtype)
-            if p == rank:
-                pad[: slab.shape[0]] = slab
-            src = np.asarray(broadcast_one_to_all(pad, is_source=(p == rank)))
-            # rows j in prange scored (j, i) for i >= j; my rows i take the
-            # mirror (i, j) <- (j, i) for j < i
-            for j in range(prange.start, prange.stop):
-                lo = max(j + 1, my_rows.start)
-                if lo < my_rows.stop:
-                    slab[lo - r0:, j] = src[j - prange.start, lo:my_rows.stop]
+            # every process walks the same global (p, j0) sequence, so the
+            # collective order is identical across processes
+            for j0 in range(prange.start, prange.stop, mirror_block):
+                j1 = min(j0 + mirror_block, prange.stop)
+                pad = np.zeros((mirror_block,) + slab.shape[1:], self.dtype)
+                if p == rank:
+                    pad[: j1 - j0] = slab[j0 - r0:j1 - r0]
+                src = np.asarray(broadcast_one_to_all(pad,
+                                                      is_source=(p == rank)))
+                # src row j holds scores (j, i) for i >= j; my rows i take
+                # the mirror (i, j) <- (j, i) for j < i — one row-major
+                # column-band write, keeping the already-scored j >= i part
+                mirrored = np.swapaxes(
+                    src[: j1 - j0, my_rows.start:my_rows.stop], 0, 1)
+                fill = np.arange(j0, j1)[None, :] < i_global[:, None]
+                band = np.asarray(slab[:, j0:j1])
+                slab[:, j0:j1] = np.where(fill[..., None], mirrored, band)
         return slab if self.num_outputs > 1 else slab[..., 0]
 
     def score_dense(self, images: np.ndarray, batch_size: int = 128,
