@@ -33,6 +33,7 @@ try:
 except Exception:
     pass
 
+import vit_ed_tpu  # noqa: F401  — applies VIT_ED_PLATFORM before backend init
 import jax.numpy as jnp
 import numpy as np
 
@@ -163,7 +164,49 @@ def _devices_with_retry(tries=6, wait_s=30):
                 pass
 
 
+def _probe_backend_or_die(deadline_s=None):
+    """A DOWN tunnel does not raise — ``jax.devices()`` blocks forever
+    (observed 2026-08-17 22:09+), which would hang the caller's whole
+    bench budget and leave NO artifact. Probe the backend in a subprocess
+    with a hard timeout first (sequentially — the tunnel serializes
+    clients); if it stays dead past the deadline, print a parseable JSON
+    line naming the condition and exit nonzero instead of hanging."""
+    import subprocess
+
+    if deadline_s is None:
+        deadline_s = float(os.environ.get("VIT_ED_BENCH_PROBE_DEADLINE", 300))
+    t0 = time.time()
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            # import vit_ed_tpu first so the probe honors VIT_ED_PLATFORM
+            # exactly like the bench process itself
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import vit_ed_tpu, jax; print(len(jax.devices()))"],
+                capture_output=True, text=True, timeout=90)
+            if r.returncode == 0:
+                return
+            err = (r.stderr or "").strip().splitlines()
+            err = err[-1] if err else "nonzero exit"
+        except subprocess.TimeoutExpired:
+            err = "backend init hang (tunnel down)"
+        left = deadline_s - (time.time() - t0)
+        if left <= 30:
+            print(json.dumps({
+                "metric": "pairwise decode throughput (patch16_512)",
+                "value": 0.0, "unit": "pairs/s/chip", "vs_baseline": 0.0,
+                "error": f"TPU backend unreachable after {attempt} probes "
+                         f"over {time.time() - t0:.0f}s: {err}"}))
+            sys.exit(1)
+        print(f"backend probe {attempt} failed ({err}); "
+              f"{left:.0f}s left before giving up", file=sys.stderr)
+        time.sleep(min(30, max(left - 95, 1)))
+
+
 def main():
+    _probe_backend_or_die()
     n_chips = max(len(_devices_with_retry()), 1)
 
     # the two headline-feeding metrics (patch8_64 full + patch16_512
