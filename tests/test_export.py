@@ -1,0 +1,125 @@
+"""Serving-export round trips: the jax.export StableHLO bundle must
+replay every scorer stage without model code — at any batch size
+(symbolic) or at bucketed batches — and the staged composition must
+match the live pair pipeline. TPU artifacts must cross-export from this
+CPU-only host (Mosaic custom calls lower without a device)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vit_ed_tpu.models.vit_ed import ViTED
+from vit_ed_tpu.serve import export_scorer, load_scorer, stage_fns
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    model = ViTED(img_size=32, patch_size=16, num_classes=4, embed_dim=16,
+                  depth=1, c_depth=2, num_heads=2, use_pallas=False)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 2, 32, 32, 3)))["params"]
+    return model, params
+
+
+def test_symbolic_bundle_roundtrip(tiny, tmp_path):
+    model, params = tiny
+    meta = export_scorer(model, params, str(tmp_path))
+    assert meta["batch_mode"] == "symbolic"
+    assert os.path.exists(tmp_path / "pair.jaxexp")
+    assert os.path.exists(tmp_path / "params.msgpack")
+
+    scorer = load_scorer(str(tmp_path))
+    fns = stage_fns(model)
+    rng = np.random.default_rng(0)
+    # one artifact serves every batch size
+    for b in (1, 5):
+        x = jnp.asarray(rng.normal(size=(b, 2, 32, 32, 3)), jnp.float32)
+        np.testing.assert_allclose(scorer("pair", x),
+                                   fns["pair"](params, x), atol=1e-5)
+
+    # staged serving pipeline == live staged calls (the production scan
+    # schedule: encode + kv once per row, prepare once per column batch)
+    x1 = jnp.asarray(rng.normal(size=(1, 32, 32, 3)), jnp.float32)
+    x2 = jnp.asarray(rng.normal(size=(3, 32, 32, 3)), jnp.float32)
+    feats = scorer("encode", x1)
+    kv = scorer("kv", feats)
+    tokens = scorer("prepare", x2)
+    got = scorer("score_row", kv, tokens)
+    live = fns["score_row"](
+        params, fns["kv"](params, fns["encode"](params, x1)),
+        fns["prepare"](params, x2))
+    np.testing.assert_allclose(got, live, atol=1e-5)
+    assert got.shape == (3, 4)
+
+
+def test_bucketed_bundle_dispatch(tiny, tmp_path):
+    model, params = tiny
+    meta = export_scorer(model, params, str(tmp_path), batch_sizes=[2, 4],
+                         stages=("pair",))
+    assert meta["batch_mode"] == [2, 4]
+    scorer = load_scorer(str(tmp_path))
+    fns = stage_fns(model)
+    rng = np.random.default_rng(1)
+    for b in (2, 4):
+        x = jnp.asarray(rng.normal(size=(b, 2, 32, 32, 3)), jnp.float32)
+        np.testing.assert_allclose(scorer("pair", x),
+                                   fns["pair"](params, x), atol=1e-5)
+    with pytest.raises(ValueError, match="no pair artifact for batch 3"):
+        scorer("pair", jnp.zeros((3, 2, 32, 32, 3), jnp.float32))
+
+
+def test_format_version_guard(tiny, tmp_path):
+    model, params = tiny
+    export_scorer(model, params, str(tmp_path), stages=("pair",))
+    meta_path = tmp_path / "serving_meta.json"
+    meta = json.loads(meta_path.read_text())
+    meta["format_version"] = 99
+    meta_path.write_text(json.dumps(meta))
+    with pytest.raises(ValueError, match="newer than this loader"):
+        load_scorer(str(tmp_path))
+
+
+def test_tpu_cross_export_from_cpu_host(tiny, tmp_path):
+    """platforms=("tpu",) must serialize from this CPU-only process —
+    including the Pallas attention kernels (Mosaic custom calls embed in
+    the StableHLO at lowering time, no device needed)."""
+    _, params = tiny
+    pallas_model = ViTED(img_size=32, patch_size=16, num_classes=4,
+                         embed_dim=16, depth=1, c_depth=2, num_heads=2,
+                         use_pallas=True)
+    meta = export_scorer(pallas_model, params, str(tmp_path),
+                         platforms=("tpu",))
+    for stage, entries in meta["stages"].items():
+        assert entries[0]["platforms"] == ["tpu"]
+        assert os.path.getsize(tmp_path / entries[0]["file"]) > 0
+    # a TPU-only bundle must refuse nothing at load time (replay is the
+    # serving host's job); deserialization itself must work here
+    scorer = load_scorer(str(tmp_path))
+    assert set(scorer.stages()) == set(meta["stages"])
+
+
+def test_export_cli(tmp_path):
+    """scripts/export_serving.py end to end on the CPU platform, with
+    --verify replaying the bundle against the live model."""
+    env = dict(os.environ, VIT_ED_PLATFORM="cpu")
+    out = tmp_path / "bundle"
+    r = subprocess.run(
+        [sys.executable, "scripts/export_serving.py",
+         "--cfg", "configs/test/test_pjs_hisfrag20_patch32_64.yaml",
+         "--output", str(out), "--verify",
+         "--opts", "MODEL.PJS.EMBED_DIM", "16", "MODEL.PJS.DEPTH", "1",
+         "MODEL.PJS.C_DEPTH", "1", "MODEL.PJS.NUM_HEADS", "2"],
+        capture_output=True, text=True, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (out / "serving_meta.json").exists()
+    scorer = load_scorer(str(out))
+    assert set(scorer.stages()) == set(
+        ("pair", "encode", "prepare", "kv", "score_row"))

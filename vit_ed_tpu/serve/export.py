@@ -1,0 +1,229 @@
+"""Serving export: versioned, self-contained StableHLO artifacts.
+
+TPU-native redesign of the reference's deployment story. The reference
+serves by loading a torch ``.pth`` checkpoint back into its Python model
+code at eval time (/root/reference/models/build.py:15-95, pretrained
+usage /root/reference/README.md:47-66) — the model source must ship with
+the weights. Here the flagship scorer exports ONCE through ``jax.export``
+into portable StableHLO: a serving host replays the artifact with no
+model code at all (any jax-capable runtime on the export platform), the
+batch dimension stays SYMBOLIC so one artifact serves every batch size,
+and the Pallas attention kernels ride along as Mosaic custom calls —
+cross-platform export for TPU works from a CPU-only build host.
+
+Artifacts under ``out_dir``:
+
+    <stage>.jaxexp       serialized ``jax.export.Exported`` (symbolic b)
+    <stage>_b<N>.jaxexp  bucketed concrete-batch variant (opt-in)
+    params.msgpack       flax param tree (framework-free msgpack)
+    serving_meta.json    format version, model geometry, stage table,
+                         platforms, per-stage input/output signatures
+
+Stages — the O(N^2) scan decomposition (models/vit_ed.py), so a serving
+tier can amortise exactly like ``parallel/pairs.py`` does:
+
+    pair       f(params, x [b,2,H,W,3])              -> [b, classes]
+    encode     f(params, x1 [b,H,W,3])               -> feats [b,Sk,C]
+    prepare    f(params, x2 [b,H,W,3])               -> tokens [b,Sq,C]
+    kv         f(params, feats [b,Sk,C])             -> kv [L,b,Sk,2C]
+    score_row  f(params, kv [L,1,Sk,2C], t [b,Sq,C]) -> [b, classes]
+
+``pair`` is the reference's full pair forward
+(vision_transformer.py:407-420); encode/prepare/kv/score_row compose to
+the row-sharded scan schedule (exactness locked by tests/test_model.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+FORMAT_VERSION = 1
+
+STAGES = ("pair", "encode", "prepare", "kv", "score_row")
+
+
+def stage_fns(model) -> Dict[str, Any]:
+    """The five serving entry points as pure ``f(params, *arrays)``."""
+    return {
+        "pair": lambda p, x: model.apply({"params": p}, x),
+        "encode": lambda p, x: model.apply(
+            {"params": p}, x, forward_first_part=True),
+        "prepare": lambda p, x: model.apply(
+            {"params": p}, x, method=model.prepare_x2_scan),
+        "kv": lambda p, f: model.apply(
+            {"params": p}, f, method=model.context_kv_cache),
+        "score_row": lambda p, kv, t: model.apply(
+            {"params": p}, kv, t, method=model.score_tokens_row),
+    }
+
+
+def _stage_specs(model, params, dtype=jnp.float32):
+    """Concrete per-stage input ShapeDtypeStructs (batch=1 placeholder)
+    and, per input, the index of its batch axis (None = unbatched)."""
+    img = model.img_size
+    p_struct = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(np.shape(a), np.asarray(a).dtype),
+        params)
+    fns = stage_fns(model)
+    x_pair = jax.ShapeDtypeStruct((1, 2, img, img, 3), dtype)
+    x_one = jax.ShapeDtypeStruct((1, img, img, 3), dtype)
+    feats = jax.eval_shape(fns["encode"], p_struct, x_one)
+    tokens = jax.eval_shape(fns["prepare"], p_struct, x_one)
+    kv = jax.eval_shape(fns["kv"], p_struct, feats)
+    kv_row = jax.ShapeDtypeStruct((kv.shape[0], 1) + kv.shape[2:], kv.dtype)
+    return p_struct, {
+        "pair": ((x_pair,), (0,)),
+        "encode": ((x_one,), (0,)),
+        "prepare": ((x_one,), (0,)),
+        "kv": ((feats,), (0,)),
+        # kv axis 1 is the (fixed, =1) row, NOT a batch axis: the served
+        # row chunk shares one x1 row like the production scan
+        "score_row": ((kv_row, tokens), (None, 0)),
+    }
+
+
+def _with_batch(spec: jax.ShapeDtypeStruct, axis: Optional[int], b):
+    if axis is None:
+        return spec
+    shape = list(spec.shape)
+    shape[axis] = b
+    return jax.ShapeDtypeStruct(tuple(shape), spec.dtype)
+
+
+def export_scorer(model, params, out_dir: str, *,
+                  stages: Sequence[str] = STAGES,
+                  batch_sizes: Optional[Sequence[int]] = None,
+                  platforms: Optional[Sequence[str]] = None,
+                  dtype=jnp.float32, extra_meta: Optional[dict] = None
+                  ) -> dict:
+    """Export the scorer stages to ``out_dir``; returns the meta dict.
+
+    batch_sizes None -> ONE artifact per stage with a symbolic batch
+    dimension (serves any b >= 1); otherwise one artifact per (stage,
+    batch size) bucket. ``platforms`` None -> the current default jax
+    platform; pass ``("tpu",)`` to cross-export TPU artifacts from a
+    CPU-only host (the Pallas kernels lower to Mosaic custom calls
+    without needing a device).
+    """
+    from jax import export as jexport
+
+    import flax.serialization
+
+    os.makedirs(out_dir, exist_ok=True)
+    fns = stage_fns(model)
+    p_struct, specs = _stage_specs(model, params, dtype)
+    plat = tuple(platforms) if platforms else None
+
+    meta: dict = {
+        "format_version": FORMAT_VERSION,
+        "batch_mode": "symbolic" if batch_sizes is None
+        else sorted(int(b) for b in batch_sizes),
+        "stages": {},
+        "model": {
+            "img_size": int(model.img_size),
+            "patch_size": int(model.patch_size),
+            "num_classes": int(model.num_classes),
+            "embed_dim": int(model.embed_dim),
+            "depth": int(model.depth),
+            "c_depth": int(model.c_depth),
+            "num_heads": int(model.num_heads),
+            "dtype": jnp.dtype(model.dtype).name,
+        },
+    }
+    if extra_meta:
+        meta.update(extra_meta)
+
+    def one(stage, b, fname):
+        in_specs = tuple(
+            _with_batch(s, ax, b)
+            for s, ax in zip(*specs[stage]))
+        exp = jexport.export(jax.jit(fns[stage]), platforms=plat)(
+            p_struct, *in_specs)
+        with open(os.path.join(out_dir, fname), "wb") as f:
+            f.write(exp.serialize())
+        return {
+            "file": fname,
+            "inputs": [[str(d) for d in s.shape] + [s.dtype.name]
+                       for s in in_specs],
+            "outputs": [list(map(int, exp.out_avals[0].shape))
+                        if not any(jexport.is_symbolic_dim(d)
+                                   for d in exp.out_avals[0].shape)
+                        else [str(d) for d in exp.out_avals[0].shape]],
+            "platforms": list(exp.platforms),
+        }
+
+    for stage in stages:
+        if batch_sizes is None:
+            b, = jexport.symbolic_shape("b")
+            meta["stages"][stage] = [one(stage, b, f"{stage}.jaxexp")]
+        else:
+            meta["stages"][stage] = [
+                one(stage, int(n), f"{stage}_b{int(n)}.jaxexp")
+                for n in sorted(set(int(b) for b in batch_sizes))]
+
+    host_params = jax.tree.map(lambda a: np.asarray(jax.device_get(a)),
+                               params)
+    with open(os.path.join(out_dir, "params.msgpack"), "wb") as f:
+        f.write(flax.serialization.msgpack_serialize(host_params))
+    with open(os.path.join(out_dir, "serving_meta.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+    return meta
+
+
+class ExportedScorer:
+    """Loaded serving bundle: ``scorer(stage, *arrays)`` replays the
+    exported computation with the bundled params — NO model code needed.
+
+    Symbolic-batch bundles accept any leading batch size; bucketed
+    bundles dispatch to the matching batch artifact (exact match
+    required — the serving tier owns padding policy, as
+    ``parallel/pairs.py`` does with its fixed-shape chunks)."""
+
+    def __init__(self, out_dir: str):
+        from jax import export as jexport
+
+        import flax.serialization
+
+        with open(os.path.join(out_dir, "serving_meta.json")) as f:
+            self.meta = json.load(f)
+        if self.meta["format_version"] > FORMAT_VERSION:
+            raise ValueError(
+                f"serving bundle format {self.meta['format_version']} is "
+                f"newer than this loader ({FORMAT_VERSION})")
+        with open(os.path.join(out_dir, "params.msgpack"), "rb") as f:
+            self.params = flax.serialization.msgpack_restore(f.read())
+        self._exported: Dict[str, list] = {}
+        for stage, entries in self.meta["stages"].items():
+            loaded = []
+            for e in entries:
+                with open(os.path.join(out_dir, e["file"]), "rb") as f:
+                    loaded.append(jexport.deserialize(bytearray(f.read())))
+            self._exported[stage] = loaded
+
+    def stages(self):
+        return sorted(self._exported)
+
+    def __call__(self, stage: str, *arrays):
+        exps = self._exported[stage]
+        if self.meta["batch_mode"] == "symbolic":
+            return exps[0].call(self.params, *arrays)
+        # bucketed: dispatch on the batch axis of the last input (the
+        # batched stream input for every stage)
+        b = int(np.shape(arrays[-1])[0])
+        for e, n in zip(exps, self.meta["batch_mode"]):
+            if n == b:
+                return e.call(self.params, *arrays)
+        raise ValueError(
+            f"no {stage} artifact for batch {b}; buckets: "
+            f"{self.meta['batch_mode']} (pad to a bucket, or export "
+            f"with symbolic batch)")
+
+
+def load_scorer(out_dir: str) -> ExportedScorer:
+    return ExportedScorer(out_dir)
