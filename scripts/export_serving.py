@@ -38,6 +38,9 @@ def parse_option():
     parser.add_argument("--platforms", default="",
                         help="comma list, e.g. tpu or tpu,cpu; "
                              "default: current jax platform")
+    parser.add_argument("--mesh-data", type=int, default=0,
+                        help="export a MULTI-CHIP bundle: batch sharded "
+                             "over a 'data' mesh of this many devices")
     parser.add_argument("--verify", action="store_true",
                         help="replay the bundle against the live model "
                              "on this host and compare (current-platform "
@@ -77,9 +80,18 @@ def main():
                    else [int(x) for x in args.batch_sizes.split(",")])
     platforms = ([p.strip() for p in args.platforms.split(",") if p.strip()]
                  or None)
+    mesh = None
+    if args.mesh_data:
+        from jax.sharding import Mesh
+
+        devs = jax.devices()
+        if len(devs) < args.mesh_data:
+            raise SystemExit(f"--mesh-data {args.mesh_data} but only "
+                             f"{len(devs)} devices visible")
+        mesh = Mesh(np.array(devs[: args.mesh_data]), ("data",))
     meta = export_scorer(
         model, params, args.output, batch_sizes=batch_sizes,
-        platforms=platforms,
+        platforms=platforms, mesh=mesh,
         extra_meta={"config": os.path.basename(args.cfg),
                     "pretrained": args.pretrained})
     for stage, entries in meta["stages"].items():
@@ -87,10 +99,11 @@ def main():
                     + ", ".join(e["file"] for e in entries))
 
     if args.verify:
-        scorer = load_scorer(args.output)
+        scorer = load_scorer(args.output, mesh=mesh)
         fns = stage_fns(model)
         rng = np.random.default_rng(0)
-        b = 2 if batch_sizes is None else batch_sizes[0]
+        b = ((2 * (args.mesh_data or 1)) if batch_sizes is None
+             else batch_sizes[0])
         x = jnp.asarray(rng.normal(size=(b, 2, img, img, 3)), jnp.float32)
         # the bundle and the live model are SEPARATE compilations: allow
         # a couple of ulps of the model's compute dtype (bf16 on the

@@ -104,6 +104,44 @@ def test_tpu_cross_export_from_cpu_host(tiny, tmp_path):
     assert set(scorer.stages()) == set(meta["stages"])
 
 
+def test_multichip_bundle(tiny, tmp_path):
+    """mesh= exports a batch-sharded bundle: the symbolic batch carries
+    the divisibility constraint (any multiple of the data axis), the
+    loader requires a matching mesh and commits inputs to the recorded
+    shardings, and results equal the single-device pipeline."""
+    from vit_ed_tpu.parallel.mesh import create_mesh
+
+    model, params = tiny
+    mesh = create_mesh()  # 8 virtual CPU devices
+    meta = export_scorer(model, params, str(tmp_path), mesh=mesh)
+    assert meta["mesh"]["data_axis"] == "data"
+    assert meta["stages"]["pair"][0]["nr_devices"] == 8
+
+    with pytest.raises(ValueError, match="pass a matching mesh"):
+        load_scorer(str(tmp_path))
+
+    scorer = load_scorer(str(tmp_path), mesh=mesh)
+    fns = stage_fns(model)
+    rng = np.random.default_rng(3)
+    for b in (8, 16):
+        x = jnp.asarray(rng.normal(size=(b, 2, 32, 32, 3)), jnp.float32)
+        np.testing.assert_allclose(np.asarray(scorer("pair", x)),
+                                   np.asarray(fns["pair"](params, x)),
+                                   atol=1e-5)
+    # staged pipeline across the mesh: one shared row, sharded columns
+    x1 = jnp.asarray(rng.normal(size=(8, 32, 32, 3)), jnp.float32)
+    kv = scorer("kv", scorer("encode", x1))
+    kv_row = jnp.asarray(np.asarray(kv)[:, :1])
+    tokens = scorer("prepare", x1)
+    got = scorer("score_row", kv_row, tokens)
+    live = fns["score_row"](
+        params,
+        jax.tree.map(lambda a: a[:, :1],
+                     fns["kv"](params, fns["encode"](params, x1))),
+        fns["prepare"](params, x1))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(live), atol=1e-5)
+
+
 def test_export_cli(tmp_path):
     """scripts/export_serving.py end to end on the CPU platform, with
     --verify replaying the bundle against the live model."""

@@ -100,6 +100,7 @@ def export_scorer(model, params, out_dir: str, *,
                   stages: Sequence[str] = STAGES,
                   batch_sizes: Optional[Sequence[int]] = None,
                   platforms: Optional[Sequence[str]] = None,
+                  mesh=None, data_axis: str = "data",
                   dtype=jnp.float32, extra_meta: Optional[dict] = None
                   ) -> dict:
     """Export the scorer stages to ``out_dir``; returns the meta dict.
@@ -110,6 +111,13 @@ def export_scorer(model, params, out_dir: str, *,
     platform; pass ``("tpu",)`` to cross-export TPU artifacts from a
     CPU-only host (the Pallas kernels lower to Mosaic custom calls
     without needing a device).
+
+    ``mesh`` -> MULTI-CHIP bundle: the batch axis of every stage shards
+    over the mesh's ``data_axis`` (params replicated), so a serving pod
+    replays the distributed computation straight from the artifact —
+    the symbolic batch becomes ``ndev*b`` (any multiple of the axis
+    size) and bucketed sizes must divide evenly. Loading requires a
+    same-shape mesh (``load_scorer(dir, mesh=...)``).
     """
     from jax import export as jexport
 
@@ -119,6 +127,31 @@ def export_scorer(model, params, out_dir: str, *,
     fns = stage_fns(model)
     p_struct, specs = _stage_specs(model, params, dtype)
     plat = tuple(platforms) if platforms else None
+
+    ndev = 1
+    shardings = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        ndev = int(mesh.shape[data_axis])
+        rep = NamedSharding(mesh, PartitionSpec())
+
+        def shardings(stage):  # noqa: F811
+            shs = []
+            for s, ax in zip(*specs[stage]):
+                if ax is None:
+                    shs.append(rep)
+                else:
+                    spec = [None] * len(s.shape)
+                    spec[ax] = data_axis
+                    shs.append(NamedSharding(mesh, PartitionSpec(*spec)))
+            return (jax.tree.map(lambda _: rep, p_struct), *shs)
+
+        if batch_sizes is not None:
+            bad = [int(n) for n in batch_sizes if int(n) % ndev]
+            if bad:
+                raise ValueError(f"bucketed batch sizes {bad} do not "
+                                 f"divide the {data_axis} axis ({ndev})")
 
     meta: dict = {
         "format_version": FORMAT_VERSION,
@@ -136,6 +169,10 @@ def export_scorer(model, params, out_dir: str, *,
             "dtype": jnp.dtype(model.dtype).name,
         },
     }
+    if mesh is not None:
+        meta["mesh"] = {"axis_names": list(mesh.axis_names),
+                        "shape": [int(mesh.shape[a]) for a in mesh.axis_names],
+                        "data_axis": data_axis}
     if extra_meta:
         meta.update(extra_meta)
 
@@ -143,24 +180,28 @@ def export_scorer(model, params, out_dir: str, *,
         in_specs = tuple(
             _with_batch(s, ax, b)
             for s, ax in zip(*specs[stage]))
-        exp = jexport.export(jax.jit(fns[stage]), platforms=plat)(
-            p_struct, *in_specs)
+        jfn = (jax.jit(fns[stage]) if shardings is None
+               else jax.jit(fns[stage], in_shardings=shardings(stage)))
+        exp = jexport.export(jfn, platforms=plat)(p_struct, *in_specs)
         with open(os.path.join(out_dir, fname), "wb") as f:
             f.write(exp.serialize())
         return {
             "file": fname,
             "inputs": [[str(d) for d in s.shape] + [s.dtype.name]
                        for s in in_specs],
+            "batch_axes": list(specs[stage][1]),
             "outputs": [list(map(int, exp.out_avals[0].shape))
                         if not any(jexport.is_symbolic_dim(d)
                                    for d in exp.out_avals[0].shape)
                         else [str(d) for d in exp.out_avals[0].shape]],
             "platforms": list(exp.platforms),
+            "nr_devices": int(exp.nr_devices),
         }
 
     for stage in stages:
         if batch_sizes is None:
-            b, = jexport.symbolic_shape("b")
+            b, = jexport.symbolic_shape(
+                "b" if ndev == 1 else f"{ndev}*b")
             meta["stages"][stage] = [one(stage, b, f"{stage}.jaxexp")]
         else:
             meta["stages"][stage] = [
@@ -183,9 +224,11 @@ class ExportedScorer:
     Symbolic-batch bundles accept any leading batch size; bucketed
     bundles dispatch to the matching batch artifact (exact match
     required — the serving tier owns padding policy, as
-    ``parallel/pairs.py`` does with its fixed-shape chunks)."""
+    ``parallel/pairs.py`` does with its fixed-shape chunks). Multi-chip
+    bundles need a ``mesh`` whose ``data_axis`` matches the exporter's;
+    inputs are committed to their recorded shardings before the call."""
 
-    def __init__(self, out_dir: str):
+    def __init__(self, out_dir: str, mesh=None):
         from jax import export as jexport
 
         import flax.serialization
@@ -206,10 +249,44 @@ class ExportedScorer:
                     loaded.append(jexport.deserialize(bytearray(f.read())))
             self._exported[stage] = loaded
 
+        self._rep = self._data_sh = None
+        if "mesh" in self.meta:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            m = self.meta["mesh"]
+            if mesh is None:
+                raise ValueError(
+                    f"multi-chip bundle (mesh {m['shape']} axes "
+                    f"{m['axis_names']}): pass a matching mesh to "
+                    "load_scorer")
+            axname = m["data_axis"]
+            if (axname not in mesh.axis_names
+                    or int(mesh.shape[axname]) != m["shape"][
+                        m["axis_names"].index(axname)]):
+                raise ValueError(
+                    f"bundle expects {axname}={m['shape']} over axes "
+                    f"{m['axis_names']}; got mesh {dict(mesh.shape)}")
+            self._rep = NamedSharding(mesh, PartitionSpec())
+            self._data_sh = lambda ndim, axis: NamedSharding(
+                mesh, PartitionSpec(*[
+                    axname if i == axis else None for i in range(ndim)]))
+            self.params = jax.tree.map(
+                lambda a: jax.device_put(a, self._rep), self.params)
+
     def stages(self):
         return sorted(self._exported)
 
+    def _place(self, stage, arrays):
+        if self._rep is None:
+            return arrays
+        axes = self.meta["stages"][stage][0]["batch_axes"]
+        return tuple(
+            jax.device_put(a, self._rep if ax is None
+                           else self._data_sh(np.ndim(a), ax))
+            for a, ax in zip(arrays, axes))
+
     def __call__(self, stage: str, *arrays):
+        arrays = self._place(stage, arrays)
         exps = self._exported[stage]
         if self.meta["batch_mode"] == "symbolic":
             return exps[0].call(self.params, *arrays)
@@ -225,5 +302,5 @@ class ExportedScorer:
             f"with symbolic batch)")
 
 
-def load_scorer(out_dir: str) -> ExportedScorer:
-    return ExportedScorer(out_dir)
+def load_scorer(out_dir: str, mesh=None) -> ExportedScorer:
+    return ExportedScorer(out_dir, mesh=mesh)
