@@ -142,6 +142,44 @@ def test_multichip_bundle(tiny, tmp_path):
     np.testing.assert_allclose(np.asarray(got), np.asarray(live), atol=1e-5)
 
 
+def test_scan_pairs_matches_training_scorer(tiny, tmp_path):
+    """The headless bundle scan (serve/scan.py, zero model code) must
+    reproduce PairwiseScorer.score_dataset's matrix — single-chip
+    symbolic bundle AND mesh-sharded bundle with ragged (padded)
+    chunks."""
+    from vit_ed_tpu.parallel.mesh import create_mesh
+    from vit_ed_tpu.parallel.pairs import PairwiseScorer
+    from vit_ed_tpu.serve import scan_pairs
+
+    class ArrayDataset:
+        def __init__(self, imgs):
+            self.imgs = imgs
+
+        def __getitem__(self, i):
+            return self.imgs[i], i
+
+        def __len__(self):
+            return len(self.imgs)
+
+    model, params = tiny
+    rng = np.random.default_rng(4)
+    imgs = rng.normal(size=(7, 32, 32, 3)).astype(np.float32)
+    mesh = create_mesh()
+    ps = PairwiseScorer(model, params, mesh, num_outputs=4, pair_chunk=8)
+    ref = ps.score_dataset(ArrayDataset(imgs), batch_size=3, num_workers=0)
+
+    export_scorer(model, params, str(tmp_path / "one"))
+    got = scan_pairs(load_scorer(str(tmp_path / "one")), imgs, batch_size=3)
+    np.testing.assert_allclose(got.astype(np.float32),
+                               ref.astype(np.float32), atol=2e-2)
+
+    export_scorer(model, params, str(tmp_path / "mc"), mesh=mesh)
+    got_mc = scan_pairs(load_scorer(str(tmp_path / "mc"), mesh=mesh),
+                        imgs, batch_size=3)
+    np.testing.assert_allclose(got_mc.astype(np.float32),
+                               ref.astype(np.float32), atol=2e-2)
+
+
 def test_export_cli(tmp_path):
     """scripts/export_serving.py end to end on the CPU platform, with
     --verify replaying the bundle against the live model."""
