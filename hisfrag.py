@@ -225,6 +225,11 @@ class HisfragTrainer(Trainer):
     def test(self):
         if self.config.TPU.SHARDED_EVAL_METRICS:
             return self._test_sharded()
+        if self.config.TPU.EVAL_SLAB_ON_DISK:
+            self.logger.warning(
+                "TPU.EVAL_SLAB_ON_DISK has no effect without "
+                "TPU.SHARDED_EVAL_METRICS (the assembled test path "
+                "builds the N x N matrix)")
         distance_matrix, img_names = self.validate_dataloader(HisFrag20Test.Split.TEST)
         labels = list_to_idx(img_names, lambda x: x.split("_")[0])
         m_ap, top1, pr_k10, pr_k100 = get_metrics(distance_matrix.astype(np.float32),
