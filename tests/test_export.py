@@ -180,6 +180,26 @@ def test_scan_pairs_matches_training_scorer(tiny, tmp_path):
                                ref.astype(np.float32), atol=2e-2)
 
 
+def test_moe_bundle_roundtrip(tmp_path):
+    """MoE encoder MLPs (Switch routing, static capacity) must export and
+    replay like dense models — the dense-dispatch einsums have no ragged
+    shapes, so even the symbolic-batch artifact serves any batch."""
+    model = ViTED(img_size=32, patch_size=16, num_classes=4, embed_dim=16,
+                  depth=2, c_depth=1, num_heads=2, use_pallas=False,
+                  moe_experts=2, moe_interval=1, moe_capacity=1.5)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 2, 32, 32, 3)))["params"]
+    export_scorer(model, params, str(tmp_path), stages=("pair",))
+    scorer = load_scorer(str(tmp_path))
+    fns = stage_fns(model)
+    rng = np.random.default_rng(5)
+    for b in (2, 5):
+        x = jnp.asarray(rng.normal(size=(b, 2, 32, 32, 3)), jnp.float32)
+        np.testing.assert_allclose(np.asarray(scorer("pair", x)),
+                                   np.asarray(fns["pair"](params, x)),
+                                   atol=1e-5)
+
+
 def test_export_cli(tmp_path):
     """scripts/export_serving.py end to end on the CPU platform, with
     --verify replaying the bundle against the live model."""
