@@ -181,11 +181,13 @@ def _probe_backend_or_die(deadline_s=None):
         attempt += 1
         try:
             # import vit_ed_tpu first so the probe honors VIT_ED_PLATFORM
-            # exactly like the bench process itself
+            # exactly like the bench process itself; cwd pins the repo dir
+            # so the import resolves when bench.py is launched elsewhere
             r = subprocess.run(
                 [sys.executable, "-c",
                  "import vit_ed_tpu, jax; print(len(jax.devices()))"],
-                capture_output=True, text=True, timeout=90)
+                capture_output=True, text=True, timeout=90,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
             if r.returncode == 0:
                 return
             err = (r.stderr or "").strip().splitlines()
@@ -195,7 +197,12 @@ def _probe_backend_or_die(deadline_s=None):
         left = deadline_s - (time.time() - t0)
         if left <= 30:
             print(json.dumps({
-                "metric": "pairwise decode throughput (patch16_512)",
+                # same metric key as the success path so artifact series
+                # keyed on it record the outage in-line, not apart
+                "metric": "pair-forwards/sec/chip (pjs patch16_512 "
+                          "decode, the O(N^2) scan inner op; restated "
+                          "north-star: decode>=1050/s AND "
+                          "patch8_64>=5000/s, see BASELINE.md)",
                 "value": 0.0, "unit": "pairs/s/chip", "vs_baseline": 0.0,
                 "error": f"TPU backend unreachable after {attempt} probes "
                          f"over {time.time() - t0:.0f}s: {err}"}))

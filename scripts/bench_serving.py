@@ -55,18 +55,19 @@ def main():
     print(f"exporting {args.config} bundle (score_row, chunk {args.chunk})",
           file=sys.stderr)
     t0 = time.time()
-    export_scorer(model, params, args.out, stages=("encode", "prepare",
-                                                   "kv", "score_row"),
+    export_scorer(model, params, args.out, stages=("score_row",),
                   batch_sizes=[args.chunk])
     print(f"export took {time.time() - t0:.1f}s", file=sys.stderr)
     scorer = load_scorer(args.out)
 
+    # setup runs jitted: un-jitted model.apply would dispatch op-by-op
+    # over the remote tunnel (the pathology _timed_scan exists to avoid)
     nrng = np.random.default_rng(0)
     x1 = jnp.asarray(nrng.normal(size=(args.chunk, img, img, 3)), jnp.float32)
-    feats = fns["encode"](params, x1)
-    kv = fns["kv"](params, feats)
+    feats = jax.jit(fns["encode"])(params, x1)
+    kv = jax.jit(fns["kv"])(params, feats)
     kv_row = jax.tree.map(lambda a: a[:, :1], kv)
-    tokens = fns["prepare"](params, x1)
+    tokens = jax.jit(fns["prepare"])(params, x1)
 
     live = jax.jit(lambda kvr, t: fns["score_row"](params, kvr, t))
     sec_live = _timed_scan(lambda t, kvr: live(kvr, t), (tokens, kv_row),

@@ -70,11 +70,8 @@ def main():
     params = model.init(jax.random.PRNGKey(config.SEED),
                         jnp.zeros((1, 2, img, img, 3)))["params"]
     if args.pretrained:
-        cfg = config.clone()
-        cfg.defrost()
-        cfg.MODEL.PRETRAINED = args.pretrained
-        cfg.freeze()
-        params = ckpt.load_pretrained(cfg, params, logger)
+        # get_config already copied --pretrained into MODEL.PRETRAINED
+        params = ckpt.load_pretrained(config, params, logger)
 
     batch_sizes = (None if args.batch_sizes.strip() == "sym"
                    else [int(x) for x in args.batch_sizes.split(",")])

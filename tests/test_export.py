@@ -179,6 +179,10 @@ def test_scan_pairs_matches_training_scorer(tiny, tmp_path):
     np.testing.assert_allclose(got_mc.astype(np.float32),
                                ref.astype(np.float32), atol=2e-2)
 
+    # degenerate input: empty image set -> empty matrix, no crash
+    assert scan_pairs(load_scorer(str(tmp_path / "one")),
+                      imgs[:0], batch_size=3).shape == (0, 0)
+
 
 def test_moe_bundle_roundtrip(tmp_path):
     """MoE encoder MLPs (Switch routing, static capacity) must export and

@@ -45,6 +45,8 @@ def scan_pairs(scorer: ExportedScorer, images, batch_size: int = 8,
     import jax.numpy as jnp
 
     n = len(images)
+    if n == 0:
+        return np.zeros((0, 0), dtype)
 
     def pad_to(arr, b):
         if arr.shape[0] == b:
