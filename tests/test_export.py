@@ -184,6 +184,26 @@ def test_scan_pairs_matches_training_scorer(tiny, tmp_path):
                       imgs[:0], batch_size=3).shape == (0, 0)
 
 
+def test_flagship_tpu_cross_export(tmp_path):
+    """The REAL deployment artifact: pjs-S patch16_512 with the Pallas
+    kernels, symbolic batch, cross-exported for TPU from this CPU host.
+    Regression: the kernels' Mosaic CostEstimate must be dropped (not
+    crash) when the batch is symbolic — tiny-shape tests skip the Pallas
+    path, so this must run at flagship geometry."""
+    model = ViTED(img_size=512, patch_size=16, num_classes=1,
+                  embed_dim=384, depth=12, c_depth=12, num_heads=6,
+                  dtype=jnp.bfloat16, use_pallas=True)
+    shapes = jax.eval_shape(
+        lambda k: model.init(k, jnp.zeros((1, 2, 512, 512, 3))),
+        jax.random.PRNGKey(0))["params"]
+    params = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), shapes)
+    meta = export_scorer(model, params, str(tmp_path),
+                         stages=("pair", "score_row"), platforms=("tpu",))
+    for entries in meta["stages"].values():
+        assert entries[0]["platforms"] == ["tpu"]
+        assert os.path.getsize(tmp_path / entries[0]["file"]) > 0
+
+
 def test_moe_bundle_roundtrip(tmp_path):
     """MoE encoder MLPs (Switch routing, static capacity) must export and
     replay like dense models — the dense-dispatch einsums have no ragged

@@ -37,6 +37,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 _INTERPRET = False  # flipped by tests to run kernels on CPU
 
+
+def _cost(flops, bytes_accessed, transcendentals):
+    """Mosaic scheduler hint; None when any term is symbolic (jax.export
+    symbolic-batch tracing turns the products into _DimExpr, which
+    CostEstimate rejects) — the kernel itself is unchanged, only the
+    optional scheduling hint is dropped for that lowering."""
+    vals = (flops, bytes_accessed, transcendentals)
+    if not all(isinstance(v, int) for v in vals):
+        return None
+    return pl.CostEstimate(flops=flops, bytes_accessed=bytes_accessed,
+                           transcendentals=transcendentals)
+
 DEFAULT_BLOCK_Q = 512  # see scripts/bench_attention.py: bq512 ~2x XLA at S=1024
 LANE = 128
 
@@ -295,7 +307,7 @@ def _pallas_fwd(q, k, v, scale, q_len, kv_len, block_q):
         out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         interpret=_INTERPRET,
-        cost_estimate=pl.CostEstimate(
+        cost_estimate=_cost(
             flops=4 * bh * sq_pad * sk_pad * d,
             bytes_accessed=2 * (q.size + k.size + v.size),
             transcendentals=bh * sq_pad * sk_pad,
@@ -513,7 +525,7 @@ def _pair_forward(q, k, v, scale):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         interpret=_INTERPRET,
-        cost_estimate=pl.CostEstimate(
+        cost_estimate=_cost(
             flops=8 * b * g * sq_pad * sk_pad * 128,
             bytes_accessed=2 * (q.size + k.size + v.size),
             transcendentals=2 * b * g * sq_pad * sk_pad,
@@ -636,7 +648,7 @@ def _pair_backward(q, k, v, do, scale):
             pltpu.VMEM((sk_pad, 128), jnp.float32),
         ],
         interpret=_INTERPRET,
-        cost_estimate=pl.CostEstimate(
+        cost_estimate=_cost(
             flops=20 * b * g * sq_pad * sk_pad * 128,
             bytes_accessed=2 * (q.size + do.size) + 2 * (k.size + v.size),
             transcendentals=2 * b * g * sq_pad * sk_pad,
@@ -812,7 +824,7 @@ def _pair_forward_qkv_cls(qkv, scale):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, 8, c), qkv.dtype),
         interpret=_INTERPRET,
-        cost_estimate=pl.CostEstimate(
+        cost_estimate=_cost(
             flops=8 * b * g * 8 * sk_pad * 128,
             bytes_accessed=2 * qkv.size // 3 * 2,
             transcendentals=2 * b * g * 8 * sk_pad,
@@ -908,7 +920,7 @@ def _pair_forward_q_kv_shared(q, kv, scale):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         interpret=_INTERPRET,
-        cost_estimate=pl.CostEstimate(
+        cost_estimate=_cost(
             flops=8 * b * g * sq_pad * sk_pad * 128,
             bytes_accessed=2 * (q.size + kv.size),
             transcendentals=2 * b * g * sq_pad * sk_pad,
