@@ -186,6 +186,80 @@ def test_bucketed_bundle_pads_through_batcher(tiny, tmp_path):
         server.shutdown()
 
 
+def test_batcher_never_merges_past_max_batch():
+    """Two batch-3 requests against max_batch 4 must NOT merge into an
+    unservable batch-6 group: the second carries into its own group and
+    both succeed (review finding: overshoot failed every coalesced
+    request on bucketed bundles)."""
+    calls = []
+
+    def fake(x):
+        calls.append(x.shape[0])
+        if x.shape[0] > 4:
+            raise ValueError(f"batch {x.shape[0]} exceeds largest bucket 4")
+        return x + 1.0
+
+    def bucket(b):
+        if b > 4:
+            raise ValueError(f"batch {b} exceeds largest bucket 4")
+        return 4
+
+    batcher = DynamicBatcher(fake, bucket, max_batch=4, max_wait_ms=50.0,
+                             start=False)
+    xs = [np.full((3, 2), float(i)) for i in range(2)]
+    futs = [batcher.submit(x) for x in xs]
+    batcher.start()
+    for x, fut in zip(xs, futs):
+        np.testing.assert_array_equal(fut.result(timeout=30), x + 1.0)
+    batcher.close()
+    assert calls == [4, 4]  # two padded groups, never one batch-6
+    with pytest.raises(RuntimeError, match="closed"):
+        batcher.submit(np.zeros((1, 2)))
+
+
+def test_kv_stage_refuses_dynamic_batching(tiny, tmp_path):
+    """kv's output batches on axis 1 ([L, b, Sk, 2C]); slicing a merged
+    result on axis 0 would hand back layer slices (review finding). The
+    exporter records out_batch_axis and the server refuses at init."""
+    model, params = tiny
+    meta = export_scorer(model, params, str(tmp_path))
+    assert meta["stages"]["kv"][0]["out_batch_axis"] == 1
+    assert meta["stages"]["pair"][0]["out_batch_axis"] == 0
+    with pytest.raises(ValueError, match="kv.*cannot be dynamically"):
+        BundleServer(load_scorer(str(tmp_path)), batch_stages=("kv",))
+
+
+def test_malformed_request_fails_alone(served):
+    """Shape validation happens BEFORE the batcher, so a wrong-geometry
+    request 400s by itself instead of poisoning the group it would have
+    been coalesced with (np.concatenate would raise for everyone)."""
+    client, _ = served
+    with pytest.raises(ServeError, match=r"\[400\].*dim 2 must be 32"):
+        client.score(np.zeros((1, 2, 64, 64, 3), np.float32))
+    with pytest.raises(ServeError, match=r"\[400\].*must have 5 dims"):
+        client.score(np.zeros((2, 32, 32, 3), np.float32))
+    # and the server still works afterwards
+    assert client.health() == {"ok": True}
+
+
+def test_duplicate_bucket_sizes_dedupe(tiny, tmp_path):
+    """batch_sizes=[2,2,4] must not desync batch_mode from the artifact
+    list (review finding: zip() paired buckets with wrong artifacts)."""
+    model, params = tiny
+    meta = export_scorer(model, params, str(tmp_path),
+                         batch_sizes=[2, 2, 4], stages=("pair",))
+    assert meta["batch_mode"] == [2, 4]
+    scorer = load_scorer(str(tmp_path))
+    fns = stage_fns(model)
+    rng = np.random.default_rng(6)
+    x = rng.normal(size=(4, 2, 32, 32, 3)).astype(np.float32)
+    np.testing.assert_allclose(scorer("pair", x), fns["pair"](params, x),
+                               atol=1e-5)
+    with pytest.raises(ValueError, match="non-empty"):
+        export_scorer(model, params, str(tmp_path), batch_sizes=[],
+                      stages=("pair",))
+
+
 def test_bf16_bundle_staged_round_trip(tmp_path):
     """bf16 models record bf16 stage signatures but the wire is plain
     numpy: the host must cast incoming arrays to the exported dtypes so

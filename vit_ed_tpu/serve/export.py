@@ -128,6 +128,12 @@ def export_scorer(model, params, out_dir: str, *,
     p_struct, specs = _stage_specs(model, params, dtype)
     plat = tuple(platforms) if platforms else None
 
+    if batch_sizes is not None:
+        batch_sizes = sorted(set(int(b) for b in batch_sizes))
+        if not batch_sizes:
+            raise ValueError("batch_sizes must be non-empty (or None "
+                             "for a symbolic-batch bundle)")
+
     ndev = 1
     shardings = None
     if mesh is not None:
@@ -148,15 +154,14 @@ def export_scorer(model, params, out_dir: str, *,
             return (jax.tree.map(lambda _: rep, p_struct), *shs)
 
         if batch_sizes is not None:
-            bad = [int(n) for n in batch_sizes if int(n) % ndev]
+            bad = [n for n in batch_sizes if n % ndev]
             if bad:
                 raise ValueError(f"bucketed batch sizes {bad} do not "
                                  f"divide the {data_axis} axis ({ndev})")
 
     meta: dict = {
         "format_version": FORMAT_VERSION,
-        "batch_mode": "symbolic" if batch_sizes is None
-        else sorted(int(b) for b in batch_sizes),
+        "batch_mode": "symbolic" if batch_sizes is None else batch_sizes,
         "stages": {},
         "model": {
             "img_size": int(model.img_size),
@@ -185,8 +190,25 @@ def export_scorer(model, params, out_dir: str, *,
         exp = jexport.export(jfn, platforms=plat)(p_struct, *in_specs)
         with open(os.path.join(out_dir, fname), "wb") as f:
             f.write(exp.serialize())
+        # locate the OUTPUT batch axis (None = output does not scale with
+        # the batch): the symbolic dim, or — bucketed — the axis that
+        # changes when the batch doubles. Serving hosts need this to know
+        # which stages may coalesce+slice (kv batches on axis 1, not 0).
+        out_shape = exp.out_avals[0].shape
+        if batch_sizes is None:
+            sym = [i for i, d in enumerate(out_shape)
+                   if jexport.is_symbolic_dim(d)]
+            out_axis = sym[0] if sym else None
+        else:
+            alt = tuple(_with_batch(s, ax, 2 * b)
+                        for s, ax in zip(*specs[stage]))
+            alt_shape = jax.eval_shape(fns[stage], p_struct, *alt).shape
+            out_axis = next(
+                (i for i, (x, y) in enumerate(zip(out_shape, alt_shape))
+                 if x != y), None)
         return {
             "file": fname,
+            "out_batch_axis": out_axis,
             "inputs": [[str(d) for d in s.shape] + [s.dtype.name]
                        for s in in_specs],
             "batch_axes": list(specs[stage][1]),
@@ -275,6 +297,24 @@ class ExportedScorer:
 
     def stages(self):
         return sorted(self._exported)
+
+    def servable_batch(self, b: int) -> int:
+        """Smallest batch this bundle can serve for a ``b``-row request:
+        any multiple of the mesh data axis (symbolic; ``b`` itself
+        single-chip), or the smallest bucket >= ``b``. The caller owns
+        padding up and truncating back — the same fixed-shape policy as
+        ``parallel/pairs.py``'s pair chunks."""
+        mode = self.meta["batch_mode"]
+        if mode == "symbolic":
+            ndev = 1
+            if "mesh" in self.meta:
+                m = self.meta["mesh"]
+                ndev = m["shape"][m["axis_names"].index(m["data_axis"])]
+            return -(-b // ndev) * ndev
+        for n in mode:
+            if n >= b:
+                return n
+        raise ValueError(f"batch {b} exceeds largest bucket {mode[-1]}")
 
     def _place(self, stage, arrays):
         if self._rep is None:

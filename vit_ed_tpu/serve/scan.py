@@ -18,22 +18,6 @@ from .export import ExportedScorer
 __all__ = ["scan_pairs"]
 
 
-def _bucket(scorer: ExportedScorer, b: int) -> int:
-    """Smallest servable batch >= b (symbolic: any multiple of the mesh
-    data axis, or b itself single-chip; bucketed: the smallest bucket)."""
-    mode = scorer.meta["batch_mode"]
-    if mode == "symbolic":
-        ndev = 1
-        if "mesh" in scorer.meta:
-            m = scorer.meta["mesh"]
-            ndev = m["shape"][m["axis_names"].index(m["data_axis"])]
-        return -(-b // ndev) * ndev
-    for n in mode:
-        if n >= b:
-            return n
-    raise ValueError(f"batch {b} exceeds largest bucket {mode[-1]}")
-
-
 def scan_pairs(scorer: ExportedScorer, images, batch_size: int = 8,
                dtype=np.float16) -> np.ndarray:
     """Full symmetric pair score matrix for ``images`` ([N, H, W, 3]).
@@ -58,12 +42,12 @@ def scan_pairs(scorer: ExportedScorer, images, batch_size: int = 8,
     sim = None
     for i0 in range(0, n, batch_size):
         i1 = min(i0 + batch_size, n)
-        bi = _bucket(scorer, i1 - i0)
+        bi = scorer.servable_batch(i1 - i0)
         feats = scorer("encode", pad_to(images[i0:i1], bi))
         kv = np.asarray(scorer("kv", feats))[:, : i1 - i0]
         for j0 in range(i0, n, batch_size):
             j1 = min(j0 + batch_size, n)
-            bj = _bucket(scorer, j1 - j0)
+            bj = scorer.servable_batch(j1 - j0)
             tokens = np.asarray(
                 scorer("prepare", pad_to(images[j0:j1], bj)))[: j1 - j0]
             for i in range(i0, i1):
@@ -71,7 +55,7 @@ def scan_pairs(scorer: ExportedScorer, images, batch_size: int = 8,
                 if lo >= j1:
                     continue
                 cols = np.arange(lo, j1)
-                bc = _bucket(scorer, len(cols))
+                bc = scorer.servable_batch(len(cols))
                 out = np.asarray(scorer(
                     "score_row", jnp.asarray(kv[:, i - i0: i - i0 + 1]),
                     pad_to(tokens[cols - j0], bc)))[: len(cols)]

@@ -47,7 +47,6 @@ from typing import Callable, Dict, Optional, Sequence
 import numpy as np
 
 from .export import ExportedScorer, load_scorer
-from .scan import _bucket
 
 __all__ = ["BundleServer", "DynamicBatcher", "main"]
 
@@ -73,6 +72,7 @@ class DynamicBatcher:
         self.requests = 0
         self.device_calls = 0
         self._q: SimpleQueue = SimpleQueue()
+        self._closed = False
         self._thread = threading.Thread(target=self._loop, daemon=True)
         if start:
             self._thread.start()
@@ -81,6 +81,8 @@ class DynamicBatcher:
         self._thread.start()
 
     def submit(self, x) -> Future:
+        if self._closed:
+            raise RuntimeError("batcher is closed")
         x = np.asarray(x)
         if x.ndim < 1:
             raise ValueError("batched stage input must have a batch axis")
@@ -89,14 +91,19 @@ class DynamicBatcher:
         return fut
 
     def close(self):
+        self._closed = True
         if self._thread.is_alive():
             self._q.put(None)
             self._thread.join()
 
     def _loop(self):
         stop = False
+        carry = None  # request that would overflow the previous group
         while not stop:
-            item = self._q.get()
+            if carry is not None:
+                item, carry = carry, None
+            else:
+                item = self._q.get()
             if item is None:
                 return
             group = [item]
@@ -113,9 +120,14 @@ class DynamicBatcher:
                 if nxt is None:
                     stop = True
                     break
+                if total + nxt[0].shape[0] > self.max_batch:
+                    carry = nxt  # starts the next group — never merge a
+                    break        # group past max_batch / the largest bucket
                 group.append(nxt)
                 total += nxt[0].shape[0]
             self._run(group, total)
+        if carry is not None:  # sentinel arrived while a carry was pending
+            self._run([carry], carry[0].shape[0])
 
     def _run(self, group, total):
         sizes = [a.shape[0] for a, _ in group]
@@ -223,19 +235,24 @@ class BundleServer:
         self._direct_calls = 0
         mode = scorer.meta["batch_mode"]
         if mode != "symbolic":
-            # a merged group can never exceed the largest bucket
+            # group gathering is capped here AND in the batcher's carry
+            # logic, so a merged group never exceeds the largest bucket
             max_batch = min(max_batch, mode[-1])
         self.batchers: Dict[str, DynamicBatcher] = {}
         for stage in batch_stages:
             if stage not in scorer.stages():
                 continue
             ent = scorer.meta["stages"][stage][0]
-            if len(ent["inputs"]) != 1 or ent["batch_axes"] != [0]:
+            # pre-out_batch_axis bundles: only kv batches off axis 0
+            out_axis = ent.get("out_batch_axis", 1 if stage == "kv" else 0)
+            if len(ent["inputs"]) != 1 or ent["batch_axes"] != [0] \
+                    or out_axis != 0:
                 raise ValueError(
-                    f"stage {stage!r} is not single-input batch-axis-0; "
-                    "it cannot be dynamically batched")
+                    f"stage {stage!r} cannot be dynamically batched: it "
+                    "needs one input and batch axis 0 on both input and "
+                    f"output (output batch axis: {out_axis})")
             self.batchers[stage] = DynamicBatcher(
-                self._locked(stage), lambda b: _bucket(scorer, b),
+                self._locked(stage), scorer.servable_batch,
                 max_batch=max_batch, max_wait_ms=max_wait_ms)
         self.httpd = ThreadingHTTPServer((host, port), _Handler)
         self.httpd.bundle = self  # type: ignore[attr-defined]
@@ -249,26 +266,43 @@ class BundleServer:
         return call
 
     def call(self, stage: str, arrays):
-        arrays = self._cast(stage, arrays)
+        arrays = self._check_and_cast(stage, arrays)
         if stage in self.batchers and len(arrays) == 1:
-            return self.batchers[stage].submit(arrays[0]).result()
+            # bounded wait so a shutdown race can never hang a handler
+            return self.batchers[stage].submit(arrays[0]).result(
+                timeout=600.0)
         self._direct_calls += 1
         return self._locked(stage)(*arrays)
 
-    def _cast(self, stage, arrays):
-        """Cast wire arrays to the stage's exported input dtypes: the
-        wire is plain-numpy (f32/f64) while bf16 bundles record bf16
-        signatures — the host owns that conversion, both directions."""
-        want = [e[-1] for e in self.scorer.meta["stages"][stage][0]["inputs"]]
+    def _check_and_cast(self, stage, arrays):
+        """Validate each wire array against the stage's exported
+        signature and cast to its dtype. Validating BEFORE the batcher
+        means a malformed request fails alone — it can never poison the
+        group it would have been coalesced into (np.concatenate on
+        mismatched trailing dims raises for the whole group). Dtype
+        casting is the host's job both directions: the wire is
+        plain-numpy (f32/f64) while bf16 bundles record bf16 inputs."""
+        sig = self.scorer.meta["stages"][stage][0]
         out = []
-        for a, d in zip(arrays, want):
-            if a.dtype.name != d:
+        for k, (a, ent, ax) in enumerate(
+                zip(arrays, sig["inputs"], sig["batch_axes"])):
+            dims, dname = ent[:-1], ent[-1]
+            if a.ndim != len(dims):
+                raise ValueError(
+                    f"stage {stage!r} input {k} must have {len(dims)} "
+                    f"dims {dims}, got shape {list(a.shape)}")
+            for i, d in enumerate(dims):
+                if i != ax and d.isdigit() and a.shape[i] != int(d):
+                    raise ValueError(
+                        f"stage {stage!r} input {k} dim {i} must be {d}, "
+                        f"got {a.shape[i]} (signature {dims})")
+            if a.dtype.name != dname:
                 try:
-                    dt = np.dtype(d)
+                    dt = np.dtype(dname)
                 except TypeError:
                     import ml_dtypes
 
-                    dt = np.dtype(getattr(ml_dtypes, d))
+                    dt = np.dtype(getattr(ml_dtypes, dname))
                 a = a.astype(dt)
             out.append(a)
         return out
