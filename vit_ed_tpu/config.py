@@ -269,6 +269,11 @@ def default_config() -> ConfigNode:
     c.TRAIN.ACCUMULATION_STEPS = 1
     c.TRAIN.USE_CHECKPOINT = False  # gradient rematerialisation (jax.checkpoint)
     c.TRAIN.LOAD_LR_SCHEDULER = True
+    # SIGTERM (pod preemption) -> collective checkpoint -> clean exit
+    # (utils/preempt.py); CHECK_FREQ = optimizer steps between cross-process
+    # agreement checks (each is a one-int allgather on multi-host runs)
+    c.TRAIN.PREEMPT_SAVE = True
+    c.TRAIN.PREEMPT_CHECK_FREQ = 1
 
     c.TRAIN.LR_SCHEDULER = ConfigNode()
     c.TRAIN.LR_SCHEDULER.NAME = "cosine"

@@ -426,6 +426,16 @@ class Trainer:
             self.min_loss = min(loss, self.min_loss)
             self.logger.info(f"Loss of the network on the val set: {loss:.4f}")
 
+        # pod preemption (SIGTERM) -> one agreed collective checkpoint ->
+        # clean exit; auto-resume restarts the interrupted epoch
+        self.preempted = False
+        self._preempt = None
+        if config.TRAIN.PREEMPT_SAVE:
+            from vit_ed_tpu.utils.preempt import PreemptionGuard
+
+            self._preempt = PreemptionGuard(
+                check_freq=config.TRAIN.PREEMPT_CHECK_FREQ).install()
+
         self.logger.info("Start training...")
         start_time = time.time()
         self.params = state.params
@@ -434,6 +444,14 @@ class Trainer:
         for epoch in range(self.start_epoch, config.TRAIN.EPOCHS):
             state = self.train_one_epoch(epoch, data_loader, state, criterion)
             self.params, self.batch_stats = state.params, state.batch_stats
+            if self.preempted:
+                # the preemption checkpoint was already saved inside the
+                # epoch; skip validate/best-model work — the grace window
+                # is for flushing the save, not for more compute
+                self.logger.info(
+                    f"Preempted during epoch {epoch}: checkpoint saved, "
+                    "exiting cleanly (auto-resume will restart this epoch)")
+                break
 
             # every process participates: orbax coordinates multi-host saves
             # of sharded arrays only when all processes call save together
@@ -447,6 +465,8 @@ class Trainer:
                 self.logger.info(f"Loss is reduced from {self.min_loss} to {loss}")
             self.min_loss = min(self.min_loss, loss)
 
+        if self._preempt is not None:
+            self._preempt.uninstall()
         ckpt.wait_for_pending_saves()   # async saves must land before return
         total_time = str(datetime.timedelta(seconds=int(time.time() - start_time)))
         self.logger.info(f"Training time {total_time}")
@@ -524,6 +544,16 @@ class Trainer:
             state, metrics = self._aot_step(state, batch, step_rng)
             opt_idx += 1
             steps_since_sync += 1
+
+            if (getattr(self, "_preempt", None) is not None
+                    and self._preempt.should_stop(opt_idx)):
+                # all processes agree (the check is a collective), so the
+                # orbax save below is correctly collective too. Saved as
+                # epoch-1: resume replays the interrupted epoch in full.
+                self._save(state, epoch - 1, "checkpoint")
+                ckpt.wait_for_pending_saves()
+                self.preempted = True
+                return state
 
             batch_time.update((time.time() - end) / accum)
             if idx % config.PRINT_FREQ < accum or idx == num_steps - 1:
