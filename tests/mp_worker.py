@@ -64,6 +64,69 @@ def scan_only(outdir, rank, world, n_local):
         f.write("ok")
 
 
+def preempt_train(outdir, rank, world, n_local):
+    """MP_PREEMPT_TRAIN mode: run the REAL Trainer (main.DefaultTrainer)
+    across 2 processes. The parent SIGTERMs exactly ONE rank mid-training;
+    the PreemptionGuard's collective agreement must make BOTH ranks save
+    the same checkpoint at the same optimizer step and exit 0. A second
+    spawn (same outdir) auto-resumes and must continue the interrupted
+    epoch from the exact step (utils/preempt.py, train/engine.py)."""
+    import json
+    import time
+
+    import jax
+    import numpy as np
+
+    from main import DefaultTrainer
+
+    class Args:
+        cfg = os.path.join(outdir, "cfg.yaml")
+        opts = None
+        batch_size = None
+        data_path = os.path.join(outdir, "data")
+        pretrained = None
+        resume = None
+        accumulation_steps = None
+        use_checkpoint = None
+        disable_amp = True
+        output = os.path.join(outdir, "out")
+        tag = "mp"
+        mode = "train"
+        eval = None
+        throughput = None
+        optim = None
+        keep_attn = None
+        eval_n_items_per_category = None
+
+    marker = os.path.join(outdir, f"trainstep_rank{rank}")
+
+    class StepMarkTrainer(DefaultTrainer):
+        """Marks optimizer-step progress for the parent (which waits for
+        the first step before delivering SIGTERM) and widens the per-step
+        window so the signal lands mid-loop deterministically."""
+
+        def _aot_step(self, *a):
+            out = super()._aot_step(*a)
+            with open(marker, "a") as f:
+                f.write("x")
+            time.sleep(0.05)
+            return out
+
+    trainer = StepMarkTrainer(Args())
+    state = trainer.train()
+    leaf = np.asarray(jax.device_get(jax.tree.leaves(state.params)[0]))
+    np.save(os.path.join(outdir, f"preempt_rank{rank}_leaf.npy"), leaf)
+    with open(os.path.join(outdir, f"preempt_rank{rank}.json"), "w") as f:
+        json.dump({"preempted": bool(trainer.preempted),
+                   "step": int(jax.device_get(state.step)),
+                   "start_epoch": int(trainer.start_epoch),
+                   "skip": int(getattr(trainer, "_resume_skip_opt_steps", 0)),
+                   "steps_per_epoch": len(trainer.get_dataloader("train")),
+                   "epochs": int(trainer.config.TRAIN.EPOCHS)}, f)
+    with open(os.path.join(outdir, f"preempt_rank{rank}_ok"), "w") as f:
+        f.write("ok")
+
+
 def main():
     outdir = sys.argv[1]
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
@@ -97,6 +160,10 @@ def main():
 
     if os.environ.get("MP_SCAN_ONLY") == "1":
         scan_only(outdir, rank, world, n_local)
+        return
+
+    if os.environ.get("MP_PREEMPT_TRAIN") == "1":
+        preempt_train(outdir, rank, world, n_local)
         return
 
     from vit_ed_tpu.models.vit_ed import ViTED

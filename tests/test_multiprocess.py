@@ -177,6 +177,131 @@ def test_sharded_rows_reproduce_full_matrix_and_metrics(mp_outputs):
     np.testing.assert_allclose(merge_partials(parts), ref, rtol=1e-12)
 
 
+def test_preempt_one_rank_sigterm_agrees_and_resumes(tmp_path):
+    """SIGTERM exactly ONE rank of a 2-process training run: the
+    PreemptionGuard's collective agreement must make BOTH ranks save the
+    same checkpoint at the same optimizer step and exit 0; a restart in
+    the same OUTPUT must auto-resume, continue the interrupted epoch from
+    the exact step, and finish with bit-identical params on both ranks
+    (utils/preempt.py's multi-host design claim, exercised for real)."""
+    import json
+    import signal as _signal
+    import time
+
+    from PIL import Image
+
+    outdir = str(tmp_path / "preempt")
+    data = os.path.join(outdir, "data")
+    os.makedirs(data)
+    rng = np.random.default_rng(0)
+    for sub in ["DIV2K_train_HR", "DIV2K_valid_HR"]:
+        d = os.path.join(data, sub)
+        os.makedirs(d, exist_ok=True)
+        for i in range(16 if sub.endswith("train_HR") else 4):
+            arr = rng.integers(0, 255, size=(220, 220, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(os.path.join(d, f"{i:04d}.png"))
+    with open(os.path.join(outdir, "cfg.yaml"), "w") as f:
+        f.write("""
+MODEL:
+  TYPE: pjs
+  NAME: tiny_mp_preempt
+  NUM_CLASSES: 4
+  DROP_PATH_RATE: 0.0
+  PJS:
+    EMBED_DIM: 16
+    PATCH_SIZE: 32
+    NUM_HEADS: 2
+    DEPTH: 1
+    C_DEPTH: 1
+DATA:
+  DATASET: div2k
+  IMG_SIZE: 64
+  BATCH_SIZE: 2
+  NUM_WORKERS: 0
+TRAIN:
+  EPOCHS: 8
+  WARMUP_EPOCHS: 0
+SAVE_FREQ: 100
+PRINT_FREQ: 1
+""")
+
+    def run_pair(extra_env=None):
+        port = _free_port()
+        procs = []
+        for rank in range(2):
+            env = dict(os.environ)
+            env.pop("XLA_FLAGS", None)
+            env.update({
+                "JAX_PLATFORMS": "cpu",
+                "WORLD_SIZE": "2",
+                "RANK": str(rank),
+                "MASTER_ADDR": "localhost",
+                "MASTER_PORT": str(port),
+                "MP_LOCAL_DEVICES": "2",
+                "MP_PREEMPT_TRAIN": "1",
+                "PYTHONPATH": _REPO,
+            })
+            env.update(extra_env or {})
+            procs.append(subprocess.Popen(
+                [sys.executable, _WORKER, outdir], env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+        return procs
+
+    def read_results(procs, timeout=600):
+        outs = [p.communicate(timeout=timeout)[0] for p in procs]
+        for rank, (p, out) in enumerate(zip(procs, outs)):
+            assert p.returncode == 0, f"rank {rank} failed:\n{out[-4000:]}"
+        results = []
+        for rank in range(2):
+            with open(os.path.join(outdir, f"preempt_rank{rank}.json")) as f:
+                results.append(json.load(f))
+        return results
+
+    # ---- 1. run + SIGTERM exactly rank 1 after the first optimizer step
+    procs = run_pair()
+    markers = [os.path.join(outdir, f"trainstep_rank{r}") for r in range(2)]
+    deadline = time.time() + 300
+    while not all(os.path.exists(m) for m in markers):
+        if any(p.poll() is not None for p in procs):
+            outs = [p.communicate()[0] for p in procs]
+            raise AssertionError(f"worker died before first step:\n"
+                                 f"{outs[0][-2000:]}\n{outs[1][-2000:]}")
+        assert time.time() < deadline, "no training step within 300s"
+        time.sleep(0.1)
+    procs[1].send_signal(_signal.SIGTERM)   # ONE rank only
+
+    results = read_results(procs)
+    # both ranks agreed: preempted, at the SAME optimizer step
+    assert results[0]["preempted"] and results[1]["preempted"]
+    assert results[0]["step"] == results[1]["step"] >= 1
+    saved_step = results[0]["step"]
+    total = results[0]["steps_per_epoch"] * results[0]["epochs"]
+    assert saved_step < total, "preemption landed after training finished"
+    # the collective checkpoint exists and both ranks hold identical params
+    ckpt_dir = os.path.join(outdir, "out", "tiny_mp_preempt", "mp",
+                            "checkpoint.ckpt")
+    assert os.path.isdir(ckpt_dir)
+    leaf0 = np.load(os.path.join(outdir, "preempt_rank0_leaf.npy"))
+    leaf1 = np.load(os.path.join(outdir, "preempt_rank1_leaf.npy"))
+    np.testing.assert_array_equal(leaf0, leaf1)
+
+    # ---- 2. restart: auto-resume continues the epoch from the exact step
+    for r in range(2):
+        os.remove(markers[r])
+        os.remove(os.path.join(outdir, f"preempt_rank{r}_ok"))
+    procs = run_pair()
+    results2 = read_results(procs)
+    for r in range(2):
+        assert not results2[r]["preempted"]
+        spe = results2[r]["steps_per_epoch"]
+        assert results2[r]["skip"] == saved_step - results2[r]["start_epoch"] * spe
+        assert results2[r]["step"] == total   # exact-step: no drift
+    final0 = np.load(os.path.join(outdir, "preempt_rank0_leaf.npy"))
+    final1 = np.load(os.path.join(outdir, "preempt_rank1_leaf.npy"))
+    np.testing.assert_array_equal(final0, final1)
+    assert not np.array_equal(final0, leaf0)   # training actually continued
+
+
 def test_midscan_crash_restart_resumes_identically(tmp_path):
     """Kill rank 1 mid-scan (after its first row blocks are cached as npz),
     restart the whole 2-process job, and assert the resumed run's matrix

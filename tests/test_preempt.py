@@ -139,5 +139,12 @@ def test_preempted_training_saves_and_resumes(div2k_env):
     assert resumed.config.MODEL.RESUME   # auto-resume found the checkpoint
     state2 = resumed.train()
     assert not resumed.preempted
-    assert resumed.start_epoch == 0      # the interrupted epoch is replayed
-    assert int(state2.step) > int(state.step)
+    # exact-step resume: the interrupted epoch 0 is CONTINUED from optimizer
+    # step 1 (not replayed), so the total update count equals an
+    # uninterrupted run's — 2 steps/epoch x 3 epochs — and the LR schedule
+    # sees exactly the same step sequence
+    assert resumed.start_epoch == 0
+    assert resumed._resume_skip_opt_steps == 1
+    steps_per_epoch = len(resumed.get_dataloader("train"))
+    epochs = resumed.config.TRAIN.EPOCHS
+    assert int(state2.step) == steps_per_epoch * epochs

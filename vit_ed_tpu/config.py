@@ -271,7 +271,9 @@ def default_config() -> ConfigNode:
     c.TRAIN.LOAD_LR_SCHEDULER = True
     # SIGTERM (pod preemption) -> collective checkpoint -> clean exit
     # (utils/preempt.py); CHECK_FREQ = optimizer steps between cross-process
-    # agreement checks (each is a one-int allgather on multi-host runs)
+    # agreement checks. Each check enqueues a one-int allgather ASYNC and
+    # inspects the previous cadence's result, so even CHECK_FREQ=1 never
+    # stalls the dispatch pipeline (one step of lookahead is preserved).
     c.TRAIN.PREEMPT_SAVE = True
     c.TRAIN.PREEMPT_CHECK_FREQ = 1
 

@@ -383,6 +383,29 @@ class Trainer:
     # ------------------------------------------------------------------ train
     def train(self):
         config = self.config
+        # install the guard FIRST: dataloader/optimizer construction, the
+        # initial validate() and the first compile can take minutes on real
+        # pods — a SIGTERM in that window must latch the flag so the first
+        # cadence check acts on it instead of the process dying uncovered
+        self.preempted = False
+        self._preempt = None
+        if config.TRAIN.PREEMPT_SAVE:
+            from vit_ed_tpu.utils.preempt import PreemptionGuard
+
+            self._preempt = PreemptionGuard(
+                check_freq=config.TRAIN.PREEMPT_CHECK_FREQ).install()
+        try:
+            return self._train_inner()
+        finally:
+            # any exception path must restore the SIGTERM handler (a stale
+            # guard reference otherwise outlives the trainer) and land
+            # in-flight async saves before the process unwinds
+            if self._preempt is not None:
+                self._preempt.uninstall()
+            ckpt.wait_for_pending_saves()
+
+    def _train_inner(self):
+        config = self.config
         data_loader = self.get_dataloader("train")
         accum = max(config.TRAIN.ACCUMULATION_STEPS, 1)
         steps_per_epoch = len(data_loader) // accum
@@ -419,22 +442,24 @@ class Trainer:
                                           moe_aux_weight=moe.AUX_WEIGHT if is_moe else 0.0,
                                           moe_z_weight=moe.Z_WEIGHT if is_moe else 0.0)
 
+        self._resume_skip_opt_steps = 0
         if config.MODEL.RESUME:
             state, self.min_loss, self.start_epoch = self._load_resume(state)
             self.params, self.batch_stats = state.params, state.batch_stats
+            # fast-forward the step rng by the optimizer steps already
+            # applied so post-resume in-step randomness (dropout) matches
+            # an uninterrupted run; skipped steps burn their split in
+            # train_one_epoch, so only COMPLETED epochs advance here
+            n_applied = int(jax.device_get(state.step))
+            n_burn = n_applied - self._resume_skip_opt_steps
+            if n_burn > 0:
+                self.step_rng = jax.jit(
+                    lambda key, n: jax.lax.fori_loop(
+                        0, n, lambda i, k: jax.random.split(k)[0], key)
+                )(self.step_rng, n_burn)
             loss = self.validate()
             self.min_loss = min(loss, self.min_loss)
             self.logger.info(f"Loss of the network on the val set: {loss:.4f}")
-
-        # pod preemption (SIGTERM) -> one agreed collective checkpoint ->
-        # clean exit; auto-resume restarts the interrupted epoch
-        self.preempted = False
-        self._preempt = None
-        if config.TRAIN.PREEMPT_SAVE:
-            from vit_ed_tpu.utils.preempt import PreemptionGuard
-
-            self._preempt = PreemptionGuard(
-                check_freq=config.TRAIN.PREEMPT_CHECK_FREQ).install()
 
         self.logger.info("Start training...")
         start_time = time.time()
@@ -450,7 +475,8 @@ class Trainer:
                 # is for flushing the save, not for more compute
                 self.logger.info(
                     f"Preempted during epoch {epoch}: checkpoint saved, "
-                    "exiting cleanly (auto-resume will restart this epoch)")
+                    "exiting cleanly (auto-resume will continue this epoch "
+                    "from the exact interrupted step)")
                 break
 
             # every process participates: orbax coordinates multi-host saves
@@ -465,16 +491,19 @@ class Trainer:
                 self.logger.info(f"Loss is reduced from {self.min_loss} to {loss}")
             self.min_loss = min(self.min_loss, loss)
 
-        if self._preempt is not None:
-            self._preempt.uninstall()
         ckpt.wait_for_pending_saves()   # async saves must land before return
         total_time = str(datetime.timedelta(seconds=int(time.time() - start_time)))
         self.logger.info(f"Training time {total_time}")
         return state
 
-    def _save(self, state: TrainState, epoch: int, name: str):
+    def _save(self, state: TrainState, epoch: int, name: str,
+              in_epoch_opt_steps: int = 0):
+        """``in_epoch_opt_steps > 0`` marks a MID-epoch (preemption) save:
+        ``epoch`` is the in-progress epoch and resume continues it from
+        optimizer step ``in_epoch_opt_steps`` instead of replaying it."""
         tree = {"params": state.params, "opt_state": state.opt_state,
-                "step": state.step}
+                "step": state.step,
+                "in_epoch_opt_steps": np.asarray(in_epoch_opt_steps, np.int64)}
         if state.batch_stats is not None:
             tree["batch_stats"] = state.batch_stats
         ckpt.save_checkpoint(self.config, epoch, tree, self.min_loss,
@@ -483,16 +512,35 @@ class Trainer:
     def _load_resume(self, state: TrainState):
         self.logger.info(f"==============> Resuming from {self.config.MODEL.RESUME}....")
         abstract = {"params": state.params, "opt_state": state.opt_state,
-                    "step": state.step}
+                    "step": state.step,
+                    "in_epoch_opt_steps": np.asarray(0, np.int64)}
         if state.batch_stats is not None:
             abstract["batch_stats"] = state.batch_stats
-        tree = ckpt.load_checkpoint(self.config.MODEL.RESUME, abstract)
+        try:
+            tree = ckpt.load_checkpoint(self.config.MODEL.RESUME, abstract)
+        except Exception:
+            # checkpoints written before exact-step resume lack the
+            # in_epoch_opt_steps scalar
+            del abstract["in_epoch_opt_steps"]
+            tree = ckpt.load_checkpoint(self.config.MODEL.RESUME, abstract)
         new_state = TrainState(params=tree["params"], opt_state=tree["opt_state"],
                                step=tree["step"],
                                batch_stats=tree.get("batch_stats"))
         min_loss = float(tree.get("min_loss", 99999.0))
-        start_epoch = int(tree.get("epoch", -1)) + 1
-        self.logger.info(f"=> loaded successfully (epoch {start_epoch - 1})")
+        epoch = int(tree.get("epoch", -1))
+        skip = int(tree.get("in_epoch_opt_steps", 0))
+        if skip > 0:
+            # mid-epoch (preemption) checkpoint: continue the SAME epoch,
+            # skipping the optimizer steps it already consumed, so step
+            # count / LR schedule / data order all match an uninterrupted
+            # run exactly (samplers are deterministic per epoch)
+            self._resume_skip_opt_steps = skip
+            start_epoch = epoch
+            self.logger.info(f"=> loaded successfully (epoch {epoch}, "
+                             f"continuing from optimizer step {skip})")
+        else:
+            start_epoch = epoch + 1
+            self.logger.info(f"=> loaded successfully (epoch {epoch})")
         return new_state, min_loss, start_epoch
 
     def _collate_accum(self, batches):
@@ -525,11 +573,24 @@ class Trainer:
         start = time.time()
         end = time.time()
 
+        # exact-step resume: skip the optimizer steps the interrupted run
+        # already applied (burning the step rng to keep the sequence
+        # aligned), so the resumed trajectory equals the uninterrupted one
+        skip = (getattr(self, "_resume_skip_opt_steps", 0)
+                if epoch == getattr(self, "start_epoch", epoch) else 0)
+
         micro_acc = []
         opt_idx = 0
         for idx, (samples, targets) in enumerate(data_loader):
             micro_acc.append(self.prepare_data(samples, targets))
             if len(micro_acc) < accum:
+                continue
+
+            if opt_idx < skip:
+                micro_acc = []
+                self.step_rng, _ = jax.random.split(self.step_rng)
+                opt_idx += 1
+                end = time.time()
                 continue
 
             batch = self._collate_accum(micro_acc)
@@ -548,9 +609,11 @@ class Trainer:
             if (getattr(self, "_preempt", None) is not None
                     and self._preempt.should_stop(opt_idx)):
                 # all processes agree (the check is a collective), so the
-                # orbax save below is correctly collective too. Saved as
-                # epoch-1: resume replays the interrupted epoch in full.
-                self._save(state, epoch - 1, "checkpoint")
+                # orbax save below is correctly collective too. Saved
+                # mid-epoch with the exact optimizer step: resume continues
+                # this epoch from here instead of replaying it.
+                self._save(state, epoch, "checkpoint",
+                           in_epoch_opt_steps=opt_idx)
                 ckpt.wait_for_pending_saves()
                 self.preempted = True
                 return state
