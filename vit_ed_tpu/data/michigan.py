@@ -1,16 +1,25 @@
-"""Michigan papyrus dataset
-(re-creates /root/reference/data/datasets/michigan_dataset.py; the
-``ml_engine`` grouping dependency is replaced by data/grouping.py)."""
+"""Michigan papyrus datasets.
+
+Same capabilities as the reference's ``data/datasets/michigan_dataset.py``
+(7-component path scheme ``<papyrus>/<side>/<detail|summary>/<folder>/
+<medium>/<x>/<file>``; recto/papyrus filtering; papyrus<->folder fragment
+grouping; 85/15 papyrus split by sorted order; detail-preferred image
+selection; the ``lower_bound`` offset for the O(N^2) scan's x2 stream) —
+rebuilt here around a flat file-record table instead of the reference's
+nested dict accumulation (michigan_dataset.py:41-145). The ``ml_engine``
+grouping dependency is replaced by data/grouping.py; split semantics are
+locked by tests/test_michigan.py and tests/test_data.py.
+"""
 
 from __future__ import annotations
 
 import glob
 import os
+from dataclasses import dataclass
 from enum import Enum
-from typing import Callable, Optional
+from typing import Callable, Dict, List, Optional, Sequence
 
 import numpy as np
-from PIL import Image
 
 from vit_ed_tpu.data.grouping import add_items_to_group
 
@@ -38,10 +47,68 @@ class Split(Enum):
         return None
 
 
+@dataclass(frozen=True)
+class PapyrusFile:
+    """One scanned file, described by the 7 trailing path components."""
+
+    papyrus: str   # papyrus (writer) name — 7th-from-last component
+    side: str      # 'front' (recto) / 'back'
+    kind: str      # 'detail' / 'summary' scan
+    folder: str    # sub-collection folder, grouped with the papyrus name
+    medium: str    # 'papyrus' vs other material
+    path: str
+
+    @staticmethod
+    def parse(path: str) -> "PapyrusFile":
+        parts = path.split(os.sep)[-7:]
+        return PapyrusFile(papyrus=parts[0], side=parts[1], kind=parts[2],
+                           folder=parts[3], medium=parts[4], path=path)
+
+
+def _file_table(root: str) -> List[PapyrusFile]:
+    """Every png/jpg under ``root`` as a flat record table, path-sorted."""
+    paths = glob.glob(os.path.join(root, "**", "*.png"), recursive=True)
+    paths += glob.glob(os.path.join(root, "**", "*.jpg"), recursive=True)
+    return [PapyrusFile.parse(p) for p in sorted(paths)]
+
+
+def _fragment_groups(table: Sequence[PapyrusFile]):
+    """Transitive papyrus<->folder grouping over ALL records (the filter
+    below must not break group connectivity). Returns (groups,
+    name -> group index, name -> set of group members)."""
+    groups: List[set] = []
+    for rec in table:
+        add_items_to_group([rec.papyrus, rec.folder], groups)
+    group_of: Dict[str, int] = {}
+    members: Dict[str, set] = {}
+    for gi, group in enumerate(groups):
+        for name in group:
+            group_of[name] = gi
+            members[name] = set(group)
+    return groups, group_of, members
+
+
+def _select_scans(table: Sequence[PapyrusFile], keep_first: Optional[int]
+                  ) -> Dict[str, List[str]]:
+    """Per papyrus: the front/papyrus records of the preferred scan kind
+    ('detail' when available, else 'summary'), optionally truncated."""
+    usable = [r for r in table
+              if r.side == "front" and r.medium == "papyrus"]
+    by_papyrus: Dict[str, List[PapyrusFile]] = {}
+    for rec in usable:
+        by_papyrus.setdefault(rec.papyrus, []).append(rec)
+
+    selected: Dict[str, List[str]] = {}
+    for papyrus, recs in by_papyrus.items():
+        kind = ("detail" if any(r.kind == "detail" for r in recs)
+                else "summary")
+        paths = [r.path for r in recs if r.kind == kind]
+        selected[papyrus] = paths[:keep_first] if keep_first else paths
+    return selected
+
+
 class MichiganDataset:
-    """Papyrus-path parsing (7 trailing path components), recto/papyrus
-    filtering, fragment grouping, 85/15 writer split, detail/summary image
-    selection (michigan_dataset.py:41-122)."""
+    """Training dataset: (augmented fragment image, papyrus-group label)."""
 
     Split = Split
 
@@ -49,82 +116,55 @@ class MichiganDataset:
                  samples=None, val_n_items_per_writer: Optional[int] = None):
         self.dataset_path = dataset_path
         self.samples = samples
-        if samples is None:
-            files = glob.glob(os.path.join(dataset_path, "**", "*.png"), recursive=True)
-            files.extend(glob.glob(os.path.join(dataset_path, "**", "*.jpg"), recursive=True))
-            files.sort()
-
-            image_map = {}
-            groups = []
-            for file in files:
-                parts = file.split(os.sep)
-                im_name, rv, sum_det, sub_name, im_type, _, _ = parts[-7:]
-                add_items_to_group([im_name, sub_name], groups)
-                if rv != "front":
-                    continue
-                if im_type != "papyrus":
-                    continue
-                image_map.setdefault(im_name, {}).setdefault(sum_det, []).append(file)
-
-            self.fragment_to_group = {}
-            self.fragment_to_group_id = {}
-            self.groups = groups
-            for idx, group in enumerate(groups):
-                for fragment in group:
-                    self.fragment_to_group_id[fragment] = idx
-                    for fragment2 in group:
-                        self.fragment_to_group.setdefault(fragment, set()).add(fragment2)
-
-            images = {}
-            for img in image_map:
-                key = "detail" if "detail" in image_map[img] else "summary"
-                images[img] = image_map[img][key]
-                if val_n_items_per_writer is not None and split.is_val():
-                    images[img] = images[img][:val_n_items_per_writer]
-
-            self.image_names = sorted(images.keys())
-            if split == Split.TRAIN:
-                self.image_names = self.image_names[: int(len(self.image_names) * split.length)]
-            elif split == Split.VAL:
-                self.image_names = self.image_names[-int(len(self.image_names) * split.length):]
-
-            self.image_idxes = {k: i for i, k in enumerate(self.image_names)}
-            self.data = []
-            self.data_labels = []
-            for img in self.image_names:
-                data, labels = [], []
-                for fragment in sorted(images[img]):
-                    data.append(fragment)
-                    labels.append(self.fragment_to_group_id[img])
-                if split.is_val() and len(data) < 2:
-                    continue
-                self.data.extend(data)
-                self.data_labels.extend(labels)
-        else:
-            self.data = samples
-
         self.transforms = transforms
+        if samples is not None:
+            self.data = samples
+            return
+
+        table = _file_table(dataset_path)
+        self.groups, self.fragment_to_group_id, self.fragment_to_group = \
+            _fragment_groups(table)
+        keep_first = val_n_items_per_writer if split.is_val() else None
+        scans = _select_scans(table, keep_first)
+
+        # papyrus carve by sorted order: train = first 85%, val = last 15%
+        papyri = sorted(scans)
+        if split == Split.TRAIN:
+            papyri = papyri[: int(len(papyri) * split.length)]
+        elif split == Split.VAL:
+            papyri = papyri[-int(len(papyri) * split.length):]
+        self.image_names = papyri
+        self.image_idxes = {name: i for i, name in enumerate(papyri)}
+
+        self.data: List[str] = []
+        self.data_labels: List[int] = []
+        for papyrus in papyri:
+            fragments = sorted(scans[papyrus])
+            if split.is_val() and len(fragments) < 2:
+                continue  # a single-fragment papyrus has no retrieval pair
+            self.data += fragments
+            self.data_labels += [self.fragment_to_group_id[papyrus]] * len(fragments)
 
     def __len__(self):
         return len(self.data)
 
     def __getitem__(self, idx):
-        fragment = self.data[idx]
         from vit_ed_tpu.data.transforms import open_rgb
 
-        image = self.transforms(open_rgb(fragment))
-        label = self.data_labels[idx]
-        return np.asarray(image, np.float32), np.asarray(label, np.int32)
+        image = self.transforms(open_rgb(self.data[idx]))
+        return (np.asarray(image, np.float32),
+                np.asarray(self.data_labels[idx], np.int32))
 
 
 class MichiganTest(MichiganDataset):
-    """lower_bound offset variant for the pair scan
-    (michigan_dataset.py:125-145)."""
+    """Eval variant: (image, global index), with the ``lower_bound`` offset
+    the upper-triangle x2 scan uses (michigan_dataset.py:125-145)."""
 
     Split = Split
 
     def __init__(self, dataset_path: str, split: Split, transforms,
-                 lower_bound: int = 0, samples=None, val_n_items_per_writer: int = 2):
+                 lower_bound: int = 0, samples=None,
+                 val_n_items_per_writer: int = 2):
         super().__init__(dataset_path, split, transforms, samples=samples,
                          val_n_items_per_writer=val_n_items_per_writer)
         self.lower_bound = lower_bound
@@ -132,11 +172,10 @@ class MichiganTest(MichiganDataset):
             self.data = samples
 
     def __getitem__(self, index: int):
-        index = index + self.lower_bound
-        fragment = self.data[index]
         from vit_ed_tpu.data.transforms import open_rgb
 
-        image = self.transforms(open_rgb(fragment))
+        index = index + self.lower_bound
+        image = self.transforms(open_rgb(self.data[index]))
         return np.asarray(image, np.float32), np.asarray(index, np.int64)
 
     def __len__(self):

@@ -118,39 +118,39 @@ class Puzzle:
         self._img_LAB = cv2.cvtColor(self._img, cv2.COLOR_BGR2LAB)
 
     def make_pieces(self, starting_id_numb=0):
-        """Floor grid, center-shave, per-piece center-crop to
-        ceil(w * (1 - erosion)) (puzzle_importer.py:182-232)."""
-        numb_cols = int(math.floor(self._img_width / self.piece_width))
-        numb_rows = int(math.floor(self._img_height / self.piece_width))
-        if numb_cols == 0 or numb_rows == 0:
-            raise ValueError("Image size is too small for the image.  Check your setup")
+        """Cut the image into a grid of eroded LAB pieces.
 
-        self._grid_size = (numb_rows, numb_cols)
-        original_width = self._img_width
-        original_height = self._img_height
-        self._img_width = numb_cols * self.piece_width
-        self._img_height = numb_rows * self.piece_width
+        One strided reshape does the whole grid at once — [rows, w, cols,
+        w, 3] -> [rows, cols, w, w, 3] — and the erosion centre-crop of
+        every cell is a single slice of that view (semantics of the
+        reference's per-piece subimage loop, puzzle_importer.py:182-232:
+        floor grid, centre-shave the remainder, per-cell centre-crop to
+        ceil(w * (1 - erosion)) with round-half-even offsets)."""
+        w = self.piece_width
+        rows = self._img_height // w
+        cols = self._img_width // w
+        if rows == 0 or cols == 0:
+            raise ValueError(
+                f"piece width {w} exceeds the {self._img_height}x"
+                f"{self._img_width} image: no pieces can be cut")
+        self._grid_size = (rows, cols)
 
-        upper_left = ((original_height - self._img_height) // 2,
-                      (original_width - self._img_width) // 2)
-        self._img = Puzzle.extract_subimage(self._img, upper_left,
-                                            (self._img_height, self._img_width))
-        self._img_LAB = Puzzle.extract_subimage(self._img_LAB, upper_left,
-                                                (self._img_height, self._img_width))
+        # centre-shave the division remainder so the grid tiles exactly
+        top = (self._img_height - rows * w) // 2
+        left = (self._img_width - cols * w) // 2
+        self._img_height, self._img_width = rows * w, cols * w
+        self._img = self._img[top:top + rows * w, left:left + cols * w]
+        self._img_LAB = self._img_LAB[top:top + rows * w, left:left + cols * w]
 
-        piece_id = starting_id_numb
-        piece_size = (self.piece_width, self.piece_width)
-        self._pieces = []
-        for row in range(numb_rows):
-            for col in range(numb_cols):
-                piece_upper_left = (row * piece_size[0], col * piece_size[1])
-                piece_img = Puzzle.extract_subimage(self._img_LAB, piece_upper_left, piece_size)
-                erosion_size = math.ceil(self.piece_width * (1 - self._erosion))
-                piece_img_erosion = Puzzle.centre_crop(piece_img, (erosion_size, erosion_size))
-                self._pieces.append(PuzzlePiece(self._id, (row, col), piece_img_erosion,
-                                                piece_id=piece_id,
-                                                puzzle_grid_size=self._grid_size))
-                piece_id += 1
+        grid = self._img_LAB.reshape(rows, w, cols, w, 3).swapaxes(1, 2)
+        eroded = math.ceil(w * (1 - self._erosion))
+        off = int(round((w - eroded) / 2.0))   # centre_crop's rounding
+        cells = grid[:, :, off:off + eroded, off:off + eroded]
+        self._pieces = [
+            PuzzlePiece(self._id, (r, c), np.ascontiguousarray(cells[r, c]),
+                        piece_id=starting_id_numb + r * cols + c,
+                        puzzle_grid_size=self._grid_size)
+            for r in range(rows) for c in range(cols)]
 
     # ------------------------------------------------------------- accessors
     @property
@@ -182,34 +182,34 @@ class Puzzle:
 
     @staticmethod
     def reconstruct_from_pieces(pieces, piece_width, id_numb=-1, display_image=False):
-        """puzzle_importer.py:264-321."""
+        """Assemble a board image from PLACED pieces: shift locations to a
+        zero-based grid, paste each piece into its cell (wrong placements
+        get the red ring marker), convert back to LAB (semantics of
+        puzzle_importer.py:264-321)."""
         import cv2
 
-        if len(pieces) == 0:
-            raise ValueError("Error: Each puzzle must have at least one piece.")
+        if not pieces:
+            raise ValueError("a reconstructed puzzle needs at least one piece")
 
-        output_puzzle = Puzzle(id_numb)
-        output_puzzle._id = id_numb
-        output_puzzle._pieces = copy.deepcopy(pieces)
-        output_puzzle._piece_width = piece_width
+        board = Puzzle(id_numb)
+        board._pieces = copy.deepcopy(pieces)
+        board._piece_width = piece_width
 
-        (min_row, max_row, min_col, max_col) = output_puzzle.get_min_and_max_row_and_columns()
-        for piece in output_puzzle._pieces:
-            loc = piece.location
-            piece.location = (loc[0] - min_row, loc[1] - min_col)
+        locs = np.asarray([p.location for p in board._pieces])
+        origin = locs.min(axis=0)
+        rows, cols = (locs.max(axis=0) - origin + 1)
+        for piece, (r, c) in zip(board._pieces, locs - origin):
+            piece.location = (int(r), int(c))
 
-        output_puzzle._grid_size = (max_row - min_row + 1, max_col - min_col + 1)
-        output_puzzle._img_width = output_puzzle._grid_size[1] * output_puzzle.piece_width
-        output_puzzle._img_height = output_puzzle._grid_size[0] * output_puzzle.piece_width
-
-        size = (output_puzzle._img_height, output_puzzle._img_width)
-        output_puzzle._img = Puzzle.create_solid_bgr_image(size, ImageColor.black)
-        for piece in output_puzzle._pieces:
-            pad_size = (piece_width - piece.width) // 2
-            output_puzzle.insert_piece_into_image(piece, pad_size)
-
-        output_puzzle._img_LAB = cv2.cvtColor(output_puzzle._img, cv2.COLOR_BGR2LAB)
-        return output_puzzle
+        board._grid_size = (int(rows), int(cols))
+        board._img_height = int(rows) * piece_width
+        board._img_width = int(cols) * piece_width
+        board._img = np.zeros((board._img_height, board._img_width,
+                               Puzzle.NUMBER_BGR_DIMENSIONS), np.uint8)
+        for piece in board._pieces:
+            board.insert_piece_into_image(piece, (piece_width - piece.width) // 2)
+        board._img_LAB = cv2.cvtColor(board._img, cv2.COLOR_BGR2LAB)
+        return board
 
     def randomize_puzzle_piece_locations(self):
         all_locations = [p.location for p in self._pieces]
@@ -232,54 +232,54 @@ class Puzzle:
 
     @staticmethod
     def extract_subimage(img, upper_left, size):
-        return img[upper_left[0]:upper_left[0] + size[0],
-                   upper_left[1]:upper_left[1] + size[1], :]
+        r, c = upper_left
+        return img[r:r + size[0], c:c + size[1], :]
 
     @staticmethod
     def centre_crop(img, dim):
-        width, height = img.shape[1], img.shape[0]
-        crop_width = dim[0] if dim[0] < img.shape[1] else img.shape[1]
-        crop_height = dim[1] if dim[1] < img.shape[0] else img.shape[0]
-        crop_top = int(round((height - crop_height) / 2.0))
-        crop_left = int(round((width - crop_width) / 2.0))
-        return img[crop_top:crop_top + crop_height, crop_left:crop_left + crop_width, :]
+        """Centre crop to (width, height) = ``dim``, bounded by the image,
+        with round-half-even offsets (the reference convention the erosion
+        geometry depends on)."""
+        out_w = min(dim[0], img.shape[1])
+        out_h = min(dim[1], img.shape[0])
+        top = int(round((img.shape[0] - out_h) / 2.0))
+        left = int(round((img.shape[1] - out_w) / 2.0))
+        return img[top:top + out_h, left:left + out_w, :]
 
     def insert_piece_into_image(self, piece: PuzzlePiece, pad_size=0):
-        """Paste a piece; wrongly-placed pieces get a red border marker
+        """Paste one piece into its grid cell. A wrongly placed piece gets
+        a 1px red ring first (and is cropped back to the cell when erosion
+        left no padding room) — the reference's marker scheme
         (puzzle_importer.py:448-473)."""
         import cv2
 
-        piece_loc = piece.location
-        upper_left = (piece_loc[0] * self._piece_width, piece_loc[1] * self._piece_width)
-        piece_bgr = piece.bgr_image()
-        if not piece.is_correctly_placed((0, 0)):
-            piece_bgr = cv2.copyMakeBorder(piece_bgr, 1, 1, 1, 1, cv2.BORDER_CONSTANT,
-                                           value=[0, 0, 255])
-            p = max(pad_size - 1, 0)
-            piece_bgr = cv2.copyMakeBorder(piece_bgr, p, p, p, p, cv2.BORDER_CONSTANT)
-            if piece_bgr.shape[0] > self._piece_width:
-                # zero-erosion pieces: the red marker border would overflow
-                # the cell; crop back to the cell size
-                piece_bgr = Puzzle.centre_crop(piece_bgr,
-                                               (self._piece_width, self._piece_width))
-        else:
+        bgr = piece.bgr_image()
+        if piece.is_correctly_placed((0, 0)):
             p = pad_size
-            piece_bgr = cv2.copyMakeBorder(piece_bgr, p, p, p, p, cv2.BORDER_CONSTANT)
-        if piece.rotation is None or piece.rotation == PuzzlePieceRotation.degree_0:
-            Puzzle.insert_subimage(self._img, upper_left, piece_bgr)
+            bgr = cv2.copyMakeBorder(bgr, p, p, p, p, cv2.BORDER_CONSTANT)
         else:
-            rotated_img = np.rot90(piece_bgr, piece.rotation.value // 90)
-            Puzzle.insert_subimage(self._img, upper_left, rotated_img)
+            bgr = cv2.copyMakeBorder(bgr, 1, 1, 1, 1, cv2.BORDER_CONSTANT,
+                                     value=[0, 0, 255])
+            p = max(pad_size - 1, 0)
+            bgr = cv2.copyMakeBorder(bgr, p, p, p, p, cv2.BORDER_CONSTANT)
+            if bgr.shape[0] > self._piece_width:
+                bgr = Puzzle.centre_crop(bgr, (self._piece_width,
+                                               self._piece_width))
+        turns = 0 if piece.rotation is None else piece.rotation.value // 90
+        if turns:
+            bgr = np.rot90(bgr, turns)
+        cell = (piece.location[0] * self._piece_width,
+                piece.location[1] * self._piece_width)
+        Puzzle.insert_subimage(self._img, cell, bgr)
 
     @staticmethod
     def insert_subimage(master_img, upper_left, subimage):
-        if upper_left[0] < 0 or upper_left[1] < 0:
-            raise ValueError("Error: upper left is off the image grid. Row and column must be >=0")
-        shape = subimage.shape
-        bottom_right = [upper_left[0] + shape[0], upper_left[1] + shape[1]]
-        master_shape = master_img.shape
-        assert master_shape[0] >= bottom_right[0] and master_shape[1] >= bottom_right[1]
-        master_img[upper_left[0]:bottom_right[0], upper_left[1]:bottom_right[1], :] = subimage
+        r, c = upper_left
+        h, w = subimage.shape[:2]
+        if r < 0 or c < 0:
+            raise ValueError("subimage upper-left must be on the board (>= 0)")
+        assert master_img.shape[0] >= r + h and master_img.shape[1] >= c + w
+        master_img[r:r + h, c:c + w, :] = subimage
 
     def save_to_file(self, filename):
         import cv2
@@ -331,44 +331,69 @@ class Puzzle:
 
     def determine_modified_direct_accuracy(self, expected_puzzle_id, upper_left,
                                            numb_pieces_in_original_puzzle):
-        """puzzle_importer.py:558-598."""
-        accuracy_info = DirectAccuracyPuzzleResults(expected_puzzle_id, self.id_number,
-                                                    numb_pieces_in_original_puzzle)
-        for piece in self._pieces:
-            if piece.original_puzzle_id != expected_puzzle_id:
-                accuracy_info.add_different_puzzle(piece)
-            elif not piece.is_correctly_placed(upper_left):
-                accuracy_info.add_wrong_location(piece)
-            elif piece.rotation != PuzzlePieceRotation.degree_0:
-                accuracy_info.add_wrong_rotation(piece)
-            else:
-                accuracy_info.add_correct_placement(piece)
-        return accuracy_info
+        """Classify every placed piece at one assumed upper-left origin.
+
+        Three predicate arrays (same puzzle / at the offset location /
+        unrotated) are gathered in one pass and combined into a flat code
+        array (semantics of the reference's per-piece if/elif chain,
+        puzzle_importer.py:558-598)."""
+        n = len(self._pieces)
+        ids = np.fromiter((p.id_number for p in self._pieces), np.int64, n)
+        same_puzzle = np.fromiter(
+            (p.original_puzzle_id == expected_puzzle_id for p in self._pieces),
+            bool, n)
+        at_origin_offset = np.fromiter(
+            (p.is_correctly_placed(upper_left) for p in self._pieces), bool, n)
+        unrotated = np.fromiter(
+            (p.rotation == PuzzlePieceRotation.degree_0 for p in self._pieces),
+            bool, n)
+        R = DirectAccuracyPuzzleResults
+        codes = np.select(
+            [~same_puzzle, ~at_origin_offset, ~unrotated],
+            [R.DIFFERENT_PUZZLE, R.WRONG_LOCATION, R.WRONG_ROTATION],
+            default=R.CORRECT)
+        return DirectAccuracyPuzzleResults(expected_puzzle_id, self.id_number,
+                                           numb_pieces_in_original_puzzle,
+                                           piece_ids=ids, codes=codes)
 
 
 class DirectAccuracyPuzzleResults:
-    """puzzle_importer.py:1162-1383."""
+    """Per-piece direct-accuracy classification for one (original puzzle,
+    solved puzzle, origin) triple.
 
-    def __init__(self, original_puzzle_id, solved_puzzle_id, numb_pieces_in_original_puzzle):
+    The reference spreads the classification over four str-keyed dicts and
+    counts their lengths (puzzle_importer.py:1162-1383); here it is one
+    flat int code array aligned with the piece ids, every count a
+    vectorized reduction over it.
+    """
+
+    CORRECT, WRONG_ROTATION, WRONG_LOCATION, DIFFERENT_PUZZLE = range(4)
+    _ENUM_BY_CODE = (PieceDirectAccuracyResult.correct_placement,
+                     PieceDirectAccuracyResult.wrong_rotation,
+                     PieceDirectAccuracyResult.wrong_location,
+                     PieceDirectAccuracyResult.different_puzzle)
+
+    def __init__(self, original_puzzle_id, solved_puzzle_id,
+                 numb_pieces_in_original_puzzle, piece_ids=None, codes=None):
         self._orig_puzzle_id = original_puzzle_id
         self._solved_puzzle_id = solved_puzzle_id
-        self._different_puzzle = {}
         self.numb_pieces_in_original_puzzle = numb_pieces_in_original_puzzle
-        self._wrong_location = {}
-        self._wrong_rotation = {}
-        self._correct_placement = {}
+        self._piece_ids = (np.zeros(0, np.int64) if piece_ids is None
+                           else np.asarray(piece_ids, np.int64))
+        self._codes = (np.zeros(0, np.int64) if codes is None
+                       else np.asarray(codes, np.int64))
+        self._code_of = {int(i): int(c)
+                         for i, c in zip(self._piece_ids, self._codes)}
 
     def get_piece_result(self, piece_id):
-        key = str(piece_id)
-        if key in self._correct_placement:
-            return PieceDirectAccuracyResult.correct_placement
-        if key in self._wrong_rotation:
-            return PieceDirectAccuracyResult.wrong_rotation
-        if key in self._wrong_location:
-            return PieceDirectAccuracyResult.wrong_location
-        if key in self._different_puzzle:
-            return PieceDirectAccuracyResult.different_puzzle
-        raise ValueError(f'Piece id: "{piece_id}" does not exist in this result set.')
+        code = self._code_of.get(int(piece_id))
+        if code is None:
+            raise ValueError(f'Piece id: "{piece_id}" does not exist in '
+                             f"this result set.")
+        return self._ENUM_BY_CODE[code]
+
+    def _count(self, code):
+        return int(np.count_nonzero(self._codes == code))
 
     @property
     def original_puzzle_id(self):
@@ -378,104 +403,96 @@ class DirectAccuracyPuzzleResults:
     def solved_puzzle_id(self):
         return self._solved_puzzle_id
 
-    def add_wrong_location(self, piece):
-        self._wrong_location[str(piece.id_number)] = piece
-
-    def add_different_puzzle(self, piece):
-        self._different_puzzle[str(piece.id_number)] = piece
-
-    def add_wrong_rotation(self, piece):
-        self._wrong_rotation[str(piece.id_number)] = piece
-
-    def add_correct_placement(self, piece):
-        self._correct_placement[str(piece.id_number)] = piece
-
-    @property
-    def weighted_accuracy(self):
-        return 1.0 * self.numb_correct_placements / (self.numb_pieces_in_original_puzzle
-                                                     + self.numb_different_puzzle)
-
     @property
     def numb_correct_placements(self):
-        return len(self._correct_placement)
+        return self._count(self.CORRECT)
 
     @property
     def numb_wrong_location(self):
-        return len(self._wrong_location)
+        return self._count(self.WRONG_LOCATION)
 
     @property
     def numb_wrong_rotation(self):
-        return len(self._wrong_rotation)
+        return self._count(self.WRONG_ROTATION)
 
     @property
     def numb_different_puzzle(self):
-        return len(self._different_puzzle)
+        return self._count(self.DIFFERENT_PUZZLE)
 
     @property
-    def total_numb_pieces_in_solved_puzzle(self):
-        return self.numb_pieces_from_original_puzzle_in_solved_puzzle + self.numb_different_puzzle
+    def weighted_accuracy(self):
+        return self.numb_correct_placements / (
+            self.numb_pieces_in_original_puzzle + self.numb_different_puzzle)
 
     @property
     def numb_pieces_from_original_puzzle_in_solved_puzzle(self):
-        return self.numb_correct_placements + self.numb_wrong_location + self.numb_wrong_rotation
+        return len(self._codes) - self.numb_different_puzzle
+
+    @property
+    def total_numb_pieces_in_solved_puzzle(self):
+        return len(self._codes)
 
     @staticmethod
     def check_if_update_direct_accuracy(current_best, new):
+        """new wins on strictly higher weighted accuracy, or on more
+        included original-puzzle pieces at equal accuracy."""
         if current_best is None:
             return True
-        best_included = current_best.numb_pieces_from_original_puzzle_in_solved_puzzle
-        best_accuracy = current_best.weighted_accuracy
-        new_included = new.numb_pieces_from_original_puzzle_in_solved_puzzle
-        new_accuracy = new.weighted_accuracy
-        return (best_accuracy < new_accuracy
-                or (best_accuracy == new_accuracy and best_included < new_included))
+        if current_best.weighted_accuracy != new.weighted_accuracy:
+            return current_best.weighted_accuracy < new.weighted_accuracy
+        return (current_best.numb_pieces_from_original_puzzle_in_solved_puzzle
+                < new.numb_pieces_from_original_puzzle_in_solved_puzzle)
 
 
 class ModifiedNeighborAccuracy:
-    """puzzle_importer.py:1386-1627."""
+    """Per-(piece, side) neighbor-accuracy classification.
+
+    One ``{(piece_id, side_value): result}`` record replaces the
+    reference's three str-keyed dicts (puzzle_importer.py:1386-1627);
+    the per-class counts are tallied as records land.
+    """
 
     def __init__(self, original_puzzle_id, solved_puzzle_id, number_of_pieces):
         self._original_puzzle_id = original_puzzle_id
         self._solved_puzzle_id = solved_puzzle_id
         self._actual_number_of_pieces = number_of_pieces
-        self._wrong_puzzle_id = {}
-        self._correct_neighbors = {}
-        self._wrong_neighbors = {}
+        self._records = {}
+        self._tally = {r: 0 for r in PieceSideNeighborAccuracyResult}
 
-    @staticmethod
-    def _key(piece_id, side):
-        return f"{piece_id}_{side.value}"
+    def _record(self, piece_id, side, result):
+        self._records[(piece_id, side.value)] = result
+        self._tally[result] += 1
 
     def get_piece_side_result(self, piece_id, side):
-        if self._key(piece_id, side) in self._wrong_puzzle_id:
-            return PieceSideNeighborAccuracyResult.different_puzzle_id
-        if self._key(piece_id, side) in self._correct_neighbors:
-            return PieceSideNeighborAccuracyResult.correct_neighbor
-        if self._key(piece_id, side) in self._wrong_neighbors:
-            return PieceSideNeighborAccuracyResult.wrong_neighbor
-        raise ValueError(f'Pairing of piece id "{piece_id}" and side "{side.side_name}" '
-                         f"does not exist in this puzzle")
+        result = self._records.get((piece_id, side.value))
+        if result is None:
+            raise ValueError(f'Pairing of piece id "{piece_id}" and side '
+                             f'"{side.side_name}" does not exist in this puzzle')
+        return result
 
     def add_wrong_puzzle_id(self, piece_id, side):
-        self._wrong_puzzle_id[self._key(piece_id, side)] = (piece_id, side)
+        self._record(piece_id, side,
+                     PieceSideNeighborAccuracyResult.different_puzzle_id)
 
     def add_correct_neighbor(self, piece_id, side):
-        self._correct_neighbors[self._key(piece_id, side)] = (piece_id, side)
+        self._record(piece_id, side,
+                     PieceSideNeighborAccuracyResult.correct_neighbor)
 
     def add_wrong_neighbor(self, piece_id, side):
-        self._wrong_neighbors[self._key(piece_id, side)] = (piece_id, side)
+        self._record(piece_id, side,
+                     PieceSideNeighborAccuracyResult.wrong_neighbor)
 
     @property
     def wrong_puzzle_id(self):
-        return len(self._wrong_puzzle_id)
+        return self._tally[PieceSideNeighborAccuracyResult.different_puzzle_id]
 
     @property
     def correct_neighbor_count(self):
-        return len(self._correct_neighbors)
+        return self._tally[PieceSideNeighborAccuracyResult.correct_neighbor]
 
     @property
     def wrong_neighbor_count(self):
-        return len(self._wrong_neighbors)
+        return self._tally[PieceSideNeighborAccuracyResult.wrong_neighbor]
 
     @property
     def original_puzzle_id(self):
@@ -486,34 +503,35 @@ class ModifiedNeighborAccuracy:
         return self._solved_puzzle_id
 
     @property
-    def total_numb_pieces_in_solved_puzzle(self):
-        return self.numb_pieces_from_original_puzzle_in_solved_puzzle + self.wrong_puzzle_id
-
-    @property
     def numb_pieces_in_original_puzzle(self):
         return self._actual_number_of_pieces
 
     @property
     def numb_pieces_from_original_puzzle_in_solved_puzzle(self):
-        return (self.correct_neighbor_count
-                + self.wrong_neighbor_count) / PuzzlePieceSide.get_numb_sides()
+        # sides are recorded per piece, so pieces = side records / 4
+        return ((self.correct_neighbor_count + self.wrong_neighbor_count)
+                / PuzzlePieceSide.get_numb_sides())
+
+    @property
+    def total_numb_pieces_in_solved_puzzle(self):
+        return (self.numb_pieces_from_original_puzzle_in_solved_puzzle
+                + self.wrong_puzzle_id)
 
     @property
     def weighted_accuracy(self):
-        accuracy = 1.0 * self.correct_neighbor_count / (self._actual_number_of_pieces
-                                                        + self.wrong_puzzle_id)
-        return accuracy / PuzzlePieceSide.get_numb_sides()
+        denom = ((self._actual_number_of_pieces + self.wrong_puzzle_id)
+                 * PuzzlePieceSide.get_numb_sides())
+        return self.correct_neighbor_count / denom
 
     @staticmethod
     def check_if_update_neighbor_accuracy(current_best, new):
+        """new wins on strictly higher weighted accuracy, or on more
+        correct sides at equal accuracy."""
         if current_best is None:
             return True
-        best_correct = current_best.correct_neighbor_count
-        best_accuracy = current_best.weighted_accuracy
-        new_correct = new.correct_neighbor_count
-        new_accuracy = new.weighted_accuracy
-        return (best_accuracy < new_accuracy
-                or (best_accuracy == new_accuracy and best_correct < new_correct))
+        if current_best.weighted_accuracy != new.weighted_accuracy:
+            return current_best.weighted_accuracy < new.weighted_accuracy
+        return current_best.correct_neighbor_count < new.correct_neighbor_count
 
 
 class BestBuddyAccuracy:
@@ -525,75 +543,70 @@ class BestBuddyAccuracy:
     EXCLUDED for pieces outside the scored region.
     """
 
-    _PERFORM_ASSERT_CHECK = True
+    # the 'excluded' class is bookkept but never counted toward accuracy
+    _EXCLUDED = "excluded"
 
     def __init__(self, puzzle_id):
         self.puzzle_id = puzzle_id
-        self._open_best_buddies = {}
-        self._wrong_best_buddies = {}
-        self._correct_best_buddies = {}
-        self._excluded_best_buddies = {}
+        self._records = {}
 
-    @staticmethod
-    def piece_side_tuple_key(piece_id, side):
-        return f"{piece_id}_{side.value}"
-
-    @staticmethod
-    def add_piece_side_tuple_to_dict(d, piece_id, side):
-        d[BestBuddyAccuracy.piece_side_tuple_key(piece_id, side)] = (piece_id, side)
-
-    @staticmethod
-    def check_if_piece_side_tuple_in_dict(d, piece_id, side):
-        return BestBuddyAccuracy.piece_side_tuple_key(piece_id, side) in d
+    def _set(self, piece_id, side, result):
+        self._records[(piece_id, side.value)] = result
 
     def add_excluded_best_buddy(self, piece_id, side):
-        self.add_piece_side_tuple_to_dict(self._excluded_best_buddies, piece_id, side)
+        self._set(piece_id, side, self._EXCLUDED)
 
     def add_open_best_buddy(self, piece_id, side):
-        self.add_piece_side_tuple_to_dict(self._open_best_buddies, piece_id, side)
+        self._set(piece_id, side,
+                  PieceSideBestBuddyAccuracyResult.open_best_buddy)
+
+    def add_wrong_best_buddy(self, piece_id, side):
+        self._set(piece_id, side,
+                  PieceSideBestBuddyAccuracyResult.wrong_best_buddy)
+
+    def add_correct_best_buddy(self, piece_id, side):
+        self._set(piece_id, side,
+                  PieceSideBestBuddyAccuracyResult.correct_best_buddy)
 
     def delete_open_best_buddy(self, piece_id, side):
         if self.exists_open_best_buddy(piece_id, side):
-            del self._open_best_buddies[self.piece_side_tuple_key(piece_id, side)]
+            del self._records[(piece_id, side.value)]
+
+    def _is(self, piece_id, side, result):
+        return self._records.get((piece_id, side.value)) is result
 
     def exists_open_best_buddy(self, piece_id, side):
-        return self.check_if_piece_side_tuple_in_dict(self._open_best_buddies,
-                                                      piece_id, side)
+        return self._is(piece_id, side,
+                        PieceSideBestBuddyAccuracyResult.open_best_buddy)
 
     def exists_wrong_best_buddy(self, piece_id, side):
-        return self.check_if_piece_side_tuple_in_dict(self._wrong_best_buddies,
-                                                      piece_id, side)
+        return self._is(piece_id, side,
+                        PieceSideBestBuddyAccuracyResult.wrong_best_buddy)
 
     def exists_correct_best_buddy(self, piece_id, side):
-        return self.check_if_piece_side_tuple_in_dict(self._correct_best_buddies,
-                                                      piece_id, side)
-
-    def add_wrong_best_buddy(self, piece_id, side):
-        self.add_piece_side_tuple_to_dict(self._wrong_best_buddies, piece_id, side)
-
-    def add_correct_best_buddy(self, piece_id, side):
-        self.add_piece_side_tuple_to_dict(self._correct_best_buddies, piece_id, side)
+        return self._is(piece_id, side,
+                        PieceSideBestBuddyAccuracyResult.correct_best_buddy)
 
     def get_piece_side_result(self, piece_id, side):
-        if self.exists_wrong_best_buddy(piece_id, side):
-            return PieceSideBestBuddyAccuracyResult.wrong_best_buddy
-        if self.exists_correct_best_buddy(piece_id, side):
-            return PieceSideBestBuddyAccuracyResult.correct_best_buddy
-        if self.exists_open_best_buddy(piece_id, side):
-            return PieceSideBestBuddyAccuracyResult.open_best_buddy
+        result = self._records.get((piece_id, side.value))
+        if isinstance(result, PieceSideBestBuddyAccuracyResult):
+            return result
         return PieceSideBestBuddyAccuracyResult.no_best_buddy
+
+    def _count(self, result):
+        return sum(1 for r in self._records.values() if r is result)
 
     @property
     def numb_open_best_buddies(self):
-        return len(self._open_best_buddies)
+        return self._count(PieceSideBestBuddyAccuracyResult.open_best_buddy)
 
     @property
     def numb_wrong_best_buddies(self):
-        return len(self._wrong_best_buddies)
+        return self._count(PieceSideBestBuddyAccuracyResult.wrong_best_buddy)
 
     @property
     def numb_correct_best_buddies(self):
-        return len(self._correct_best_buddies)
+        return self._count(PieceSideBestBuddyAccuracyResult.correct_best_buddy)
 
     @property
     def total_best_buddies(self):
@@ -659,41 +672,41 @@ class PuzzleResultsInformation:
         return self._original_img_filename
 
     def resolve_neighbor_accuracies(self, solved_puzzle: Puzzle):
-        """puzzle_importer.py:985-1058."""
-        placed_piece_matrix, rotation_matrix = solved_puzzle.build_placed_piece_info()
-        info = ModifiedNeighborAccuracy(self.original_id_number, solved_puzzle.id_number,
+        """Neighbor accuracy for one solved puzzle.
+
+        A (piece, side) is CORRECT when the board cell adjacent in the
+        piece's rotated frame holds exactly its ground-truth neighbor with
+        a matching rotation — or is empty/off-board for a ground-truth
+        border side. Off-board and empty lookups collapse into ONE padded
+        -1 ring around the placed/rotation matrices, so the per-side check
+        is a single indexed comparison (semantics of the reference's
+        bounds-checked walk, puzzle_importer.py:985-1058)."""
+        placed, rotations = solved_puzzle.build_placed_piece_info()
+        placed_pad = np.pad(placed, 1, constant_values=-1)
+        rot_pad = np.pad(rotations, 1, constant_values=-1)
+        info = ModifiedNeighborAccuracy(self.original_id_number,
+                                        solved_puzzle.id_number,
                                         self.numb_pieces)
 
         for piece in solved_puzzle.pieces:
-            original = piece.original_neighbor_id_numbers_and_sides
-            neighbor_location_and_sides = sorted(piece.get_neighbor_locations_and_sides(),
-                                                 key=lambda tup: tup[1].value)
-            assert len(neighbor_location_and_sides) == len(original)
-            for i in range(len(neighbor_location_and_sides)):
-                assert neighbor_location_and_sides[i][1] == original[i][1]
-
-            for side_numb in range(len(neighbor_location_and_sides)):
-                side = PuzzlePieceSide(side_numb)
-                if piece.original_puzzle_id != self.original_id_number:
+            if piece.original_puzzle_id != self.original_id_number:
+                for side in PuzzlePieceSide.get_all_sides():
                     info.add_wrong_puzzle_id(piece.id_number, side)
-                    continue
+                continue
 
-                neighbor_loc = neighbor_location_and_sides[side_numb][0]
-                if (neighbor_loc[0] < 0 or neighbor_loc[1] < 0
-                        or neighbor_loc[0] >= solved_puzzle.grid_size[0]
-                        or neighbor_loc[1] >= solved_puzzle.grid_size[1]):
-                    placed_piece_id = None
+            # adjacent board cell per UNROTATED side
+            cell_of = {s.value: loc
+                       for loc, s in piece.get_neighbor_locations_and_sides()}
+            for expected_id, side in piece.original_neighbor_id_numbers_and_sides:
+                r, c = cell_of[side.value]
+                found_id = int(placed_pad[r + 1, c + 1])
+                if expected_id is None:
+                    ok = found_id == -1
                 else:
-                    placed_piece_id = int(placed_piece_matrix[neighbor_loc])
-                    placed_piece_id = placed_piece_id if placed_piece_id >= 0 else None
-
-                if (placed_piece_id == original[side_numb][0]
-                        and (original[side_numb][0] is None
-                             or piece.rotation.value == rotation_matrix[
-                                 neighbor_location_and_sides[side_numb][0]])):
-                    info.add_correct_neighbor(piece.id_number, side)
-                else:
-                    info.add_wrong_neighbor(piece.id_number, side)
+                    ok = (found_id == expected_id
+                          and piece.rotation.value == rot_pad[r + 1, c + 1])
+                (info.add_correct_neighbor if ok
+                 else info.add_wrong_neighbor)(piece.id_number, side)
 
         if ModifiedNeighborAccuracy.check_if_update_neighbor_accuracy(
                 self.modified_neighbor_accuracy, info):
@@ -709,29 +722,25 @@ class PuzzleResultsInformation:
         self._resolve_modified_direct_accuracy(puzzle)
 
     def _resolve_modified_direct_accuracy(self, puzzle: Puzzle):
-        """BFS over candidate upper-left origins at minimum Manhattan
-        distance (puzzle_importer.py:1081-1137)."""
-        placed_piece_matrix, _ = puzzle.build_placed_piece_info()
-        frontier_set = [(0, 0)]
-        explored_set = []
-        found_dist = None
-        while found_dist is None or (frontier_set
-                                     and frontier_set[0][0] + frontier_set[0][1] <= found_dist):
-            next_loc = frontier_set.pop(0)
-            explored_set.append(next_loc)
-            if found_dist is None and placed_piece_matrix[next_loc] != -1:
-                found_dist = next_loc[0] + next_loc[1]
-            else:
-                down_loc = (next_loc[0] + 1, next_loc[1])
-                if (down_loc[0] < puzzle.grid_size[0] and down_loc not in explored_set
-                        and down_loc not in frontier_set):
-                    frontier_set.append(down_loc)
-                right_loc = (next_loc[0], next_loc[1] + 1)
-                if (right_loc[1] < puzzle.grid_size[1] and right_loc not in explored_set
-                        and right_loc not in frontier_set):
-                    frontier_set.append(right_loc)
+        """Modified direct accuracy: try every candidate upper-left origin.
 
-        for possible_upper_left in explored_set:
+        The candidate set is every grid location whose Manhattan distance
+        from (0, 0) is at most that of the NEAREST placed piece — computed
+        here in closed form with one mask (the reference enumerates the
+        identical set with an explicit down/right BFS from the corner,
+        puzzle_importer.py:1081-1137)."""
+        placed_piece_matrix, _ = puzzle.build_placed_piece_info()
+        rr, cc = np.nonzero(placed_piece_matrix != -1)
+        if rr.size == 0:
+            raise ValueError("modified direct accuracy needs at least one "
+                             "placed piece in the solved board")
+        nearest = int(np.min(rr + cc))
+        rows, cols = puzzle.grid_size
+        r_grid, c_grid = np.meshgrid(np.arange(rows), np.arange(cols),
+                                     indexing="ij")
+        candidates = [(int(r), int(c))
+                      for r, c in np.argwhere(r_grid + c_grid <= nearest)]
+        for possible_upper_left in candidates:
             modified = puzzle.determine_modified_direct_accuracy(
                 self.original_id_number, possible_upper_left, self.numb_pieces)
             if DirectAccuracyPuzzleResults.check_if_update_direct_accuracy(
@@ -740,32 +749,26 @@ class PuzzleResultsInformation:
 
 
 class PuzzleResultsCollection:
-    """puzzle_importer.py:731-843."""
+    """Accuracy aggregation over all solved boards, one results record per
+    ORIGINAL puzzle (puzzle_importer.py:731-843 — its nested existence
+    scan is a piece count per original id here)."""
 
     def __init__(self, puzzle_solver_type, puzzle_type, solved_puzzles, image_file_paths):
+        from collections import Counter
+
         self._puzzle_solver_type = puzzle_solver_type
         self._puzzle_type = puzzle_type
         self._image_filenames = image_file_paths
         self._numb_output_puzzles = len(solved_puzzles)
+
+        piece_counts = Counter(piece.original_puzzle_id
+                               for board in solved_puzzles for piece in board)
         self._puzzle_results: List[PuzzleResultsInformation] = []
-
-        for set_of_pieces in solved_puzzles:
-            for piece in set_of_pieces:
-                puzzle_exists = False
-                for result in self._puzzle_results:
-                    if piece.original_puzzle_id == result.original_id_number:
-                        puzzle_exists = True
-                        result.numb_pieces += 1
-                        continue
-                if not puzzle_exists:
-                    new_puzzle = PuzzleResultsInformation(
-                        piece.original_puzzle_id,
-                        image_file_paths[piece.original_puzzle_id])
-                    new_puzzle.numb_pieces = 1
-                    self._puzzle_results.append(new_puzzle)
-
-        self._puzzle_results = sorted(self._puzzle_results,
-                                      key=lambda r: r.original_id_number)
+        for original_id in sorted(piece_counts):
+            record = PuzzleResultsInformation(original_id,
+                                              image_file_paths[original_id])
+            record.numb_pieces = piece_counts[original_id]
+            self._puzzle_results.append(record)
 
     def calculate_accuracies(self, solved_puzzles, best_buddy_pairs=None):
         """``best_buddy_pairs``: optional per-puzzle lists of (piece_id,
@@ -788,36 +791,31 @@ class PuzzleResultsCollection:
         return self._puzzle_results
 
     def collect_results(self):
-        """-> ({Direct_Standard, Direct_Modified, neighbor}: [per-puzzle
-        fractions], perfect flags) (puzzle_importer.py:805-843)."""
-        result = {"neighbor": []}
+        """-> ({Direct_Standard, Direct_Modified, neighbor[, best_buddy]}:
+        [per-puzzle fractions], perfect flags). Fractions are weighted by
+        original piece count + pieces leaked in from other puzzles; a
+        puzzle is 'perfect' when its STANDARD direct accuracy is 1
+        (puzzle_importer.py:805-843)."""
+        result = {"neighbor": [], "Direct_Standard": [], "Direct_Modified": []}
         perfect_puzzles = []
-        for results in self._puzzle_results:
-            for accuracy_type in [ResultAccuracyMetric.StandardDirectAccuracy,
-                                  ResultAccuracyMetric.ModifiedDirectAccuracy]:
-                if accuracy_type == ResultAccuracyMetric.StandardDirectAccuracy:
-                    acc_name = "Direct_Standard"
-                    direct_acc = results.standard_direct_accuracy
-                else:
-                    acc_name = "Direct_Modified"
-                    direct_acc = results.modified_direct_accuracy
-                if acc_name not in result:
-                    result[acc_name] = []
-                numb_pieces = results.numb_pieces
-                piece_count_weight = direct_acc.numb_different_puzzle + numb_pieces
-                result[acc_name].append(direct_acc.numb_correct_placements / piece_count_weight)
-                if accuracy_type == ResultAccuracyMetric.StandardDirectAccuracy:
+        for res in self._puzzle_results:
+            for name, direct in (("Direct_Standard", res.standard_direct_accuracy),
+                                 ("Direct_Modified", res.modified_direct_accuracy)):
+                weight = res.numb_pieces + direct.numb_different_puzzle
+                result[name].append(direct.numb_correct_placements / weight)
+                if name == "Direct_Standard":
                     perfect_puzzles.append(
-                        direct_acc.numb_correct_placements == piece_count_weight)
+                        direct.numb_correct_placements == weight)
 
-            neighbor_acc = results.modified_neighbor_accuracy
-            weight = neighbor_acc.numb_pieces_in_original_puzzle + neighbor_acc.wrong_puzzle_id
-            weight *= PuzzlePieceSide.get_numb_sides()
-            result["neighbor"].append(neighbor_acc.correct_neighbor_count / weight)
+            neighbor = res.modified_neighbor_accuracy
+            sides = ((neighbor.numb_pieces_in_original_puzzle
+                      + neighbor.wrong_puzzle_id)
+                     * PuzzlePieceSide.get_numb_sides())
+            result["neighbor"].append(neighbor.correct_neighbor_count / sides)
 
-            if results.best_buddy_accuracy is not None:
+            if res.best_buddy_accuracy is not None:
                 result.setdefault("best_buddy", []).append(
-                    results.best_buddy_accuracy.accuracy)
+                    res.best_buddy_accuracy.accuracy)
         return result, perfect_puzzles
 
 
@@ -835,15 +833,14 @@ class PuzzleTester:
 
     @staticmethod
     def build_pixel_list(start_value, is_row, reverse_list=False):
-        if is_row:
-            pixel_offset = PuzzleTester.NUMB_PIXEL_DIMENSIONS
-        else:
-            pixel_offset = PuzzleTester.row_to_row_step_size()
-        pixels = np.zeros((PuzzleTester.PIECE_WIDTH, PuzzleTester.NUMB_PIXEL_DIMENSIONS))
-        for i in range(PuzzleTester.PIECE_WIDTH):
-            pixel_start = start_value + i * pixel_offset
-            for j in range(PuzzleTester.NUMB_PIXEL_DIMENSIONS):
-                pixels[i, j] = pixel_start + j
+        """Expected border strip: start_value + i*step + j, as one
+        broadcasted arange sum."""
+        step = (PuzzleTester.NUMB_PIXEL_DIMENSIONS if is_row
+                else PuzzleTester.row_to_row_step_size())
+        pixels = (start_value
+                  + step * np.arange(PuzzleTester.PIECE_WIDTH)[:, None]
+                  + np.arange(PuzzleTester.NUMB_PIXEL_DIMENSIONS)[None, :]
+                  ).astype(float)
         return pixels[::-1] if reverse_list else pixels
 
     @staticmethod
@@ -857,26 +854,22 @@ class PuzzleTester:
 
     @staticmethod
     def build_dummy_puzzle():
+        """3x3 puzzle over a sequentially-valued image: one arange reshaped
+        to HWC (value = first + (row*W + col)*C + channel)."""
         puzzle = Puzzle(0)
-        piece_width = PuzzleTester.PIECE_WIDTH
-        numb_pieces = PuzzleTester.NUMB_PUZZLE_PIECES
-        numb_dim = PuzzleTester.NUMB_PIXEL_DIMENSIONS
+        width = PuzzleTester.PIECE_WIDTH
+        grid = int(math.sqrt(PuzzleTester.NUMB_PUZZLE_PIECES))
+        side = width * grid
+        dims = PuzzleTester.NUMB_PIXEL_DIMENSIONS
 
-        grid = int(math.sqrt(numb_pieces))
-        dummy_img = np.zeros((piece_width * grid, piece_width * grid, numb_dim))
-        val = PuzzleTester.TEST_ARRAY_FIRST_PIXEL_VALUE
-        shape = dummy_img.shape
-        for row in range(shape[0]):
-            for col in range(shape[1]):
-                for dim in range(shape[2]):
-                    dummy_img[row, col, dim] = val
-                    val += 1
+        img = (PuzzleTester.TEST_ARRAY_FIRST_PIXEL_VALUE
+               + np.arange(side * side * dims, dtype=float)
+               ).reshape(side, side, dims)
 
-        puzzle._img = dummy_img
-        puzzle._img_LAB = dummy_img
-        puzzle._img_width = shape[1]
-        puzzle._img_height = shape[0]
-        puzzle._piece_width = piece_width
+        puzzle._img = img
+        puzzle._img_LAB = img
+        puzzle._img_height, puzzle._img_width = side, side
+        puzzle._piece_width = width
         puzzle._grid_size = (grid, grid)
         puzzle.make_pieces()
         return puzzle
