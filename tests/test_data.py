@@ -216,3 +216,89 @@ def test_hisfrag20_eval_loader_pools_but_train_does_not(tmp_path):
                          transform=lambda im: np.asarray(im, np.float32))
     assert DataLoader(ds_train, batch_size=2,
                       num_workers=2)._native_pool() is None
+
+
+def _div2k_fixture(tmp_path, image_size=8):
+    """One DIV2K val image whose 3x2 grid cells carry distinct constant
+    values, so every output crop identifies its source cell by value."""
+    import os
+
+    from PIL import Image
+
+    d = os.path.join(str(tmp_path), "DIV2K_valid_HR")
+    os.makedirs(d, exist_ok=True)
+    h, w = image_size * 2, image_size * 3
+    img = np.zeros((h, w, 3), np.uint8)
+    for r in range(2):
+        for c in range(3):
+            img[r * image_size:(r + 1) * image_size,
+                c * image_size:(c + 1) * image_size] = 10 + (r * 3 + c) * 20
+    Image.fromarray(img).save(os.path.join(d, "0000.png"))
+    return str(tmp_path)
+
+
+def test_div2k_label_branches_match_reference(tmp_path, monkeypatch):
+    """The 4-bin label pipeline maps each branch combination to EXACTLY the
+    reference's (label, first-crop, second-crop) outcomes
+    (/root/reference/data/datasets/div2k_patch.py:131-153; cells row-major
+    0..5, pairs start as first=c0, second=c1, third=c4, fourth=c3).
+
+    The reference branches on torch.rand; ours on random.random with the
+    same probabilities (0.3 negative, 0.5 per swap). TAKE=branch taken,
+    SKIP=not taken."""
+    import random as _random
+
+    from vit_ed_tpu.data.div2k import DIV2KPatch, Split
+
+    size = 8
+    root = _div2k_fixture(tmp_path, size)
+    ds = DIV2KPatch(root, Split.VAL, transform=None, image_size=size,
+                    erosion_ratio=0.07, with_negative=True)
+
+    TAKE, SKIP = 0.01, 0.99  # random.random() < p takes the branch
+    cell_value = lambda arr: int(round(float(np.mean(arr))))
+    cv = [10 + i * 20 for i in range(6)]
+
+    # (neg?, d2, d3) -> (label, first cell, second cell), transcribed from
+    # the reference's branch outcomes
+    cases = [
+        ((SKIP, SKIP, SKIP), ([1, 0, 0, 0], cv[0], cv[1])),  # right
+        ((SKIP, TAKE, SKIP), ([0, 1, 0, 0], cv[0], cv[3])),  # below
+        ((SKIP, SKIP, TAKE), ([0, 0, 1, 0], cv[1], cv[0])),  # left
+        ((SKIP, TAKE, TAKE), ([0, 0, 0, 1], cv[3], cv[0])),  # above
+        ((TAKE, TAKE, SKIP), ([0, 0, 0, 0], cv[0], cv[4])),  # neg: diag
+        ((TAKE, TAKE, TAKE), ([0, 0, 0, 0], cv[4], cv[0])),
+        ((TAKE, SKIP, SKIP), ([0, 0, 0, 0], cv[0], cv[2])),  # neg: 2 apart
+        ((TAKE, SKIP, TAKE), ([0, 0, 0, 0], cv[2], cv[0])),
+    ]
+    for draws, (want_label, want_first, want_second) in cases:
+        seq = iter(draws)
+        monkeypatch.setattr(_random, "random", lambda: next(seq))
+        stacked, label = ds[0]
+        assert label.tolist() == want_label, draws
+        assert cell_value(stacked[0]) == want_first, draws
+        assert cell_value(stacked[1]) == want_second, draws
+
+
+def test_div2k_label_probabilities(tmp_path):
+    """Empirical label distribution matches the reference's closed-form
+    probabilities: P(negative)=0.3, each direction 0.7/4=0.175
+    (div2k_patch.py:131-153)."""
+    import random as _random
+
+    from vit_ed_tpu.data.div2k import DIV2KPatch, Split
+
+    root = _div2k_fixture(tmp_path)
+    ds = DIV2KPatch(root, Split.VAL, transform=None, image_size=8,
+                    erosion_ratio=0.07, with_negative=True)
+    _random.seed(123)
+    n = 4000
+    counts = {}
+    for _ in range(n):
+        _, label = ds[0]
+        counts[tuple(label.tolist())] = counts.get(tuple(label.tolist()), 0) + 1
+    probs = {k: v / n for k, v in counts.items()}
+    assert abs(probs[(0.0, 0.0, 0.0, 0.0)] - 0.3) < 0.03
+    for direction in range(4):
+        key = tuple(1.0 if i == direction else 0.0 for i in range(4))
+        assert abs(probs[key] - 0.175) < 0.03, (direction, probs)

@@ -7,4 +7,11 @@ class_token=True, no_embed_class=False, no pre-norm, no patch dropout).
 Only used by the parity tests — NOT a runtime dependency.
 """
 
-from . import layers, models  # noqa: F401
+import sys as _sys
+
+from . import layers, models, scheduler  # noqa: F401
+
+# the reference's resnet.py imports `timm.models.layers`; models is a plain
+# module here, so register the alias explicitly
+models.layers = layers
+_sys.modules.setdefault(__name__ + ".models.layers", layers)
