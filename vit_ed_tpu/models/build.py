@@ -32,6 +32,16 @@ def build_model(config, mesh=None):
 
         act_sharding = NamedSharding(
             mesh, PartitionSpec("data", "model", None))
+    elif ((config.TPU.FSDP or config.TPU.TENSOR_PARALLEL)
+          and model_type == "pjs" and mesh is not None
+          and "data" in mesh.axis_names):
+        # ZeRO-3 / TP without sequence parallelism: activations stay
+        # batch-sharded (only params are split); the explicit anchor keeps
+        # the partitioner from involuntarily rematerializing the tiny
+        # CLS-row attention intermediates (dryrun fail-on-warning check)
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        act_sharding = NamedSharding(mesh, PartitionSpec("data", None, None))
 
     if model_type == "pjs":
         return ViTED(

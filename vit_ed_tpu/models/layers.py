@@ -174,6 +174,17 @@ class Attention(nn.Module):
     # the axis, K/V blocks ring-rotated (ops/ring_attention.py). Set via
     # ViTED.ring_attn for token counts beyond one chip.
     ring: Optional[Any] = None
+    # Megatron inner-region sharding under SP (+TP): a NamedSharding with
+    # spec (data, None, model) anchoring the projection outputs — tokens
+    # gathered, features head-sharded over the model axis — so GSPMD never
+    # has to guess between the token-sharded block boundary and the
+    # feature-sharded column-parallel kernels (ViTED._inner_sharding)
+    inner_sharding: Optional[Any] = None
+
+    def _anchor(self, t):
+        if self.inner_sharding is None:
+            return t
+        return jax.lax.with_sharding_constraint(t, self.inner_sharding)
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True, cls_only: bool = False):
@@ -182,8 +193,9 @@ class Attention(nn.Module):
         sequence. Used by the pair scan's last-decoder-block
         short-circuit (only the CLS row feeds the head)."""
         dense = nn.Dense
-        qkv = dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype,
-                    kernel_init=trunc_normal_init, name="qkv")(x)
+        qkv = self._anchor(
+            dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype,
+                  kernel_init=trunc_normal_init, name="qkv")(x))
         explicit = self.keep_attn or (self.attn_drop > 0.0 and not deterministic)
         if not explicit and self.ring is not None and not cls_only:
             q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -227,8 +239,10 @@ class Attention(nn.Module):
             if cls_only:
                 out = out[:, :1]
 
+        # anchoring the pre-proj output pins the backward cotangents too —
+        # without it GSPMD wavers on the transposed softmax/einsum ops
         out = dense(self.dim, dtype=self.dtype, kernel_init=trunc_normal_init,
-                    name="proj")(out)
+                    name="proj")(self._anchor(out))
         out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
         return out
 
@@ -253,6 +267,13 @@ class CrossAttention(nn.Module):
     dtype: Dtype = jnp.float32
     # sequence-parallel attention (Mesh, axis_name) — see Attention.ring
     ring: Optional[Any] = None
+    # Megatron inner-region anchor under SP(+TP) — see Attention.inner_sharding
+    inner_sharding: Optional[Any] = None
+
+    def _anchor(self, t):
+        if self.inner_sharding is None or t.shape[0] == 1:
+            return t  # shared-kv rows [1, Sk, 2C] can't shard a size-1 batch
+        return jax.lax.with_sharding_constraint(t, self.inner_sharding)
 
     def setup(self):
         dense = nn.Dense
@@ -273,11 +294,12 @@ class CrossAttention(nn.Module):
 
     def kv_for(self, context):
         """Fused K/V projection of the (already norm_context-ed) context."""
-        return self.kv_dense(context)
+        return self._anchor(self.kv_dense(context))
 
     def attend_kv(self, x, kv, deterministic: bool = True):
         """Attention from the decoder stream against a precomputed kv."""
-        q = self.q_dense(x)
+        q = self._anchor(self.q_dense(x))
+        kv = self._anchor(kv)
         explicit = self.keep_attn or (self.attn_drop > 0.0 and not deterministic)
         if not explicit and self.ring is not None:
             k, v = jnp.split(kv, 2, axis=-1)
@@ -305,7 +327,7 @@ class CrossAttention(nn.Module):
                 out = fused_attention_packed(q, k, v, self.num_heads,
                                              use_pallas=self.use_pallas)
 
-        out = self.proj(out)
+        out = self.proj(self._anchor(out))
         return self.proj_dropout(out, deterministic=deterministic)
 
     def attend_kv_shared(self, x, kv, deterministic: bool = True):
@@ -313,7 +335,7 @@ class CrossAttention(nn.Module):
         batch (the row-sharded O(N^2) scan chunk — parallel/pairs.py).
         Exactly attend_kv(x, broadcast_to(kv, [B, ...])) without
         materialising the broadcast on the kernel path."""
-        q = self.q_dense(x)
+        q = self._anchor(self.q_dense(x))
         explicit = self.keep_attn or (self.attn_drop > 0.0 and not deterministic)
         if not explicit and not self.qk_norm:
             out = fused_attention_packed_kv_shared(q, kv, self.num_heads,
@@ -333,7 +355,7 @@ class CrossAttention(nn.Module):
             else:
                 out = fused_attention_packed(q, k, v, self.num_heads,
                                              use_pallas=self.use_pallas)
-        out = self.proj(out)
+        out = self.proj(self._anchor(out))
         return self.proj_dropout(out, deterministic=deterministic)
 
     def __call__(self, x, context, deterministic: bool = True):
@@ -357,6 +379,8 @@ class Block(nn.Module):
     dtype: Dtype = jnp.float32
     fast_gelu: bool = False
     ring: Optional[Any] = None  # sequence-parallel attention, see Attention.ring
+    # Megatron inner-region anchor under SP(+TP) — see Attention.inner_sharding
+    inner_sharding: Optional[Any] = None
     # sparse MLP: > 0 swaps the dense Mlp for a Switch-routed expert bank
     # (models/moe.py); encoder-only in practice (ViTED.moe_* knobs)
     moe_experts: int = 0
@@ -370,6 +394,7 @@ class Block(nn.Module):
         y = Attention(self.dim, self.num_heads, self.qkv_bias, self.qk_norm,
                       self.attn_drop, self.proj_drop, self.keep_attn,
                       self.use_pallas, self.dtype, ring=self.ring,
+                      inner_sharding=self.inner_sharding,
                       name="attn")(y, deterministic)
         if self.init_values:
             y = LayerScale(self.dim, self.init_values, name="ls1")(y)
@@ -418,13 +443,16 @@ class CrossBlock(nn.Module):
     dtype: Dtype = jnp.float32
     fast_gelu: bool = False
     ring: Optional[Any] = None  # sequence-parallel attention, see Attention.ring
+    # Megatron inner-region anchor under SP(+TP) — see Attention.inner_sharding
+    inner_sharding: Optional[Any] = None
 
     def setup(self):
         self.norm1 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")
         self.attn = Attention(self.dim, self.num_heads, self.qkv_bias,
                               self.qk_norm, self.attn_drop, self.proj_drop,
                               self.keep_attn, self.use_pallas, self.dtype,
-                              ring=self.ring, name="attn")
+                              ring=self.ring,
+                              inner_sharding=self.inner_sharding, name="attn")
         self.norm_cross = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
                                        name="norm_cross")
         self.norm_context = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
@@ -434,6 +462,7 @@ class CrossBlock(nn.Module):
                                          self.attn_drop, self.proj_drop,
                                          self.keep_attn, self.use_pallas,
                                          self.dtype, ring=self.ring,
+                                         inner_sharding=self.inner_sharding,
                                          name="cross_attn")
         self.norm2 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")
         self.mlp = Mlp(int(self.dim * self.mlp_ratio), self.dim,

@@ -123,6 +123,22 @@ class ViTED(nn.Module):
                                  "and token axis come from its sharding)")
             ring = (self.act_sharding.mesh, self.act_sharding.spec[1])
 
+        # Megatron inner-region anchor: between the block-boundary
+        # token-sharded residual stream (act_sharding, spec [data, model,
+        # None]) and the column/row-parallel attention kernels, the q/kv/qkv
+        # projection outputs live tokens-GATHERED and features-HEAD-SHARDED
+        # over the model axis — P(data, None, model). Anchoring them stops
+        # GSPMD from involuntarily rematerialising the dot-generals when it
+        # can't pick between the two layouts (MULTICHIP_r03 composed-phase
+        # warnings). Ring attention instead keeps tokens sharded through
+        # attention itself, so the anchor is off under ring_attn.
+        inner = None
+        if self.act_sharding is not None and not self.ring_attn:
+            inner = jax.sharding.NamedSharding(
+                self.act_sharding.mesh,
+                jax.sharding.PartitionSpec(self.act_sharding.spec[0], None,
+                                           self.act_sharding.spec[1]))
+
         def _moe(i):
             if self.moe_experts <= 0:
                 return 0
@@ -133,6 +149,7 @@ class ViTED(nn.Module):
                       self.qk_norm, self.proj_drop_rate, self.attn_drop_rate,
                       self.init_values, float(dpr[i]), self.keep_attn,
                       self.use_pallas, self.dtype, self.fast_gelu, ring=ring,
+                      inner_sharding=inner,
                       moe_experts=_moe(i), moe_capacity=self.moe_capacity,
                       moe_route_k=self.moe_route_k,
                       moe_jitter=self.moe_jitter,
@@ -144,6 +161,7 @@ class ViTED(nn.Module):
                       self.qk_norm, self.proj_drop_rate, self.attn_drop_rate,
                       self.init_values, float(dpr_cross[i]), self.keep_attn,
                       self.use_pallas, self.dtype, self.fast_gelu, ring=ring,
+                      inner_sharding=inner,
                       name=f"cross_blocks_{i}")
             for i in range(self.c_depth)
         ]
@@ -160,6 +178,24 @@ class ViTED(nn.Module):
             return x
         return jax.lax.with_sharding_constraint(x, self.act_sharding)
 
+    def _embed(self, x):
+        """Patch-embed with the conv region pinned under SP: the image is
+        batch-sharded over the data axis and the token output is GATHERED
+        along the model axis — the tokens-sharded transition happens at
+        the explicit block-boundary anchor (a cheap slice) instead of
+        inside the conv, where GSPMD otherwise wavers between batch- and
+        spatial-partitioning it (involuntary-remat warnings in the
+        composed-hybrid program, MULTICHIP_r03)."""
+        if self.act_sharding is None:
+            return self.patch_embed(x)
+        mesh, data = self.act_sharding.mesh, self.act_sharding.spec[0]
+        P = jax.sharding.PartitionSpec
+        x = jax.lax.with_sharding_constraint(
+            x, jax.sharding.NamedSharding(mesh, P(data, None, None, None)))
+        t = self.patch_embed(x)
+        return jax.lax.with_sharding_constraint(
+            t, jax.sharding.NamedSharding(mesh, P(data, None, None)))
+
     # ---------------------------------------------------------------- stream 1
     def _pos_embed_no_cls(self, x, deterministic):
         x = x + self.pos_embed[:, 1:].astype(x.dtype)
@@ -168,7 +204,7 @@ class ViTED(nn.Module):
     def encode(self, x1, train: bool = False):
         """Encoder over image 1 without CLS (forward_first_part, L382-388)."""
         det = not train
-        x1 = self.patch_embed(x1)
+        x1 = self._embed(x1)
         x1 = self._pos_embed_no_cls(x1, det)
         x1 = self._constrain(x1)
         for blk in self.blocks:
@@ -179,7 +215,7 @@ class ViTED(nn.Module):
     def prepare_x2(self, x2, train: bool = False):
         """Patch-embed image 2 WITH CLS + full pos table (prepare_x2, L390-395)."""
         det = not train
-        x2 = self.patch_embed(x2)
+        x2 = self._embed(x2)
         cls = jnp.broadcast_to(self.cls_token.astype(x2.dtype),
                                (x2.shape[0], 1, x2.shape[-1]))
         x2 = jnp.concatenate([cls, x2], axis=1)
