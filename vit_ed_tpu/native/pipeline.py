@@ -70,6 +70,10 @@ def _load():
         lib.vt_color_jitter.restype = None
         lib.vt_color_jitter.argtypes = [_u8, ctypes.c_int64, _i32, _f32,
                                         ctypes.c_int]
+        lib.vt_warp_affine_u8.restype = None
+        lib.vt_warp_affine_u8.argtypes = [_u8] + [ctypes.c_int] * 3 + \
+            [np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"), _u8,
+             ctypes.c_int, _u8]
         lib.vt_jpeg_dims.restype = ctypes.c_int
         lib.vt_jpeg_dims.argtypes = [_u8, ctypes.c_int64, _i32]
         lib.vt_jpeg_decode.restype = ctypes.c_int
@@ -180,6 +184,27 @@ def color_jitter(img, ops) -> np.ndarray:
     f_arr = np.asarray([f for _, f in ops], np.float32)
     lib.vt_color_jitter(arr.reshape(-1), h * w, op_arr, f_arr, len(ops))
     return arr
+
+
+def warp_affine(img, m, border_value=None) -> np.ndarray:
+    """Affine warp with the forward 2x3 matrix ``m`` — cv2.warpAffine
+    INTER_LINEAR bit-exact (tests/test_native_pipeline.py). ``border_value``
+    None means BORDER_REFLECT_101; a scalar/tuple means BORDER_CONSTANT."""
+    lib = _load()
+    arr = _as_u8(img)
+    h, w, c = arr.shape
+    m = np.ascontiguousarray(np.asarray(m, np.float64).reshape(6))
+    out = np.empty_like(arr)
+    if border_value is None:
+        border = np.zeros(c, np.uint8)
+        mode = 0
+    else:
+        v = np.asarray(border_value, np.float64).reshape(-1)
+        border = np.ascontiguousarray(
+            np.clip(np.rint(np.broadcast_to(v, (c,))), 0, 255).astype(np.uint8))
+        mode = 1
+    lib.vt_warp_affine_u8(arr, h, w, c, m, out, mode, border)
+    return out
 
 
 def decode_jpeg(data: bytes) -> Optional[np.ndarray]:
