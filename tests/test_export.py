@@ -242,4 +242,19 @@ def test_export_cli(tmp_path):
     assert (out / "serving_meta.json").exists()
     scorer = load_scorer(str(out))
     assert set(scorer.stages()) == set(
-        ("pair", "encode", "prepare", "kv", "score_row"))
+        ("pair", "pair_u8", "encode", "prepare", "kv", "score_row"))
+
+
+def test_pair_u8_stage_bit_identical_to_host_normalize(tmp_path, tiny):
+    """The u8-wire stage normalizes on device: scores match the f32
+    'pair' stage fed the host-normalized image to float32 rounding (XLA
+    lowers the /255 as *(1/255), a last-ulp difference in the inputs)."""
+    model, params = tiny
+    export_scorer(model, params, str(tmp_path), stages=("pair", "pair_u8"))
+    scorer = load_scorer(str(tmp_path))
+    rng = np.random.default_rng(0)
+    x_u8 = rng.integers(0, 256, (3, 2, 32, 32, 3), np.uint8)
+    x_f32 = (x_u8.astype(np.float32) / 255.0 - 0.5) / 0.5
+    np.testing.assert_allclose(
+        np.asarray(scorer("pair_u8", x_u8)),
+        np.asarray(scorer("pair", x_f32)), rtol=1e-4, atol=1e-5)

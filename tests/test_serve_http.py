@@ -47,8 +47,8 @@ def test_health_meta_stats(served):
     assert client.health() == {"ok": True}
     meta = client.meta()
     assert meta["batch_mode"] == "symbolic"
-    assert set(meta["stages"]) == {"pair", "encode", "prepare", "kv",
-                                   "score_row"}
+    assert set(meta["stages"]) == {"pair", "pair_u8", "encode", "prepare",
+                                   "kv", "score_row"}
     stats = client.stats()
     assert "pair" in stats["batched"]
 

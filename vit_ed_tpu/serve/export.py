@@ -27,6 +27,8 @@ tier can amortise exactly like ``parallel/pairs.py`` does:
     prepare    f(params, x2 [b,H,W,3])               -> tokens [b,Sq,C]
     kv         f(params, feats [b,Sk,C])             -> kv [L,b,Sk,2C]
     score_row  f(params, kv [L,1,Sk,2C], t [b,Sq,C]) -> [b, classes]
+    pair_u8    f(params, x [b,2,H,W,3] uint8) -> [b, classes]  (on-device
+               normalize; matches ``pair`` to f32 rounding, 4x less wire)
 
 ``pair`` is the reference's full pair forward
 (vision_transformer.py:407-420); encode/prepare/kv/score_row compose to
@@ -45,7 +47,7 @@ import numpy as np
 
 FORMAT_VERSION = 1
 
-STAGES = ("pair", "encode", "prepare", "kv", "score_row")
+STAGES = ("pair", "pair_u8", "encode", "prepare", "kv", "score_row")
 
 
 def stage_fns(model) -> Dict[str, Any]:
@@ -60,6 +62,16 @@ def stage_fns(model) -> Dict[str, Any]:
             {"params": p}, f, method=model.context_kv_cache),
         "score_row": lambda p, kv, t: model.apply(
             {"params": p}, kv, t, method=model.score_tokens_row),
+        # u8-wire pair scoring: raw [b, 2, H, W, 3] uint8 pixels in, the
+        # (x/255 - 0.5) / 0.5 normalize runs ON DEVICE in f32 — scores
+        # match "pair" on the host-normalized image to float32 rounding
+        # (XLA folds /255 into *(1/255); tests/test_export.py) while the
+        # wire + host->device transfer carries 4x fewer bytes (the
+        # measured bottleneck of the tunneled-v5e HTTP host,
+        # docs/PERFORMANCE.md serving table)
+        "pair_u8": lambda p, x: model.apply(
+            {"params": p},
+            (x.astype(jnp.float32) / 255.0 - 0.5) / 0.5),
     }
 
 
@@ -77,8 +89,10 @@ def _stage_specs(model, params, dtype=jnp.float32):
     tokens = jax.eval_shape(fns["prepare"], p_struct, x_one)
     kv = jax.eval_shape(fns["kv"], p_struct, feats)
     kv_row = jax.ShapeDtypeStruct((kv.shape[0], 1) + kv.shape[2:], kv.dtype)
+    x_pair_u8 = jax.ShapeDtypeStruct((1, 2, img, img, 3), jnp.uint8)
     return p_struct, {
         "pair": ((x_pair,), (0,)),
+        "pair_u8": ((x_pair_u8,), (0,)),
         "encode": ((x_one,), (0,)),
         "prepare": ((x_one,), (0,)),
         "kv": ((feats,), (0,)),
@@ -270,6 +284,14 @@ class ExportedScorer:
                 with open(os.path.join(out_dir, e["file"]), "rb") as f:
                     loaded.append(jexport.deserialize(bytearray(f.read())))
             self._exported[stage] = loaded
+        # Exported.call re-traces and re-lowers on every EAGER invocation
+        # (it is designed to compose under an enclosing jit); one jit
+        # wrapper per artifact makes repeat calls hit the C++ dispatch
+        # cache — on a real TPU the difference is a multi-second lowering
+        # per request vs microseconds (docs/PERFORMANCE.md serving table)
+        self._jitted: Dict[str, list] = {
+            stage: [jax.jit(e.call) for e in loaded2]
+            for stage, loaded2 in self._exported.items()}
 
         self._rep = self._data_sh = None
         if "mesh" in self.meta:
@@ -294,23 +316,41 @@ class ExportedScorer:
                     axname if i == axis else None for i in range(ndim)]))
             self.params = jax.tree.map(
                 lambda a: jax.device_put(a, self._rep), self.params)
+        else:
+            # pin the restored (host-numpy) params on device ONCE — left
+            # as numpy every call re-uploads ~the full parameter set,
+            # which on a tunneled TPU costs more than the compute
+            self.params = jax.device_put(self.params)
 
     def stages(self):
         return sorted(self._exported)
 
     def servable_batch(self, b: int) -> int:
-        """Smallest batch this bundle can serve for a ``b``-row request:
-        any multiple of the mesh data axis (symbolic; ``b`` itself
-        single-chip), or the smallest bucket >= ``b``. The caller owns
-        padding up and truncating back — the same fixed-shape policy as
-        ``parallel/pairs.py``'s pair chunks."""
+        """Batch to actually send to the device for a ``b``-row request:
+        the next power of two (x the mesh data axis for sharded bundles),
+        or the smallest explicit bucket >= ``b``. The caller owns padding
+        up and truncating back — the same fixed-shape policy as
+        ``parallel/pairs.py``'s pair chunks.
+
+        Symbolic bundles CAN run any concrete batch, but every distinct
+        size lowers a fresh XLA executable — on a real TPU that is a
+        multi-second compile per size, which an un-bucketed dynamic
+        batcher hits on almost every coalesced group (measured at 1.5
+        pairs/s un-bucketed on the v5e HTTP host,
+        scripts/bench_serve_http.py + docs/PERFORMANCE.md serving table).
+        Power-of-two buckets bound the executable count to
+        log2(max_batch) while wasting < 2x rows."""
         mode = self.meta["batch_mode"]
         if mode == "symbolic":
             ndev = 1
             if "mesh" in self.meta:
                 m = self.meta["mesh"]
                 ndev = m["shape"][m["axis_names"].index(m["data_axis"])]
-            return -(-b // ndev) * ndev
+            units = -(-b // ndev)
+            p = 1
+            while p < units:
+                p *= 2
+            return p * ndev
         for n in mode:
             if n >= b:
                 return n
@@ -327,15 +367,15 @@ class ExportedScorer:
 
     def __call__(self, stage: str, *arrays):
         arrays = self._place(stage, arrays)
-        exps = self._exported[stage]
+        exps = self._jitted[stage]
         if self.meta["batch_mode"] == "symbolic":
-            return exps[0].call(self.params, *arrays)
+            return exps[0](self.params, *arrays)
         # bucketed: dispatch on the batch axis of the last input (the
         # batched stream input for every stage)
         b = int(np.shape(arrays[-1])[0])
         for e, n in zip(exps, self.meta["batch_mode"]):
             if n == b:
-                return e.call(self.params, *arrays)
+                return e(self.params, *arrays)
         raise ValueError(
             f"no {stage} artifact for batch {b}; buckets: "
             f"{self.meta['batch_mode']} (pad to a bucket, or export "

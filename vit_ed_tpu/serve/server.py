@@ -193,7 +193,7 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_POST(self):  # noqa: N802
         srv = self.server.bundle  # type: ignore[attr-defined]
-        m = re.fullmatch(r"/v1/(?:score|stage/([a-z_]+))", self.path)
+        m = re.fullmatch(r"/v1/(?:score|stage/([a-z0-9_]+))", self.path)
         if not m:
             return self._json(404, {"error": f"no such endpoint: {self.path}"})
         stage = m.group(1) or "pair"
