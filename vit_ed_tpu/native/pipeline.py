@@ -46,11 +46,16 @@ def _load():
             return None
         from vit_ed_tpu.native import build_and_load
 
-        lib = build_and_load(_SRC, _LIB_PATH, extra_flags=("-pthread", "-ffp-contract=off", "-ljpeg"))
+        lib = build_and_load(_SRC, _LIB_PATH, extra_flags=("-pthread", "-ffp-contract=off",
+                                      "-march=native",
+                                      "-fno-math-errno", "-ljpeg"))
         if lib is None:
             # no system libjpeg: rebuild with the decoder compiled out
             lib = build_and_load(_SRC, _LIB_PATH,
-                                 extra_flags=("-pthread", "-ffp-contract=off", "-DVT_NO_JPEG"))
+                                 extra_flags=("-pthread", "-ffp-contract=off",
+                                      "-march=native",
+                                      "-fno-math-errno",
+                                      "-DVT_NO_JPEG"))
         if lib is None:
             _build_failed = True
             return None
