@@ -63,6 +63,11 @@ class HisfragTrainer(Trainer):
     # ----------------------------------------------------------- transforms
     def get_transforms(self):
         patch_size = self.config.DATA.IMG_SIZE
+        # u8 wire (TPU.DEVICE_NORMALIZE): ship raw pixels, normalize on
+        # device — 4x less host->device transfer per batch (the measured
+        # dominator of the tunneled single-chip train step,
+        # docs/PERFORMANCE.md "u8 device wire")
+        dev_norm = self.config.TPU.DEVICE_NORMALIZE
 
         def train_transform(img):
             img = T.random_affine(img, degrees=5, translate=(0.1, 0.1), fill=0)
@@ -71,10 +76,12 @@ class HisfragTrainer(Trainer):
             img = T.random_crop(img, patch_size, pad_if_needed=True)
             img = T.color_jitter(img, 0.3, 0.3, 0.3, 0.3, p=0.5)
             img = T.GaussianBlur(p=0.5, radius_min=1.0, radius_max=2.0)(img)
+            if dev_norm:
+                return np.asarray(img, np.uint8)
             return T.normalize_image(img)
 
         # center_crop + normalize with the fused native fast path
-        eval_transform = T.OneImgEval(patch_size, crop=True)
+        eval_transform = T.OneImgEval(patch_size, crop=True, emit_u8=dev_norm)
 
         return {"train": train_transform, "val": eval_transform,
                 "test": eval_transform}
@@ -147,7 +154,10 @@ class HisfragTrainer(Trainer):
         pair_targets = np.concatenate([pair_targets, np.zeros(pad, np.float32)])
 
         return {
-            "samples": samples.astype(np.float32),
+            # uint8 stays uint8 — the u8 device wire (TPU.DEVICE_NORMALIZE)
+            # normalizes on device; anything else goes f32 as before
+            "samples": (samples if samples.dtype == np.uint8
+                        else samples.astype(np.float32)),
             "gi": groups[:, 0].astype(np.int32),   # decoder-input image index
             "gj": groups[:, 1].astype(np.int32),   # encoder-context index
             "pair_targets": pair_targets[:, None],

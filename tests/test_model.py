@@ -164,3 +164,52 @@ def test_scan_methods_equal_plain_path():
                                   method=model.score_tokens_scan)
             np.testing.assert_array_equal(np.asarray(ref_row),
                                           np.asarray(out_row)), (remat, row)
+
+
+def test_u8_device_normalize_matches_host_normalize():
+    """TPU.DEVICE_NORMALIZE contract: a uint8 image through the model
+    equals the host-normalized f32 image — ViTED._embed normalizes on
+    device with the canonical (x/255 - 0.5)/0.5 (and ViT likewise)."""
+    import numpy as np
+
+    from vit_ed_tpu.models.vit import ViT
+    from vit_ed_tpu.models.vit_ed import ViTED
+
+    rng = np.random.default_rng(3)
+    xu8 = rng.integers(0, 256, (2, 2, 32, 32, 3), np.uint8)
+    xf = (xu8.astype(np.float32) / 255.0 - 0.5) / 0.5
+
+    m = ViTED(img_size=32, patch_size=16, num_classes=4, embed_dim=32,
+              depth=1, c_depth=1, num_heads=2, use_pallas=False)
+    p = m.init(jax.random.PRNGKey(0), jnp.asarray(xf))["params"]
+    np.testing.assert_allclose(
+        np.asarray(m.apply({"params": p}, jnp.asarray(xu8))),
+        np.asarray(m.apply({"params": p}, jnp.asarray(xf))),
+        rtol=1e-5, atol=1e-6)
+
+    v = ViT(img_size=32, patch_size=16, num_classes=4, embed_dim=32,
+            depth=1, num_heads=2, use_pallas=False)
+    pv = v.init(jax.random.PRNGKey(0), jnp.asarray(xf[:, 0]))["params"]
+    np.testing.assert_allclose(
+        np.asarray(v.apply({"params": pv}, jnp.asarray(xu8[:, 0]))),
+        np.asarray(v.apply({"params": pv}, jnp.asarray(xf[:, 0]))),
+        rtol=1e-5, atol=1e-6)
+
+
+def test_one_img_eval_emit_u8():
+    """OneImgEval(emit_u8=True) returns the cropped uint8 array whose
+    device-normalized value equals the f32 transform's output."""
+    import numpy as np
+    from PIL import Image
+
+    from vit_ed_tpu.data.transforms import OneImgEval
+
+    rng = np.random.default_rng(5)
+    img = Image.fromarray(rng.integers(0, 256, (80, 70, 3), np.uint8))
+    f32 = OneImgEval(64, crop=True)(img)
+    u8 = OneImgEval(64, crop=True, emit_u8=True)(img)
+    assert u8.dtype == np.uint8 and u8.shape == (64, 64, 3)
+    np.testing.assert_allclose(
+        (u8.astype(np.float32) / 255.0 - 0.5) / 0.5, f32, atol=1e-6)
+    # the pooled f32 prep is bypassed on the u8 wire
+    assert OneImgEval(64, crop=True, emit_u8=True).pool_crop((80, 70)) is None

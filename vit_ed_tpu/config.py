@@ -371,6 +371,14 @@ def default_config() -> ConfigNode:
                                    # with TENSOR_PARALLEL and FSDP
                                    # (parallel/compose.py)
     c.TPU.MESH_AXES = []
+    c.TPU.DEVICE_NORMALIZE = False  # transforms emit uint8 and the model
+                                    # normalizes on device ((x/255-.5)/.5,
+                                    # the canonical mean/std): 4x less
+                                    # host->device transfer per batch.
+                                    # Honored by the hisfrag/michigan-
+                                    # style image trainers (pjs + vit
+                                    # models); matches the host normalize
+                                    # to f32 rounding
 
     return c
 

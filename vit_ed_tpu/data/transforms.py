@@ -487,15 +487,24 @@ class TwoImgSyncEval:
 
 
 class OneImgEval:
-    """Resize + normalize a single image (ToTensor pipeline)."""
+    """Resize + normalize a single image (ToTensor pipeline).
 
-    def __init__(self, image_size, crop=False):
+    ``emit_u8`` (TPU.DEVICE_NORMALIZE) skips the host normalize and
+    returns the cropped/resized uint8 array — the model normalizes on
+    device ((x/255-.5)/.5, ViTED._embed), so the batch ships 4x fewer
+    bytes to the chip."""
+
+    def __init__(self, image_size, crop=False, emit_u8=False):
         self.image_size = image_size
         self.crop = crop
+        self.emit_u8 = emit_u8
 
     def pool_crop(self, shape_hw):
         """(crop_rect, out_size) for the native batch-prep pool, or None
-        when this image needs the Python fallback (padding case)."""
+        when this image needs the Python fallback (padding case, or the
+        u8 wire — the pool's fused prep emits normalized f32)."""
+        if self.emit_u8:
+            return None
         h, w = shape_hw
         if self.crop:
             th, tw = ((self.image_size, self.image_size)
@@ -515,6 +524,9 @@ class OneImgEval:
             if pc is not None:
                 return _npipe.prep(img, pc[1], crop=pc[0])
         img = center_crop(img, self.image_size) if self.crop else resize(img, self.image_size)
+        if self.emit_u8:
+            arr = np.asarray(img, np.uint8)
+            return arr[:, :, None] if arr.ndim == 2 else arr
         return normalize(to_tensor(img))
 
 

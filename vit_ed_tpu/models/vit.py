@@ -67,6 +67,10 @@ class ViT(nn.Module):
 
     def forward_features(self, x, train: bool = False):
         det = not train
+        if x.dtype == jnp.uint8:
+            # on-device canonical normalize (see ViTED._embed): u8 wire,
+            # 4x less host->device transfer (TPU.DEVICE_NORMALIZE)
+            x = (x.astype(jnp.float32) / 255.0 - 0.5) / 0.5
         x = self.patch_embed(x)
         cls = jnp.broadcast_to(self.cls_token.astype(x.dtype),
                                (x.shape[0], 1, x.shape[-1]))

@@ -185,7 +185,15 @@ class ViTED(nn.Module):
         the explicit block-boundary anchor (a cheap slice) instead of
         inside the conv, where GSPMD otherwise wavers between batch- and
         spatial-partitioning it (involuntary-remat warnings in the
-        composed-hybrid program, MULTICHIP_r03)."""
+        composed-hybrid program, MULTICHIP_r03).
+
+        uint8 images normalize ON DEVICE with the framework's canonical
+        (x/255 - 0.5) / 0.5 (every transform's mean/std): the host then
+        ships 4x fewer bytes per batch — the measured dominator of the
+        tunneled-v5e train step (TPU.DEVICE_NORMALIZE; matches the host
+        normalize to f32 rounding, XLA folds /255 into *(1/255))."""
+        if x.dtype == jnp.uint8:
+            x = (x.astype(jnp.float32) / 255.0 - 0.5) / 0.5
         if self.act_sharding is None:
             return self.patch_embed(x)
         mesh, data = self.act_sharding.mesh, self.act_sharding.spec[0]
