@@ -43,10 +43,12 @@ def _fused_kernel(x_ref, wq_ref, bq_ref, k_ref, v_ref, o_ref, *,
     x = x_ref[0]                       # [block_q, C]
     wq = wq_ref[...]                   # [C, 128]  (head-pair columns)
     bq = bq_ref[...]                   # [1, 128]
+    # EXACT flax-Dense rounding: f32-accum dot -> bf16, then bf16 bias
+    # add (so the fused path can be bit-compared with the XLA chain)
     q = jax.lax.dot_general(
         x, wq, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) + bq.astype(jnp.float32)
-    qs = (q * (scale * _LOG2E)).astype(x.dtype)
+        preferred_element_type=jnp.float32).astype(x.dtype) + bq
+    qs = (q.astype(jnp.float32) * (scale * _LOG2E)).astype(x.dtype)
 
     k = k_ref[0]                       # [sk_pad, 128]
     v = v_ref[0]
@@ -125,10 +127,11 @@ def main():
     kv = jnp.asarray(rng.normal(size=(1, sk, 2 * c)) * 0.2, jnp.bfloat16)
 
     def xla_chain(x, wq, bq, kv):
-        q = (jax.lax.dot_general(
+        # flax Dense semantics at dtype bf16: f32-accum dot rounded to
+        # bf16, bias added in bf16
+        q = jax.lax.dot_general(
             x, wq, (((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-            + bq.astype(jnp.float32)).astype(x.dtype)
+            preferred_element_type=jnp.float32).astype(x.dtype) + bq
         return fused_attention_packed_kv_shared(q, kv, heads, scale=scale)
 
     def fused(x, wq, bq, kv):
@@ -136,10 +139,10 @@ def main():
 
     a = np.asarray(jax.jit(xla_chain)(x, wq, bq, kv), np.float32)
     f = np.asarray(jax.jit(fused)(x, wq, bq, kv), np.float32)
+    neq = int(np.sum(a != f))
     err = np.max(np.abs(a - f) / (np.abs(a) + 1e-3))
-    print(f"max rel deviation fused vs chain: {err:.2e} "
-          "(bf16 q rounding differs: XLA casts q to bf16, the kernel "
-          "keeps f32 until the scale)", flush=True)
+    print(f"fused vs chain: neq {neq}/{a.size}, max rel dev {err:.2e}",
+          flush=True)
 
     t_chain = _timed_scan(xla_chain, (x, wq, bq, kv), args.iters)
     t_fused = _timed_scan(fused, (x, wq, bq, kv), args.iters)
