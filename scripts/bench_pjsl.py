@@ -40,6 +40,9 @@ def main():
     ap.add_argument("--train-batch", type=int, default=2)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--train-only", action="store_true")
+    ap.add_argument("--serving", action="store_true",
+                    help="also export a pjs-L score_row bundle and time "
+                         "its replay vs the live jitted call")
     args = ap.parse_args()
 
     from vit_ed_tpu.models.vit_ed import ViTED
@@ -83,6 +86,30 @@ def main():
               f"{rate * GF_PER_PAIR / 1000:.1f} TF/s, "
               f"{rate * GF_PER_PAIR / 1000 / PEAK_TF * 100:.1f}% MFU)",
               flush=True)
+
+    if args.serving:
+        # pjs-L serving bundle: export score_row via jax.export and replay
+        # it through the jit-cached scorer (the production serving path)
+        import tempfile
+
+        from vit_ed_tpu.serve import export_scorer, load_scorer
+
+        out = tempfile.mkdtemp(prefix="pjsl_bundle_")
+        t0 = time.time()
+        export_scorer(model, params, out, stages=("score_row",))
+        print(f"pjs-L score_row bundle export: {time.time() - t0:.0f}s",
+              flush=True)
+        scorer = load_scorer(out)
+        toks_b = jnp.take(tokens, pj, axis=0)
+        # time through the artifact's own jitted call with the params as
+        # an ARGUMENT — closing over them would bake 2.8 GB of constants
+        # into the timing jit (breaks the remote-compile transport)
+        call = scorer._jitted["score_row"][0]
+        sec_b = _timed_scan(lambda t, kv, p: call(p, kv, t),
+                            (toks_b, kv_row, scorer.params), args.iters)
+        print(f"pjs-L bundle score_row: {args.batch / sec_b:.1f} pairs/s "
+              f"(live schedule above for the ratio)", flush=True)
+        return  # the bundle's second param copy + train state would OOM
 
     # train step with remat (the single-chip memory recipe at this scale):
     # 707M params -> 8.5 GB of f32 param+AdamW state on a 16 GB chip, so
