@@ -57,6 +57,9 @@ class MichiganTrainer(HisfragTrainer):
     def get_transforms(self):
         """michigan.py:68-101 augmentation stack, natively."""
         img_size = self.config.DATA.IMG_SIZE
+        # u8 wire (TPU.DEVICE_NORMALIZE): ship raw pixels, normalize on
+        # device — same contract as HisfragTrainer.get_transforms
+        dev_norm = self.config.TPU.DEVICE_NORMALIZE
 
         def train_transform(img):
             img = T.random_crop(img, img_size, pad_if_needed=True, fill=255)
@@ -80,12 +83,14 @@ class MichiganTrainer(HisfragTrainer):
             img = T.GaussianBlur(p=0.5, radius_max=1)(img)
             if _r.random() < 0.2:
                 img = img.convert("L").convert("RGB")
+            if dev_norm:
+                return np.asarray(img, np.uint8)
             return T.normalize_image(img)
 
         # center-crop -> 1.15x zoom resize -> center-crop -> normalize;
         # carries the pooled-batch protocol so the O(N^2) scan and eval
         # loaders prepare whole batches in the native C++ pool
-        val_transform = T.OneImgEvalZoom(img_size)
+        val_transform = T.OneImgEvalZoom(img_size, emit_u8=dev_norm)
 
         return {"train": train_transform, "validation": val_transform,
                 "val": val_transform, "test": val_transform}

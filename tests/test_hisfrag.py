@@ -198,3 +198,48 @@ def test_raw_image_respects_lower_bound(hisfrag_env):
         assert int(idx) == i + 2
         np.testing.assert_array_equal(ds.raw_image(i),
                                       np.asarray(img, np.uint8))
+
+
+def test_device_normalize_u8_wire_end_to_end(hisfrag_env):
+    """TPU.DEVICE_NORMALIZE ships uint8 THROUGH the datasets: the train
+    loader's batches, prepare_data's samples, and the eval transform all
+    stay u8 so the model's on-device normalize gate fires (regression:
+    the dataset __getitem__s used to cast the transform's u8 output to
+    f32, silently feeding the model un-normalized 0-255 floats)."""
+    from hisfrag import HisfragTrainer
+    from vit_ed_tpu.data.hisfrag import HisFrag20, Split
+
+    tmp, data, cfg = hisfrag_env
+    args = Args()
+    args.cfg = str(cfg)
+    args.data_path = str(data)
+    args.output = str(tmp / "out_u8")
+    args.opts = ["TPU.DEVICE_NORMALIZE", "True"]
+    trainer = HisfragTrainer(args)
+
+    transforms = trainer.get_transforms()
+    ds = HisFrag20(str(data), Split.TRAIN, transform=transforms["train"])
+    img, _label = ds[0]
+    assert img.dtype == np.uint8
+
+    samples, labels = next(iter(trainer.get_dataloader("train")))
+    assert samples.dtype == np.uint8
+    batch = trainer.prepare_data(samples, labels)
+    assert batch["samples"].dtype == np.uint8
+
+    # eval transform emits u8 and bypasses the pooled f32 prep
+    out = transforms["val"](Image.fromarray(
+        np.random.default_rng(0).integers(0, 256, (80, 80, 3), np.uint8)))
+    assert out.dtype == np.uint8
+    assert transforms["val"].pool_crop((80, 80)) is None
+
+    # end to end: the u8 trainer's validation loss equals the default
+    # f32 trainer's (identical init seeds; the model normalizes on device)
+    loss_u8 = trainer.validate()
+    args_f32 = Args()
+    args_f32.cfg = str(cfg)
+    args_f32.data_path = str(data)
+    args_f32.output = str(tmp / "out_u8_ref")
+    trainer_f32 = HisfragTrainer(args_f32)
+    loss_f32 = trainer_f32.validate()
+    np.testing.assert_allclose(loss_u8, loss_f32, atol=1e-4)

@@ -121,3 +121,17 @@ def test_calc_map_prak_groups():
     m_ap, (pr1, pr5) = calc_map_prak(D, labels, positive_pairs)
     assert m_ap == 1.0
     assert pr1 == 1.0
+
+
+def test_calc_map_prak_raises_when_no_positives_retrieved():
+    """When EVERY query lacks a retrieved positive the metric fails
+    loudly instead of returning NaN (which would silently poison the
+    trainer's min-loss / best-checkpoint tracking)."""
+    import pytest
+
+    D = np.asarray([[0.0, 0.3], [0.3, 0.0]])
+    labels = ["a", "b"]
+    # positive sets name only labels absent from the ranking
+    positive_pairs = {"a": {"zzz"}, "b": {"zzz"}}
+    with pytest.raises(ValueError, match="no query retrieved"):
+        calc_map_prak(D, labels, positive_pairs, None)

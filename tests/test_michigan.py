@@ -112,3 +112,54 @@ def test_michigan_validate_scan(michigan_env):
     n = len(labels)
     assert dist.shape == (n, n)
     assert np.isfinite(dist.astype(np.float32)).all()
+
+
+def test_select_scans_keep_zero_keeps_none():
+    """val_n_items_per_writer=0 truncates every papyrus's list to EMPTY
+    (reference [:0] semantics) — 0 is not 'keep all'."""
+    from vit_ed_tpu.data.michigan import _select_scans, PapyrusFile
+
+    table = [
+        PapyrusFile(path=f"p1_f{i}.jpg", papyrus="p1", side="front",
+                    medium="papyrus", kind="detail", folder="f")
+        for i in range(3)
+    ]
+    assert all(v == [] for v in _select_scans(table, 0).values())
+    assert all(len(v) == 3 for v in _select_scans(table, None).values())
+    assert all(len(v) == 2 for v in _select_scans(table, 2).values())
+
+
+def test_one_img_eval_zoom_emit_u8(michigan_env):
+    """OneImgEvalZoom(emit_u8=True) (the michigan/geshaem u8 wire):
+    uint8 output whose device-normalized value equals the f32 chain;
+    the pooled f32 prep is bypassed; MichiganTrainer wires it through
+    TPU.DEVICE_NORMALIZE and the dataset preserves the dtype."""
+    from PIL import Image
+
+    from vit_ed_tpu.data.transforms import OneImgEvalZoom
+    from vit_ed_tpu.data.michigan import MichiganDataset
+
+    rng = np.random.default_rng(7)
+    img = Image.fromarray(rng.integers(0, 256, (90, 84, 3), np.uint8))
+    f32 = OneImgEvalZoom(64)(img)
+    u8 = OneImgEvalZoom(64, emit_u8=True)(img)
+    assert u8.dtype == np.uint8 and u8.shape == (64, 64, 3)
+    np.testing.assert_allclose(
+        (u8.astype(np.float32) / 255.0 - 0.5) / 0.5, f32, atol=1e-6)
+    assert OneImgEvalZoom(64, emit_u8=True).pool_crop((90, 84)) is None
+
+    from michigan import MichiganTrainer
+
+    tmp, data, cfg = michigan_env
+    args = Args()
+    args.cfg = str(cfg)
+    args.data_path = str(data)
+    args.output = str(tmp / "out_u8")
+    args.opts = ["TPU.DEVICE_NORMALIZE", "True"]
+    trainer = MichiganTrainer(args)
+    transforms = trainer.get_transforms()
+    ds = MichiganDataset(str(data), MichiganDataset.Split.TRAIN,
+                         transforms["train"])
+    sample, _label = ds[0]
+    assert sample.dtype == np.uint8
+    assert transforms["validation"].emit_u8

@@ -386,3 +386,44 @@ def test_shift_scale_rotate_and_random_affine_no_cv2():
     assert out2.size == img.size
     arr2 = np.asarray(out2)
     assert arr2.shape == (60, 80, 3)
+
+
+def test_random_affine_grayscale_no_crash():
+    """random_affine on an 'L'-mode image: the 3-tuple fill follows cv2
+    Scalar semantics on a 1-channel array (extra entries ignored)."""
+    from vit_ed_tpu.data import transforms as T
+
+    rng = np.random.default_rng(2)
+    img = Image.fromarray(rng.integers(0, 256, (40, 50), np.uint8), "L")
+    out = T.random_affine(img, degrees=10, translate=(0.2, 0.2), fill=0,
+                          p=1.0)
+    assert out.size == img.size and out.mode == "L"
+    # the numpy mirror agrees with an explicit 1-channel border value
+    arr = np.asarray(img)
+    m = T.rotation_matrix((25.0, 20.0), 7.0, 1.0)
+    np.testing.assert_array_equal(T._warp_affine_np(arr, m, (9, 0, 0)),
+                                  T._warp_affine_np(arr, m, (9,)))
+
+
+def test_native_warp_upscale_bottom_right_corner_parity():
+    """Upscale warps (inverse x-step < 1) produce RUNS of pixels whose
+    taps sit at the bottom-right source corner (x0 == w-2, y0 == h-2);
+    those must drop out of the SSE fast path (whose 8-byte tap load
+    would read past the buffer) and still blend bit-exactly."""
+    from vit_ed_tpu.data import transforms as T
+    from vit_ed_tpu.native import pipeline as npipe
+
+    if not npipe.is_available():
+        import pytest
+
+        pytest.skip("native pipeline unavailable")
+    rng = np.random.default_rng(13)
+    for h, w, s in [(32, 48, 1.15), (17, 33, 2.5), (64, 64, 1.02)]:
+        img = rng.integers(0, 256, (h, w, 3), np.uint8)
+        # pure upscale about the centre pushes the bottom-right output
+        # region onto the (w-2, h-2) source tap
+        m = T.rotation_matrix((w / 2, h / 2), 0.0, s)
+        for bv in (None, (0, 0, 0)):
+            np.testing.assert_array_equal(
+                npipe.warp_affine(img, m, bv),
+                T._warp_affine_np(img, m, bv))

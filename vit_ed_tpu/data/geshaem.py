@@ -24,6 +24,7 @@ import numpy as np
 from PIL import Image
 
 from vit_ed_tpu.data.grouping import add_items_to_group
+from vit_ed_tpu.data.transforms import as_sample_array
 
 _NAME_RE = re.compile(r"^([\w']+)_([rv])_(\w+)(\s.+)?$")
 _REFERENCE_AREA = 512 * 512   # train repetition unit (im_size^2)
@@ -131,7 +132,8 @@ class MergeDataset:
         from vit_ed_tpu.data.transforms import open_rgb
 
         image = self.transform(open_rgb(self.data[idx]))
-        return (np.asarray(image, np.float32),
+        # uint8 transform outputs stay uint8 (TPU.DEVICE_NORMALIZE u8 wire)
+        return (as_sample_array(image),
                 np.asarray(self.data_labels[idx], np.int32))
 
 
@@ -211,9 +213,10 @@ class GeshaemPatch:
         if self.transform:
             first = self.transform(first)
             second = self.transform(second)
-        stacked = np.stack([np.asarray(first), np.asarray(second)], axis=0)
+        stacked = np.stack([as_sample_array(first), as_sample_array(second)],
+                           axis=0)
         labels = np.asarray([self.data_labels[i], self.data_labels[j]], np.int64)
-        return stacked.astype(np.float32), labels
+        return stacked, labels
 
     def __len__(self) -> int:
         return len(self.pairs)

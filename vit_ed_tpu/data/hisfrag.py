@@ -22,6 +22,7 @@ from typing import Callable, List, Optional, Sequence, Tuple
 import numpy as np
 from PIL import Image
 
+from vit_ed_tpu.data.transforms import as_sample_array
 from vit_ed_tpu.utils.misc import chunks
 
 
@@ -129,7 +130,9 @@ class HisFrag20:
         if self.transform is not None:
             image = self.transform(image)
         label = self.data_labels[index]
-        return np.asarray(image, np.float32), np.asarray(label, np.int32)
+        # as_sample_array: uint8 transform outputs stay uint8 (the
+        # TPU.DEVICE_NORMALIZE u8 wire — the model normalizes on device)
+        return as_sample_array(image), np.asarray(label, np.int32)
 
     def __len__(self) -> int:
         return len(self.samples)
@@ -201,7 +204,7 @@ class HisFrag20Test:
         image = _load_rgb(self.samples[index])
         if self.transform:
             image = self.transform(image)
-        return np.asarray(image, np.float32), np.asarray(index, np.int64)
+        return as_sample_array(image), np.asarray(index, np.int64)
 
     def __len__(self) -> int:
         return len(self.samples) - self.lower_bound
@@ -231,8 +234,9 @@ class HisFrag20GT:
         if self.transform:
             first = self.transform(first)
             second = self.transform(second)
-        stacked = np.stack([np.asarray(first), np.asarray(second)], axis=0)
-        return stacked.astype(np.float32), self.pairs[index]
+        stacked = np.stack([as_sample_array(first), as_sample_array(second)],
+                           axis=0)
+        return stacked, self.pairs[index]
 
     def __len__(self) -> int:
         return len(self.pairs)

@@ -22,6 +22,7 @@ from typing import Callable, Dict, List, Optional, Sequence
 import numpy as np
 
 from vit_ed_tpu.data.grouping import add_items_to_group
+from vit_ed_tpu.data.transforms import as_sample_array
 
 
 class Split(Enum):
@@ -103,7 +104,10 @@ def _select_scans(table: Sequence[PapyrusFile], keep_first: Optional[int]
         kind = ("detail" if any(r.kind == "detail" for r in recs)
                 else "summary")
         paths = [r.path for r in recs if r.kind == kind]
-        selected[papyrus] = paths[:keep_first] if keep_first else paths
+        # `is not None`: keep_first=0 means "keep none" (reference
+        # truncation semantics), not "keep all"
+        selected[papyrus] = (paths[:keep_first] if keep_first is not None
+                             else paths)
     return selected
 
 
@@ -152,7 +156,8 @@ class MichiganDataset:
         from vit_ed_tpu.data.transforms import open_rgb
 
         image = self.transforms(open_rgb(self.data[idx]))
-        return (np.asarray(image, np.float32),
+        # uint8 transform outputs stay uint8 (TPU.DEVICE_NORMALIZE u8 wire)
+        return (as_sample_array(image),
                 np.asarray(self.data_labels[idx], np.int32))
 
 
@@ -176,7 +181,7 @@ class MichiganTest(MichiganDataset):
 
         index = index + self.lower_bound
         image = self.transforms(open_rgb(self.data[index]))
-        return np.asarray(image, np.float32), np.asarray(index, np.int64)
+        return as_sample_array(image), np.asarray(index, np.int64)
 
     def __len__(self):
         return len(self.data) - self.lower_bound

@@ -100,6 +100,17 @@ def normalize_image(img: Image.Image, mean=(0.5, 0.5, 0.5),
     return normalize(to_tensor(img), mean, std)
 
 
+def as_sample_array(image) -> np.ndarray:
+    """Dataset output dtype policy. Transforms that deliberately emit
+    uint8 ndarrays (the TPU.DEVICE_NORMALIZE u8 wire — ``emit_u8``
+    composites, trainers' dev_norm train transforms) pass through
+    untouched so the model's on-device normalize gate fires; everything
+    else (PIL images, normalized float chains) ships float32 as before."""
+    if isinstance(image, np.ndarray) and image.dtype == np.uint8:
+        return image
+    return np.asarray(image, np.float32)
+
+
 def unnormalize(arr: np.ndarray, mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5)) -> np.ndarray:
     """Reference UnNormalize (transforms.py:103-118)."""
     mean = np.asarray(mean, np.float32)
@@ -274,8 +285,11 @@ def _warp_affine_np(arr: np.ndarray, m, border_value=None) -> np.ndarray:
             return (arr3[y0r, x0r, ch], arr3[y0r, x1r, ch],
                     arr3[y1r, x0r, ch], arr3[y1r, x1r, ch])
     else:
-        bv = np.clip(np.rint(np.broadcast_to(
-            np.asarray(border_value, f64).reshape(-1), (c,))), 0, 255)
+        bvv = np.asarray(border_value, f64).reshape(-1)
+        if bvv.size > c:
+            bvv = bvv[:c]  # cv2 Scalar semantics: extra entries ignored
+            # (a 3-tuple borderValue on a grayscale image uses entry 0)
+        bv = np.clip(np.rint(np.broadcast_to(bvv, (c,))), 0, 255)
 
         def taps(ch):
             def get(yy, xx):
@@ -541,14 +555,19 @@ class OneImgEvalZoom:
     of the pool's normalized output. Bit-exact vs ``__call__`` (the same
     resample kernels back both paths)."""
 
-    def __init__(self, image_size: int, zoom: float = 1.15):
+    def __init__(self, image_size: int, zoom: float = 1.15,
+                 emit_u8: bool = False):
         self.image_size = int(image_size)
         self.zoom = zoom
         self.resized = int(self.image_size * zoom)
+        self.emit_u8 = emit_u8
 
     def pool_crop(self, shape_hw):
         """(crop_rect, out_size) for the native batch-prep pool, or None
-        when the image needs the Python fallback (padding case)."""
+        when the image needs the Python fallback (padding case, or the
+        u8 wire — the pool's fused prep emits normalized f32)."""
+        if self.emit_u8:
+            return None
         h, w = shape_hw
         s = self.image_size
         if h < s or w < s:
@@ -567,6 +586,9 @@ class OneImgEvalZoom:
         img = center_crop(img, (self.image_size, self.image_size))
         img = resize(img, self.resized)
         img = center_crop(img, self.image_size)
+        if self.emit_u8:
+            arr = np.asarray(img, np.uint8)
+            return arr[:, :, None] if arr.ndim == 2 else arr
         return normalize_image(img)
 
 

@@ -59,5 +59,12 @@ def calc_map_prak(distances, labels, positive_pairs, negative_pairs=None,
             praks[k_i].append(
                 int(np.count_nonzero(hits[:k])) / min(n_pos, k))
 
+    if not aps:
+        # every query lacked a retrieved positive: fail loudly (NaN here
+        # would silently poison the trainer's min-loss / best-checkpoint
+        # tracking; the reference loop raised ZeroDivisionError)
+        raise ValueError(
+            "calc_map_prak: no query retrieved any positive — check the "
+            "positive_pairs ground truth against the ranked labels")
     m_ap = float(np.mean(aps))
     return m_ap, tuple(float(np.mean(p)) for p in praks)

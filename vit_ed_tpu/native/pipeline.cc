@@ -562,7 +562,13 @@ void warp_affine_u8(const uint8_t* src, int h, int w, int c, const double* m,
         // no fma: -ffp-contract=off applies to intrinsics trivially).
         // The last pixel of the run is peeled: its 8-byte tap loads and
         // the 4-byte output store may touch the following pixel/byte.
+        // Bottom-right corner taps (x0 == w-2 AND y0 == h-2, reachable
+        // by non-last run pixels when the inverse x-step is < 1) drop to
+        // the scalar tail: their 8-byte r1 load would read 2 bytes past
+        // the end of the source buffer's last row.
         for (; x < run - 1; ++x) {
+          if (__builtin_expect(x0v[x] == w - 2 && y0v[x] == h - 2, 0))
+            break;
           const uint8_t* p = src + static_cast<int64_t>(y0v[x]) * rs +
                              static_cast<int64_t>(x0v[x]) * 3;
           __m128i r0 = _mm_loadl_epi64(
