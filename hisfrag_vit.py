@@ -74,7 +74,10 @@ class HisfragVitTrainer(PairHisfragTrainer):
         return loss_fn
 
     def prepare_data(self, samples, targets):
-        return {"samples": samples.astype(np.float32),
+        # uint8 stays uint8 — the u8 device wire (TPU.DEVICE_NORMALIZE)
+        # normalizes on device; anything else goes f32 as before
+        return {"samples": (samples if samples.dtype == np.uint8
+                            else samples.astype(np.float32)),
                 "targets": np.asarray(targets, np.int32)}
 
     def get_dataloader(self, mode):

@@ -142,3 +142,31 @@ def test_geshaem_pooled_loader_matches_per_sample(tmp_path):
     for (si, sl), (pi, pl) in zip(serial, pooled):
         np.testing.assert_array_equal(si, pi)
         np.testing.assert_array_equal(sl, pl)
+
+
+def test_geshaem_stacked_pairs_preserve_u8(tmp_path):
+    """GeshaemPatch stacked pairs ride the u8 device wire: when the
+    transform emits uint8 (OneImgEvalZoom(emit_u8=True)), the stacked
+    [2, H, W, 3] sample stays uint8 end to end; a PIL/f32 transform
+    still ships float32."""
+    from vit_ed_tpu.data.geshaem import GeshaemPatch
+    from vit_ed_tpu.data.transforms import OneImgEvalZoom
+
+    root = tmp_path / "gesh_u8"
+    for name in ["A_r_c1", "B_r_c1", "A_B_r_c1", "C_r_c1"]:
+        _img(str(root / name / "papyrus" / "x" / "im.jpg"), size=128)
+
+    ds_u8 = GeshaemPatch(str(root), GeshaemPatch.Split.VAL,
+                         transform=OneImgEvalZoom(64, emit_u8=True),
+                         min_size_limit=16)
+    stacked, _labels = ds_u8[0]
+    assert stacked.dtype == np.uint8 and stacked.shape == (2, 64, 64, 3)
+
+    ds_f32 = GeshaemPatch(str(root), GeshaemPatch.Split.VAL,
+                          transform=OneImgEvalZoom(64),
+                          min_size_limit=16)
+    stacked_f, _ = ds_f32[0]
+    assert stacked_f.dtype == np.float32
+    np.testing.assert_allclose(
+        (stacked.astype(np.float32) / 255.0 - 0.5) / 0.5, stacked_f,
+        atol=1e-6)

@@ -243,3 +243,14 @@ def test_device_normalize_u8_wire_end_to_end(hisfrag_env):
     trainer_f32 = HisfragTrainer(args_f32)
     loss_f32 = trainer_f32.validate()
     np.testing.assert_allclose(loss_u8, loss_f32, atol=1e-4)
+
+
+def test_vit_trainer_prepare_data_preserves_u8():
+    """HisfragVitTrainer.prepare_data rides the u8 device wire too."""
+    from hisfrag_vit import HisfragVitTrainer
+
+    u8 = np.zeros((2, 8, 8, 3), np.uint8)
+    out = HisfragVitTrainer.prepare_data(None, u8, [0, 1])
+    assert out["samples"].dtype == np.uint8
+    out = HisfragVitTrainer.prepare_data(None, u8.astype(np.float64), [0, 1])
+    assert out["samples"].dtype == np.float32
