@@ -218,17 +218,17 @@ def main():
 
     # the two headline-feeding metrics (patch8_64 full + patch16_512
     # decode) get extra timed dispatches: the min-estimator's tail risk is
-    # the only thing that can flip vs_baseline at a 0.6% margin, and each
-    # warm dispatch costs ~1-2 s
+    # the only thing that can flip vs_baseline at a ~1.4% margin, and each
+    # warm dispatch costs ~1-2 s (10 repeats adds ~20 s to the whole run)
     full_64, decode_64 = bench_pair_forwards(
         img_size=64, patch_size=8, depth=8, c_depth=8, embed_dim=384,
-        num_heads=12, num_classes=4, batch=512, repeats=6)
+        num_heads=12, num_classes=4, batch=512, repeats=10)
     print(f"patch8_64:  full={full_64 / n_chips:.1f} "
           f"decode-only={decode_64 / n_chips:.1f} pair-fwd/s/chip", file=sys.stderr)
 
     full_512, decode_512 = bench_pair_forwards(
         img_size=512, patch_size=16, depth=12, c_depth=12, embed_dim=384,
-        num_heads=6, num_classes=1, batch=64, repeats=6)
+        num_heads=6, num_classes=1, batch=64, repeats=10)
     decode_tfs = decode_512 / n_chips * DECODE_GFLOPS_PATCH16_512 / 1000.0
     mfu = decode_tfs / V5E_BF16_PEAK_TFLOPS
     print(f"patch16_512: full={full_512 / n_chips:.1f} "
