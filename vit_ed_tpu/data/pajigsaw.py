@@ -1,18 +1,35 @@
-"""Pajigsaw fragment dataset: JSON-manifest fragments with grid row/col
-(re-creates /root/reference/data/datasets/pajigsaw_dataset.py)."""
+"""Pajigsaw fragment datasets (JSON manifest with grid row/col).
+
+Capability match for ``/root/reference/data/datasets/pajigsaw_dataset.py``
+(semantics only, :35-174): training pairs drawn 75% from grid-adjacent
+fragment pairs with a 4-bin direction label, otherwise in-image or
+cross-image negatives; plus a per-image puzzle-piece view for the solver.
+Rebuilt here around flat numpy coordinate tables with one vectorized
+4-neighbour adjacency pass per image, replacing the reference's nested
+per-fragment dict double loop. Pair distribution and label semantics are
+locked by tests/test_datasets_misc.py and the entry smoke tests.
+"""
 
 from __future__ import annotations
 
 import json
 import os
 import random
+from dataclasses import dataclass
 from enum import Enum
-from typing import Callable, Optional
+from typing import Callable, Dict, List, Optional
 
 import numpy as np
-from PIL import Image
 
+from vit_ed_tpu.data.transforms import as_sample_array, open_rgb
 from vit_ed_tpu.solver.piece import PuzzlePiece
+
+# (row step, col step) of fragment2 relative to fragment1 -> logit bin.
+# Bin order matches the reference label vectors: right / below / left / above.
+_DIRECTION_BIN = {(0, 1): 0, (1, 0): 1, (0, -1): 2, (-1, 0): 3}
+
+# Fragments whiter than this are never drawn as a pair's second element.
+_WHITE_LIMIT = 0.85
 
 
 class Split(Enum):
@@ -21,151 +38,197 @@ class Split(Enum):
     TEST = "test"
 
     def is_train(self):
-        return self.value == "train"
+        return self is Split.TRAIN
 
     @staticmethod
     def from_string(name):
-        for key in Split:
-            if key.value == name:
-                return key
-        return None
+        try:
+            return Split(name)
+        except ValueError:
+            return None
+
+
+@dataclass
+class _FragmentGrid:
+    """Upright fragments of one manifest image as parallel columns."""
+
+    image: str
+    paths: List[str]
+    rows: np.ndarray   # (n,) int32 grid coordinates
+    cols: np.ndarray   # (n,) int32
+    white: np.ndarray  # (n,) float32 white-pixel fraction
+
+    def __len__(self) -> int:
+        return len(self.paths)
+
+    @property
+    def grid_size(self):
+        return int(self.rows.max()) + 1, int(self.cols.max()) + 1
+
+
+def _load_grids(root: str, split: Split) -> List[_FragmentGrid]:
+    """``<root>/<split>.json`` -> one coordinate table per image, keeping
+    only the upright (degree == 0) duplicates of each fragment."""
+    with open(os.path.join(root, f"{split.value}.json")) as f:
+        manifest = json.load(f)
+
+    grids = []
+    for image, record in manifest.items():
+        upright = [f for f in record["Fragment1v1Rotate90"] if f["degree"] == 0]
+        grids.append(_FragmentGrid(
+            image=image,
+            paths=[f["im_path"] for f in upright],
+            rows=np.asarray([f["row"] for f in upright], np.int32),
+            cols=np.asarray([f["col"] for f in upright], np.int32),
+            white=np.asarray([f["white_percentage"] for f in upright],
+                             np.float32),
+        ))
+    return grids
 
 
 class Pajigsaw:
-    """Training pairs with 4-bin directional labels: positives (adjacent
-    fragments) sampled 75%, otherwise in-image or cross-image negatives
-    (pajigsaw_dataset.py:35-134)."""
+    """Training pairs over manifest fragments.
+
+    A draw is positive (adjacent, 75%) with a one-hot direction label, or
+    negative (zero label): in-image non-adjacent half the time, otherwise a
+    fragment of another image. Only fragments with at least one eligible
+    neighbour anchor a sample.
+    """
 
     Split = Split
 
-    def __init__(self, root: str, split: Split, transform: Optional[Callable] = None,
-                 image_size: int = 512):
+    def __init__(self, root: str, split: Split,
+                 transform: Optional[Callable] = None, image_size: int = 512):
         self.root = root
         self.transform = transform
-        with open(os.path.join(root, f"{split.value}.json")) as f:
-            dataset = json.load(f)
-        records = {}
-        for img_name in dataset:
-            records[img_name] = []
-            for fragment in dataset[img_name]["Fragment1v1Rotate90"]:
-                if fragment["degree"] == 0:
-                    records[img_name].append({**fragment, "positive": [], "negative": []})
         self._split = split
 
-        entries = {}
-        samples = []
-        for image_name, fragments in records.items():
-            for first in fragments:
-                for second in fragments:
-                    if second["white_percentage"] > 0.85:
-                        continue
-                    if first["im_path"] == second["im_path"]:
-                        continue
-                    if first["col"] == second["col"] and abs(first["row"] - second["row"]) == 1:
-                        first["positive"].append(second)
-                    elif first["row"] == second["row"] and abs(first["col"] - second["col"]) == 1:
-                        first["positive"].append(second)
-                    else:
-                        first["negative"].append(second)
-                if len(first["positive"]) > 0:
-                    first["im_name"] = image_name
-                    entries.setdefault(image_name, []).append(first)
-                    samples.append(first)
-        self.im_names = sorted(entries.keys())
-        self.samples = sorted(samples, key=lambda x: (x["col"], x["row"]))
-        self.entries = entries
+        grids = _load_grids(root, split)
+
+        # Flat global fragment table (all images concatenated).
+        self._paths = [p for g in grids for p in g.paths]
+        self._rows = np.concatenate([g.rows for g in grids]) \
+            if grids else np.zeros(0, np.int32)
+        self._cols = np.concatenate([g.cols for g in grids]) \
+            if grids else np.zeros(0, np.int32)
+        self._image_id = np.concatenate(
+            [np.full(len(g), i, np.int32) for i, g in enumerate(grids)]) \
+            if grids else np.zeros(0, np.int32)
+
+        # Per-anchor candidate sets, as global-index arrays. Eligible
+        # seconds: same image, not the anchor itself, not mostly white.
+        # Positives are the 4-neighbour ring (Manhattan distance 1 on the
+        # grid); everything else eligible is an in-image negative.
+        self._positive: List[np.ndarray] = []
+        self._negative: List[np.ndarray] = []
+        base = 0
+        for g in grids:
+            paths = np.asarray(g.paths)
+            eligible = (g.white[None, :] <= _WHITE_LIMIT) \
+                & (paths[:, None] != paths[None, :])
+            manhattan = (np.abs(g.rows[:, None] - g.rows[None, :])
+                         + np.abs(g.cols[:, None] - g.cols[None, :]))
+            ring = manhattan == 1
+            for i in range(len(g)):
+                self._positive.append(base + np.nonzero(eligible[i] & ring[i])[0])
+                self._negative.append(base + np.nonzero(eligible[i] & ~ring[i])[0])
+            base += len(g)
+
+        # Anchors: fragments with >= 1 positive, ordered by (col, row)
+        # across the whole manifest (lexsort is stable, so ties keep
+        # manifest order — same ordering as the reference's stable sort).
+        anchors = np.asarray(
+            [i for i in range(base) if len(self._positive[i])], np.int64)
+        order = np.lexsort((self._rows[anchors], self._cols[anchors])) \
+            if len(anchors) else np.zeros(0, np.int64)
+        self._sample_ids = anchors[order]
+
+        # Anchor ids grouped by image, for cross-image negative draws.
+        self._anchors_by_image: Dict[int, np.ndarray] = {}
+        for gid in anchors:
+            self._anchors_by_image.setdefault(
+                int(self._image_id[gid]), []).append(int(gid))
+        self._anchors_by_image = {k: np.asarray(v, np.int64)
+                                  for k, v in self._anchors_by_image.items()}
+        self.im_names = sorted(g.image for g in grids)
 
     @property
-    def split(self):
+    def split(self) -> Split:
         return self._split
 
+    def _draw_negative(self, first: int) -> int:
+        """Second element of a negative pair: in-image non-adjacent with
+        probability 0.5 (when one exists), else an anchor of another image;
+        single-image manifests without in-image negatives fall back to any
+        other anchor of the same image (non-adjacent draws stay negative)."""
+        my_image = int(self._image_id[first])
+        other_images = [g for g in self._anchors_by_image if g != my_image]
+        in_image = self._negative[first]
+        if len(in_image) and (random.random() < 0.5 or not other_images):
+            return int(random.choice(in_image))
+        if other_images:
+            pool = self._anchors_by_image[random.choice(other_images)]
+            return int(random.choice(pool))
+        mine = self._anchors_by_image[my_image]
+        return int(random.choice(mine[mine != first]))
+
     def __getitem__(self, index: int):
-        first_entry = self.samples[index]
-        im_name = first_entry["im_name"]
+        first = int(self._sample_ids[index])
+        label = np.zeros(4, np.float32)
         if random.random() < 0.75:
-            second_entry = random.choice(first_entry["positive"])
-            if first_entry["col"] == second_entry["col"]:
-                if first_entry["row"] < second_entry["row"]:
-                    label = [0.0, 1.0, 0.0, 0.0]
-                else:
-                    label = [0.0, 0.0, 0.0, 1.0]
-            elif first_entry["row"] == second_entry["row"]:
-                if first_entry["col"] < second_entry["col"]:
-                    label = [1.0, 0.0, 0.0, 0.0]
-                else:
-                    label = [0.0, 0.0, 1.0, 0.0]
-            else:
-                raise Exception(f"Incorrect entries {first_entry} and {second_entry}")
+            second = int(random.choice(self._positive[first]))
+            step = (int(self._rows[second]) - int(self._rows[first]),
+                    int(self._cols[second]) - int(self._cols[first]))
+            label[_DIRECTION_BIN[step]] = 1.0
         else:
-            cross_image_possible = len(self.im_names) > 1
-            if (random.random() < 0.5 or not cross_image_possible) \
-                    and len(first_entry["negative"]) > 0:
-                second_entry = random.choice(first_entry["negative"])
-            elif cross_image_possible:
-                target_im_name = im_name
-                while target_im_name == im_name:
-                    target_im_name = random.choice(self.im_names)
-                second_entry = random.choice(self.entries[target_im_name])
-            else:
-                # single-image manifest with no in-image negatives: fall back
-                # to any other fragment (still non-adjacent -> negative)
-                second_entry = random.choice(
-                    [e for e in self.entries[im_name] if e is not first_entry])
-            label = [0.0, 0.0, 0.0, 0.0]
+            second = self._draw_negative(first)
 
-        with Image.open(os.path.join(self.root, first_entry["im_path"])) as f:
-            first_img = f.convert("RGB")
-        with Image.open(os.path.join(self.root, second_entry["im_path"])) as f:
-            second_img = f.convert("RGB")
-
+        first_img = open_rgb(os.path.join(self.root, self._paths[first]))
+        second_img = open_rgb(os.path.join(self.root, self._paths[second]))
         if self.transform is not None:
             first_img, second_img = self.transform(first_img, second_img)
 
-        stacked = np.stack([np.asarray(first_img), np.asarray(second_img)], axis=0)
-        return stacked.astype(np.float32), np.asarray(label, np.float32)
+        # as_sample_array: uint8 transform outputs stay uint8 (the
+        # TPU.DEVICE_NORMALIZE u8 wire); everything else ships float32.
+        stacked = np.stack([as_sample_array(first_img),
+                            as_sample_array(second_img)], axis=0)
+        return stacked, label
 
-    def __len__(self):
-        return len(self.samples)
+    def __len__(self) -> int:
+        return len(self._sample_ids)
 
 
 class PajigsawPieces:
-    """Per-image puzzle-piece lists for the solver
-    (pajigsaw_dataset.py:137-174)."""
+    """Per-image puzzle-piece view for the solver: each manifest image
+    yields ``(pieces, im_name, grid_size)`` with ground-truth grid
+    locations and LAB pixel data (the solver subsystem works in LAB)."""
+
+    Split = Split
 
     def __init__(self, root: str, split: Split):
-        with open(os.path.join(root, f"{split.value}.json")) as f:
-            dataset = json.load(f)
-        records = {}
-        for img_name in dataset:
-            records[img_name] = []
-            for fragment in dataset[img_name]["Fragment1v1Rotate90"]:
-                if fragment["degree"] == 0:
-                    records[img_name].append(fragment)
-        self._split = split
         self.root = root
-        self.entries = sorted(records.keys())
-        self.entry_map = records
+        self._split = split
+        self._grids = {g.image: g for g in _load_grids(root, split)}
+        self.entries = sorted(self._grids)
 
     @property
-    def split(self):
+    def split(self) -> Split:
         return self._split
 
     def __getitem__(self, index: int):
         import cv2
 
-        im_name = self.entries[index]
-        entry = self.entry_map[im_name]
-        puzzle_id = index
-        numb_rows = max(x["row"] for x in entry) + 1
-        numb_cols = max(x["col"] for x in entry) + 1
-        grid_size = (numb_rows, numb_cols)
+        grid = self._grids[self.entries[index]]
+        grid_size = grid.grid_size
         pieces = []
-        for idx, item in enumerate(entry):
-            img_path = os.path.join(self.root, item["im_path"])
-            img_lab = cv2.cvtColor(cv2.imread(img_path), cv2.COLOR_BGR2LAB)
-            pieces.append(PuzzlePiece(puzzle_id, (item["row"], item["col"]), img_lab,
-                                      piece_id=idx, puzzle_grid_size=grid_size))
-        return pieces, im_name, grid_size
+        for piece_id, (path, row, col) in enumerate(
+                zip(grid.paths, grid.rows, grid.cols)):
+            bgr = cv2.imread(os.path.join(self.root, path))
+            pieces.append(PuzzlePiece(
+                index, (int(row), int(col)),
+                cv2.cvtColor(bgr, cv2.COLOR_BGR2LAB),
+                piece_id=piece_id, puzzle_grid_size=grid_size))
+        return pieces, grid.image, grid_size
 
-    def __len__(self):
+    def __len__(self) -> int:
         return len(self.entries)
