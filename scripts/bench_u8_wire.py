@@ -23,7 +23,9 @@ import tempfile
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache"))
 
 import numpy as np
 from PIL import Image
@@ -108,6 +110,9 @@ def main():
     ap.add_argument("--epochs", type=int, default=2)
     ap.add_argument("--keep", action="store_true")
     args = ap.parse_args()
+    if args.epochs < 2:
+        ap.error("--epochs must be >= 2: the first epoch includes XLA "
+                 "compilation, so a 1-epoch run would skew the f32-vs-u8 A/B")
 
     tmp = tempfile.mkdtemp(prefix="u8wire_")
     data = os.path.join(tmp, "hisfrag")

@@ -205,6 +205,8 @@ def warp_affine(img, m, border_value=None) -> np.ndarray:
         mode = 0
     else:
         v = np.asarray(border_value, np.float64).reshape(-1)
+        if v.size > c:
+            v = v[:c]  # cv2 Scalar semantics: extra entries ignored
         border = np.ascontiguousarray(
             np.clip(np.rint(np.broadcast_to(v, (c,))), 0, 255).astype(np.uint8))
         mode = 1
