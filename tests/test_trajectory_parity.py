@@ -40,7 +40,8 @@ GLOBAL_BATCH = 8
 STEPS_PER_EPOCH = 4
 EPOCHS = 2
 
-_COMMON_CFG = f"""
+def _cfg_text(epochs=EPOCHS, clip_grad=0.0):
+    return f"""
 MODEL:
   TYPE: pjs
   NAME: traj_tiny
@@ -57,17 +58,20 @@ DATA:
   IMG_SIZE: {IMG}
   NUM_WORKERS: 0
 TRAIN:
-  EPOCHS: {EPOCHS}
+  EPOCHS: {epochs}
   WARMUP_EPOCHS: 1
   BASE_LR: 0.002
   WARMUP_LR: 0.0004
   MIN_LR: 0.00002
   WEIGHT_DECAY: 0.05
-  CLIP_GRAD: 0.0
+  CLIP_GRAD: {clip_grad}
 SAVE_FREQ: 100
 PRINT_FREQ: 100
 SEED: 0
 """
+
+
+_COMMON_CFG = _cfg_text()
 
 
 class _Args:
@@ -145,11 +149,11 @@ def ref_env():
             sys.path.remove(p)
 
 
-def _make_batches(seed=0):
+def _make_batches(seed=0, steps=STEPS_PER_EPOCH):
     """Deterministic (samples, targets) batch list shared by both sides."""
     rng = np.random.default_rng(seed)
     batches = []
-    for _ in range(STEPS_PER_EPOCH):
+    for _ in range(steps):
         samples = rng.normal(size=(GLOBAL_BATCH, 2, IMG, IMG, 3)
                              ).astype(np.float32)
         targets = (rng.random((GLOBAL_BATCH, NCLS)) > 0.5).astype(np.float32)
@@ -168,7 +172,17 @@ class _ListLoader:
         return len(self._batches)
 
 
-def _run_reference(ref_env, tmp_path, batches, accum=1):
+def _run_reference(ref_env, tmp_path, batches, accum=1, cfg_text=None,
+                   reduction="mean", amp_clip=False):
+    """Run the genuine reference trainer over ``batches``.
+
+    ``amp_clip=True`` keeps AMP_ENABLE on so the step goes through the
+    reference's REAL NativeScalerWithGradNormCount path
+    (misc/utils.py:206-231): on a CPU-only torch build GradScaler disables
+    itself, so scale/unscale are identity and what remains is exactly
+    backward -> torch.nn.utils.clip_grad_norm_(CLIP_GRAD) -> step — the
+    grad-clip semantics (misc/engine.py:217-219) in f32. The recorded
+    pre-clip grad norms are returned for cross-checking ours."""
     ref_engine = ref_env["engine"]
 
     torch_batches = [
@@ -177,19 +191,22 @@ def _run_reference(ref_env, tmp_path, batches, accum=1):
         for s, t in batches]
 
     cfg = tmp_path / "ref_cfg.yaml"
-    cfg.write_text(_COMMON_CFG)
+    cfg.write_text(cfg_text or _COMMON_CFG)
     args = _Args()
     args.cfg = str(cfg)
     args.batch_size = GLOBAL_BATCH          # per process, world_size 1
     args.accumulation_steps = accum
     args.output = str(tmp_path / "ref_out")
+    if amp_clip:
+        args.disable_amp = False
 
     losses = []
     schedulers = []
+    grad_norms = []
 
     class RefTrajTrainer(ref_engine.Trainer):
         def get_criterion(self):
-            base = torch.nn.BCEWithLogitsLoss()
+            base = torch.nn.BCEWithLogitsLoss(reduction=reduction)
 
             def criterion(outputs, targets):
                 loss = base(outputs, targets)
@@ -212,6 +229,27 @@ def _run_reference(ref_env, tmp_path, batches, accum=1):
         return sched
 
     ref_engine.build_scheduler = capture_build
+    saved = {}
+    if amp_clip:
+        # CPU shims around the scaler's CUDA-only corners — the clip and
+        # the optimizer step themselves run the reference code unmodified
+        scaler_cls = ref_engine.NativeScalerWithGradNormCount
+
+        class CPUScaler(scaler_cls):
+            def state_dict(self):  # disabled GradScaler returns {} on CPU
+                return {"scale": 1.0}
+
+        saved["scaler"] = scaler_cls
+        ref_engine.NativeScalerWithGradNormCount = CPUScaler
+        orig_clip = torch.nn.utils.clip_grad_norm_
+
+        def record_clip(parameters, max_norm, *a, **k):
+            norm = orig_clip(parameters, max_norm, *a, **k)
+            grad_norms.append(float(norm))
+            return norm
+
+        saved["clip"] = orig_clip
+        torch.nn.utils.clip_grad_norm_ = record_clip
     try:
         trainer = RefTrajTrainer(args)
         our_sd = _init_state_dict()
@@ -219,7 +257,10 @@ def _run_reference(ref_env, tmp_path, batches, accum=1):
         trainer.train()
     finally:
         ref_engine.build_scheduler = orig_build
-    return losses, schedulers[0], trainer.config
+        if amp_clip:
+            ref_engine.NativeScalerWithGradNormCount = saved["scaler"]
+            torch.nn.utils.clip_grad_norm_ = saved["clip"]
+    return losses, schedulers[0], trainer.config, grad_norms
 
 
 _SD_CACHE = {}
@@ -247,11 +288,11 @@ def _init_state_dict():
     return _SD_CACHE["sd"]
 
 
-def _run_ours(tmp_path, batches, accum=1):
+def _run_ours(tmp_path, batches, accum=1, cfg_text=None, reduction="mean"):
     DefaultTrainer = OurDefaultTrainer
 
     cfg = tmp_path / "our_cfg.yaml"
-    cfg.write_text(_COMMON_CFG)
+    cfg.write_text(cfg_text or _COMMON_CFG)
     args = _Args()
     args.cfg = str(cfg)
     # our DATA.BATCH_SIZE is PER DEVICE; the test mesh has 8 CPU devices,
@@ -262,8 +303,15 @@ def _run_ours(tmp_path, batches, accum=1):
     args.output = str(tmp_path / "our_out")
 
     losses = []
+    grad_norms = []
 
     class OurTrajTrainer(DefaultTrainer):
+        def get_criterion(self):
+            from vit_ed_tpu.train.losses import bce_with_logits
+
+            return lambda logits, targets: bce_with_logits(
+                logits, targets, reduction=reduction)
+
         def get_dataloader(self, mode):
             return _ListLoader(batches if mode == "train" else [])
 
@@ -273,6 +321,7 @@ def _run_ours(tmp_path, batches, accum=1):
         def _aot_step(self, state, batch, rng):
             state, metrics = super()._aot_step(state, batch, rng)
             losses.append(float(jax.device_get(metrics["loss"])))
+            grad_norms.append(float(jax.device_get(metrics["grad_norm"])))
             return state, metrics
 
     trainer = OurTrajTrainer(args)
@@ -282,15 +331,15 @@ def _run_ours(tmp_path, batches, accum=1):
         np.asarray(jax.device_get(jax.tree.leaves(trainer.params)[0])),
         np.asarray(jax.device_get(jax.tree.leaves(_SD_CACHE["params"])[0])))
     trainer.train()
-    return losses, trainer
+    return losses, trainer, grad_norms
 
 
 def test_loss_trajectory_tracks_reference(ref_env, tmp_path):
     """K optimizer steps from identical weights/batches/hparams: the two
     loss sequences must track step for step."""
     batches = _make_batches()
-    ref_losses, _sched, _cfg = _run_reference(ref_env, tmp_path, batches)
-    our_losses, _ = _run_ours(tmp_path, batches)
+    ref_losses, _sched, _cfg, _ = _run_reference(ref_env, tmp_path, batches)
+    our_losses, _, _ = _run_ours(tmp_path, batches)
 
     assert len(ref_losses) == len(our_losses) == EPOCHS * STEPS_PER_EPOCH
     # step 0 is pure forward parity
@@ -308,9 +357,9 @@ def test_loss_trajectory_with_accumulation(ref_env, tmp_path):
     reference records per-MICRO-batch criterion losses; ours records the
     per-UPDATE mean — compare pairwise means."""
     batches = _make_batches(seed=1)
-    ref_losses, _sched, _cfg = _run_reference(ref_env, tmp_path, batches,
+    ref_losses, _sched, _cfg, _ = _run_reference(ref_env, tmp_path, batches,
                                               accum=2)
-    our_losses, _ = _run_ours(tmp_path, batches, accum=2)
+    our_losses, _, _ = _run_ours(tmp_path, batches, accum=2)
 
     assert len(ref_losses) == EPOCHS * STEPS_PER_EPOCH
     assert len(our_losses) == EPOCHS * STEPS_PER_EPOCH // 2
@@ -324,7 +373,7 @@ def test_lr_schedule_matches_reference_exactly(ref_env, tmp_path):
     cosine phase, and past-the-end tail) with the LR batch-scaling both
     trainers applied: exact match."""
     batches = _make_batches()
-    _losses, sched, ref_cfg = _run_reference(ref_env, tmp_path, batches)
+    _losses, sched, ref_cfg, _ = _run_reference(ref_env, tmp_path, batches)
 
     from vit_ed_tpu.train.optim import build_schedule
 
@@ -348,7 +397,7 @@ def test_adamw_hparams_match_reference(ref_env, tmp_path):
     for 1-D params and .bias) selects exactly the parameters our optax
     mask selects."""
     batches = _make_batches()
-    _losses, _sched, ref_cfg = _run_reference(ref_env, tmp_path, batches)
+    _losses, _sched, ref_cfg, _ = _run_reference(ref_env, tmp_path, batches)
 
     ref_opt = ref_env["opt"]
     import misc.engine as _  # noqa: F401  (path already set by fixture)
@@ -376,3 +425,81 @@ def test_adamw_hparams_match_reference(ref_env, tmp_path):
                                            jax.tree.leaves(mask)) if not m)
     assert n_decay_ours == n_decay_ref
     assert n_nodecay_ours == n_nodecay_ref
+
+
+def test_grad_clip_trajectory_matches_reference(ref_env, tmp_path):
+    """CLIP_GRAD > 0 through the reference's REAL scaler path
+    (misc/engine.py:217-219 -> misc/utils.py:212-231: backward, unscale,
+    torch.nn.utils.clip_grad_norm_, step) vs our optax
+    clip_by_global_norm folded into the chain (train/optim.py:139-144):
+    losses track AND the pre-clip global grad norms match step for step,
+    and the clip must actually BIND on some step (otherwise this test
+    would pass with clipping deleted on both sides)."""
+    clip = 0.05
+    cfg = _cfg_text(clip_grad=clip)
+    batches = _make_batches(seed=2)
+    ref_losses, _sched, _cfg2, ref_norms = _run_reference(
+        ref_env, tmp_path, batches, cfg_text=cfg, amp_clip=True)
+    our_losses, _, our_norms = _run_ours(tmp_path, batches, cfg_text=cfg)
+
+    assert len(ref_losses) == len(our_losses) == EPOCHS * STEPS_PER_EPOCH
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=2e-3, atol=2e-4)
+    # the pre-clip norms the two sides computed must agree (ref returns
+    # the norm BEFORE scaling, ours is optax.global_norm of the raw grads).
+    # Steps 0-1 are the SEMANTIC lock: step 0 is the raw backward norm,
+    # step 1 the norm after exactly one clipped update — a wrong clip
+    # formula (missing torch's +1e-6, missing the min(1, .) clamp, wrong
+    # norm set) shows up here at >=1e-6. Later steps track at a looser
+    # tolerance: with the clip binding every step the update direction is
+    # g/||g|| (normalized-gradient dynamics), which amplifies f32
+    # forward/backward noise geometrically — measured 1.3e-3 at step 2
+    # growing to ~1e-2 by step 5 with steps 0-1 agreeing at 7e-8.
+    assert len(ref_norms) == len(our_norms)
+    np.testing.assert_allclose(our_norms[:2], ref_norms[:2], rtol=1e-5)
+    np.testing.assert_allclose(our_norms, ref_norms, rtol=2e-2)
+    # and the bound binds: at least one step had norm > clip, so the
+    # clipped trajectories diverge from the unclipped ones
+    assert max(ref_norms) > clip, (
+        f"clip {clip} never bound (max norm {max(ref_norms):.4f}) — "
+        "lower the clip so the test exercises the scaling path")
+
+
+def test_sum_reduction_trajectory_matches_reference(ref_env, tmp_path):
+    """michigan.py:65-66 trains with BCEWithLogitsLoss(reduction='sum') —
+    loss and grads scale with the batch element count instead of the mean.
+    A hidden mean-assumption anywhere in our loss/accum/metric plumbing
+    would track on the mean tests and break here."""
+    batches = _make_batches(seed=3)
+    ref_losses, _sched, _cfg, _ = _run_reference(
+        ref_env, tmp_path, batches, reduction="sum")
+    our_losses, _, _ = _run_ours(tmp_path, batches, reduction="sum")
+
+    assert len(ref_losses) == len(our_losses) == EPOCHS * STEPS_PER_EPOCH
+    # sum-reduction losses are O(batch x classes) — rtol only
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=2e-3)
+    # sanity: these really are sum-scale losses, not means
+    assert ref_losses[0] > 5.0
+
+
+def test_long_horizon_trajectory_tracks_reference(ref_env, tmp_path):
+    """50 optimizer steps (5 epochs x 10 steps): slow drift in the Adam
+    moments, the weight-decay application, or the cosine schedule's
+    epoch-boundary arithmetic accumulates past what the 8-step tests can
+    see. The tail tolerance is looser (compounded f32 divergence) but the
+    trajectory must stay locked."""
+    epochs, steps = 5, 10
+    cfg = _cfg_text(epochs=epochs)
+    batches = _make_batches(seed=4, steps=steps)
+    ref_losses, _sched, _cfg2, _ = _run_reference(
+        ref_env, tmp_path, batches, cfg_text=cfg)
+    our_losses, _, _ = _run_ours(tmp_path, batches, cfg_text=cfg)
+
+    assert len(ref_losses) == len(our_losses) == epochs * steps
+    ref_arr, our_arr = np.asarray(ref_losses), np.asarray(our_losses)
+    # first half at the standard tolerance, the tail at a compounding one
+    np.testing.assert_allclose(our_arr[:25], ref_arr[:25],
+                               rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(our_arr[25:], ref_arr[25:],
+                               rtol=8e-3, atol=8e-4)
+    # training moved: the two sides agree AND the loss actually descended
+    assert ref_arr[5:].mean() != ref_arr[:5].mean()

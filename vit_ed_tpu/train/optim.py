@@ -16,6 +16,7 @@ from __future__ import annotations
 import math
 from typing import Callable, List, Sequence
 
+import jax
 import jax.numpy as jnp
 import optax
 
@@ -135,13 +136,34 @@ def weight_decay_mask(params) -> dict:
     return jax.tree_util.tree_map_with_path(decay, params)
 
 
+def clip_by_global_norm_torch(max_norm: float) -> optax.GradientTransformation:
+    """torch.nn.utils.clip_grad_norm_ semantics, exactly: scale every grad by
+    ``min(1, max_norm / (global_norm + 1e-6))`` (misc/utils.py:212-226 routes
+    through torch's clip; torch adds the 1e-6 to the denominator and clamps
+    the coefficient at 1, where optax's clip_by_global_norm divides by the
+    bare norm — a 1e-6-relative per-step difference that trajectory-parity
+    tests resolve)."""
+
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        del params
+        g_norm = optax.global_norm(updates)
+        scale = jnp.minimum(1.0, max_norm / (g_norm + 1e-6))
+        return jax.tree.map(lambda g: g * scale, updates), state
+
+    return optax.GradientTransformation(init, update)
+
+
 def build_optimizer(config, schedule: Callable, params) -> optax.GradientTransformation:
     """Optimizer with grad clipping folded in (reference clips before step,
     misc/utils.py:212-226)."""
     name = config.TRAIN.OPTIMIZER.NAME.lower()
     chain = []
     if config.TRAIN.CLIP_GRAD:
-        chain.append(optax.clip_by_global_norm(config.TRAIN.CLIP_GRAD))
+        chain.append(clip_by_global_norm_torch(config.TRAIN.CLIP_GRAD))
 
     if name == "adamw":
         chain.append(
