@@ -56,8 +56,16 @@ class PairwiseScorer:
 
     def __init__(self, model, params, mesh: Mesh, num_outputs: int = 1,
                  pair_chunk: int = 512, dtype=np.float16,
-                 use_kv_cache: bool = False, row_shared: bool = True):
+                 use_kv_cache: bool = False, row_shared: bool = True,
+                 int8: bool = False):
         from vit_ed_tpu.parallel.mesh import local_mesh
+
+        if int8:
+            # scoring-time int8 GEMMs (TPU.INT8_SCORE): same params, the
+            # projection matmuls run int8 on the MXU (ops/quant.py); gated
+            # by the mAP-parity test in tests/test_quant.py. Measured per
+            # model size in docs/PERFORMANCE.md (wins are HBM-bound shapes).
+            model = model.clone(int8_gemm=True)
 
         # Every process scores a DIFFERENT row range, so the jit programs
         # here are per-process computations over the LOCAL devices; the
@@ -144,6 +152,29 @@ class PairwiseScorer:
             score_row,
             in_shardings=(rep, rep, rep, rep, shard0), out_shardings=rep)
 
+        # Multi-row dispatch: ONE jitted call scores R row-chunks by
+        # scanning score_tokens_row over (row index, column chunk) pairs —
+        # numerically identical to R separate _score_row dispatches (same
+        # kernel, same chunking), but the per-dispatch host->device
+        # round-trip amortizes over R. On the tunneled single chip that
+        # overhead measured ~30 ms per dispatch against ~60 ms of compute
+        # (the round-5 N=2k scan: 681 pairs/s sustained vs the 1,060
+        # kernel bench); batching R=64 rows into one dispatch removes it.
+        def score_rows(p, kv_block, tokens, ri, pj):
+            def body(_, rp):
+                r, pjr = rp
+                return _, score_row(p, kv_block, tokens, r, pjr)
+
+            _, out = jax.lax.scan(body, 0, (ri, pj))
+            return out  # [R, chunk, num_outputs]
+
+        self._score_rows = jax.jit(
+            score_rows,
+            in_shardings=(rep, rep, rep, rep,
+                          NamedSharding(mesh, P(None, "data"))),
+            out_shardings=rep)
+        self.rows_per_dispatch = 64
+
     # ------------------------------------------------------------------
     def _kv_block_bytes(self, n_rows: int) -> int:
         """Device bytes of a ``context_kv_cache`` block for ``n_rows``
@@ -189,7 +220,7 @@ class PairwiseScorer:
 
     # ------------------------------------------------------------------
     def score_rows_block(self, kv_block, tokens, rows_cols,
-                         max_in_flight: int = 4) -> list:
+                         max_in_flight: int = 4, defer: bool = False):
         """Row-sharded scoring: for each ``(row_idx, col_idx)`` in
         ``rows_cols`` score the pairs (row_idx, j), j in col_idx — every
         chunk shares the single x1 row sliced out of ``kv_block``
@@ -213,23 +244,46 @@ class PairwiseScorer:
         chunk = max(chunk, self.n_devices)
         outs = [np.empty((len(cols), self.num_outputs), np.float32)
                 for _, cols in rows_cols]
+
+        # flatten every (row, column-chunk) into a segment, then pack
+        # ``rows_per_dispatch`` segments into ONE multi-row jit dispatch
+        # (short groups pad with repeats of segment 0, discarded on write)
+        segments = []  # (out_idx, lo, hi, row_idx)
+        for oi, (row_idx, cols) in enumerate(rows_cols):
+            for lo in range(0, len(cols), chunk):
+                segments.append((oi, lo, min(lo + chunk, len(cols)), row_idx))
+        r_per = max(int(self.rows_per_dispatch), 1)
+
         in_flight = []
 
         def drain_one():
-            oi, flo, fhi, fl = in_flight.pop(0)
-            outs[oi][flo:fhi] = np.asarray(fl, np.float32)[: fhi - flo]
+            grp, fl = in_flight.pop(0)
+            scores = np.asarray(fl, np.float32)  # [r_per, chunk, C]
+            for k, (oi, lo, hi, _row) in enumerate(grp):
+                outs[oi][lo:hi] = scores[k, : hi - lo]
 
-        for oi, (row_idx, cols) in enumerate(rows_cols):
-            ri = jnp.asarray(row_idx, jnp.int32)
-            for lo in range(0, len(cols), chunk):
-                hi = min(lo + chunk, len(cols))
-                pj = np.zeros(chunk, np.int32)
-                pj[: hi - lo] = cols[lo:hi]
-                logits = self._score_row(self.params, kv_block, tokens, ri,
-                                         jnp.asarray(pj))
-                in_flight.append((oi, lo, hi, logits))
-                if len(in_flight) >= max_in_flight:
+        for g in range(0, len(segments), r_per):
+            grp = segments[g:g + r_per]
+            ri = np.zeros(r_per, np.int32)
+            pj = np.zeros((r_per, chunk), np.int32)
+            for k, (oi, lo, hi, row_idx) in enumerate(grp):
+                ri[k] = row_idx
+                pj[k, : hi - lo] = rows_cols[oi][1][lo:hi]
+            logits = self._score_rows(self.params, kv_block, tokens,
+                                      jnp.asarray(ri), jnp.asarray(pj))
+            in_flight.append((grp, logits))
+            if len(in_flight) >= max_in_flight:
+                drain_one()
+        if defer:
+            # the caller drains AFTER dispatching the next tile's prepare —
+            # the host->device upload and prepare_x2 of tile k+1 enqueue
+            # behind tile k's scoring instead of waiting for its fetch
+            def drain_all():
+                while in_flight:
                     drain_one()
+                return outs
+
+            return outs, drain_all
         while in_flight:
             drain_one()
         return outs
@@ -354,6 +408,19 @@ class PairwiseScorer:
                                 batch[:, y0:y0 + hh, x0:x0 + ww])
                         return batch
 
+        # Column-batch prefetch: the next x2 batch's JPEG decode + crop +
+        # normalize runs on a dedicated host thread WHILE the device scores
+        # the current tile. Without this the host loads ~batch images
+        # (~1 s on this class of host) between every ~4 s device tile —
+        # a measured ~20% sustained-rate loss at flagship scale (the
+        # round-5 N=2k scan demonstration). One worker, and ALL loads
+        # (row and column) route through it, so the native PipelinePool
+        # underneath ``load_images`` is never entered concurrently.
+        from concurrent.futures import ThreadPoolExecutor as _TPE
+
+        prefetch_pool = _TPE(max_workers=1)
+        submit_load = (lambda idx: prefetch_pool.submit(load_images, idx))
+
         try:
             start = time.time()
             for bi, rows in enumerate(row_blocks):
@@ -392,15 +459,21 @@ class PairwiseScorer:
                             f"{cached.shape} != {want}")
 
                 i0 = rows.start
-                imgs = load_images(list(rows))
+                imgs = submit_load(list(rows)).result()
                 feats = self._encode(self.params, self._pad_batch(imgs))
                 ctx = (self._context_kv(self.params, feats)
                        if (self.use_kv_cache or row_shared) else feats)
 
-                # stream x2 column batches from the diagonal onward
+                # stream x2 column batches from the diagonal onward,
+                # double-buffered: batch j0 scores while j0+batch decodes
+                col_fut = submit_load(list(range(i0, min(i0 + batch_size, n))))
+                pending_drain = None  # previous tile's (drain_all, write)
                 for j0 in range(i0, n, batch_size):
                     j1 = min(j0 + batch_size, n)
-                    col_imgs = load_images(list(range(j0, j1)))
+                    col_imgs = col_fut.result()
+                    if j1 < n:
+                        col_fut = submit_load(
+                            list(range(j1, min(j1 + batch_size, n))))
                     tokens = self._prepare(self.params, self._pad_batch(col_imgs))
 
                     if row_shared:
@@ -411,11 +484,19 @@ class PairwiseScorer:
                             for i in range(rows.start, rows.stop)
                             if max(i, j0) < j1
                         ]
-                        outs = self.score_rows_block(
+                        outs, drain_all = self.score_rows_block(
                             ctx, tokens,
-                            [(li, cols - j0) for li, cols in rows_cols])
-                        for (li, cols), scores in zip(rows_cols, outs):
-                            slab[li + i0 - r0, cols] = scores.astype(self.dtype)
+                            [(li, cols - j0) for li, cols in rows_cols],
+                            defer=True)
+                        if pending_drain is not None:
+                            pending_drain()
+
+                        def write_tile(rows_cols=rows_cols, drain=drain_all):
+                            for (li, cols), scores in zip(rows_cols, drain()):
+                                slab[li + i0 - r0, cols] = (
+                                    scores.astype(self.dtype))
+
+                        pending_drain = write_tile
                         continue
 
                     # pairs (i, j) with i in rows, j in [j0, j1), i <= j
@@ -428,6 +509,9 @@ class PairwiseScorer:
                     scores = self.score_pairs_block(ctx, tokens,
                                                     pri - i0, prj - j0)
                     slab[pri - r0, prj] = scores.astype(self.dtype)
+
+                if pending_drain is not None:
+                    pending_drain()  # all rows in the slab before the marker
 
                 if blk_path:
                     if slab_on_disk:
@@ -445,6 +529,7 @@ class PairwiseScorer:
                         f"Pairwise scan [{bi + 1}/{len(row_blocks)} row blocks] "
                         f"eta {elapsed / frac - elapsed:.0f}s")
         finally:
+            prefetch_pool.shutdown()
             if loader_pool is not None:
                 loader_pool.shutdown()
             if native_pool is not None:
