@@ -341,6 +341,10 @@ def default_config() -> ConfigNode:
     c.TPU.PROFILE_DIR = ""         # non-empty -> jax profiler traces land here
     c.TPU.PEAK_TFLOPS = 197.0      # per-chip bf16 peak for the MFU report (v5e)
     c.TPU.FAST_GELU = False        # tanh GELU (~+11%% decode); not bit-parity
+    c.TPU.INT8_SCORE = False       # int8 GEMMs in the O(N^2) scoring scan
+                                   # (ops/quant.py; measured per model size
+                                   # in docs/PERFORMANCE.md — wins at HBM-
+                                   # bound shapes, not at ViT-S)
     c.TPU.CLS_SHORTCUT = True      # last decoder block computes only the CLS
                                    # row in head-scoring paths (identical math,
                                    # ulp-level TPU logit shift); set False for
@@ -364,6 +368,15 @@ def default_config() -> ConfigNode:
                                    # gathers on use, reduce-scatters grads.
                                    # Composes with TP/EP as the fallback
                                    # rule for leaves they leave replicated
+    c.TPU.PIPELINE_STAGES = 0      # >1: GPipe pipeline parallelism — the
+                                   # encoder+decoder blocks stage-sharded
+                                   # over a "stage" mesh axis, microbatches
+                                   # ring-rotated with ppermute; composes
+                                   # with DP (MESH_SHAPE [data, stages],
+                                   # MESH_AXES ['data','stage']); requires
+                                   # zero drop rates (parallel/pp.py)
+    c.TPU.PP_MICROBATCHES = 0      # GPipe microbatches per step
+                                   # (0 -> PIPELINE_STAGES)
     c.TPU.EXPERT_PARALLEL = False  # MoE expert banks split over an
                                    # "expert" mesh axis (MESH_AXES
                                    # [data, expert]); needs MOE.EXPERTS

@@ -92,6 +92,10 @@ class ViTED(nn.Module):
     moe_capacity: float = 1.25
     moe_route_k: int = 1      # 1 = Switch top-1, 2 = GShard top-2
     moe_jitter: float = 0.0   # router-input jitter during training
+    # scoring-time dynamic-int8 GEMMs (ops/quant.py): the inference-only
+    # O(N^2) scan may run its projection GEMMs int8 on the MXU with the
+    # SAME checkpoint params (TPU.INT8_SCORE; gated by tests/test_quant.py)
+    int8_gemm: bool = False
     dtype: Dtype = jnp.float32
 
     @property
@@ -149,7 +153,7 @@ class ViTED(nn.Module):
                       self.qk_norm, self.proj_drop_rate, self.attn_drop_rate,
                       self.init_values, float(dpr[i]), self.keep_attn,
                       self.use_pallas, self.dtype, self.fast_gelu, ring=ring,
-                      inner_sharding=inner,
+                      inner_sharding=inner, int8_gemm=self.int8_gemm,
                       moe_experts=_moe(i), moe_capacity=self.moe_capacity,
                       moe_route_k=self.moe_route_k,
                       moe_jitter=self.moe_jitter,
@@ -161,7 +165,7 @@ class ViTED(nn.Module):
                       self.qk_norm, self.proj_drop_rate, self.attn_drop_rate,
                       self.init_values, float(dpr_cross[i]), self.keep_attn,
                       self.use_pallas, self.dtype, self.fast_gelu, ring=ring,
-                      inner_sharding=inner,
+                      inner_sharding=inner, int8_gemm=self.int8_gemm,
                       name=f"cross_blocks_{i}")
             for i in range(self.c_depth)
         ]
@@ -209,12 +213,23 @@ class ViTED(nn.Module):
         x = x + self.pos_embed[:, 1:].astype(x.dtype)
         return self.pos_drop(x, deterministic=deterministic)
 
+    def embed_stream1(self, x1, train: bool = False):
+        """``encode`` WITHOUT the blocks — patch-embed + pos for image 1.
+        The pipeline-parallel train step (parallel/pp.py) applies this
+        replicated, then runs the blocks stage-sharded."""
+        det = not train
+        return self._constrain(
+            self._pos_embed_no_cls(self._embed(x1), det))
+
+    def head_from_tokens(self, tokens, train: bool = False):
+        """Final norm + CLS head over decoder output tokens — the
+        replicated tail of the pipeline-parallel train step."""
+        return self.forward_head(self.norm(tokens), train)
+
     def encode(self, x1, train: bool = False):
         """Encoder over image 1 without CLS (forward_first_part, L382-388)."""
         det = not train
-        x1 = self._embed(x1)
-        x1 = self._pos_embed_no_cls(x1, det)
-        x1 = self._constrain(x1)
+        x1 = self.embed_stream1(x1, train)
         for blk in self.blocks:
             x1 = self._constrain(blk(x1, det))
         return x1

@@ -92,7 +92,8 @@ def shard_params_pp(stacked: Any, mesh: Mesh, axis: str = "stage") -> Any:
 
 
 def pipeline_apply(layer_fn: Callable[[Any, Any], Any], stacked_params: Any,
-                   stream: Any, mesh: Mesh, axis: str = "stage") -> Any:
+                   stream: Any, mesh: Mesh, axis: str = "stage",
+                   data_axis: str | None = None) -> Any:
     """Run ``stream``'s microbatches through the full layer stack with the
     layers stage-sharded over ``mesh``'s ``axis``.
 
@@ -101,6 +102,12 @@ def pipeline_apply(layer_fn: Callable[[Any, Any], Any], stacked_params: Any,
     arbitrary activation pytree. ``stream`` holds M microbatches as a
     pytree of [M, ...] leaves; returns the same structure, each microbatch
     transformed by all ``depth`` layers in order.
+
+    ``data_axis`` composes the pipeline with data parallelism: every
+    stream leaf's axis 1 (the within-microbatch batch dim) is sharded over
+    that mesh axis, so each data shard runs its own GPipe ring over its
+    slice while XLA all-reduces the resulting gradients over ``data_axis``
+    as usual (the 2-D TPU.MESH_SHAPE [data, stage] product surface).
 
     Differentiable end to end; depth must divide evenly into the stage
     count (pad the stack with identity layers if it ever doesn't).
@@ -164,9 +171,123 @@ def pipeline_apply(layer_fn: Callable[[Any, Any], Any], stacked_params: Any,
             lambda o: jax.lax.psum(jnp.where(last, o, jnp.zeros_like(o)),
                                    axis), outs)
 
+    stream_spec = P(None, data_axis) if data_axis else P()
     return jax.shard_map(
         body, mesh=mesh,
         in_specs=(pp_param_specs(stacked_params, axis),
-                  jax.tree.map(lambda _: P(), stream)),
-        out_specs=jax.tree.map(lambda _: P(), stream),
+                  jax.tree.map(lambda _: stream_spec, stream)),
+        out_specs=jax.tree.map(lambda _: stream_spec, stream),
     )(stacked_params, stream)
+
+
+# ---------------------------------------------------------------------------
+# Product surface: TPU.PIPELINE_STAGES through the unmodified CLI
+# ---------------------------------------------------------------------------
+
+STACKED_ENC = "blocks_stacked"
+STACKED_DEC = "cross_blocks_stacked"
+
+
+def pp_transform_params(params: Any, depth: int, c_depth: int) -> Any:
+    """Standard ViTED param tree -> PP layout: the per-layer ``blocks_i`` /
+    ``cross_blocks_i`` subtrees stacked into ``blocks_stacked`` /
+    ``cross_blocks_stacked`` ([depth, ...] leaves, the layout
+    ``pipeline_apply`` stage-shards). Everything else passes through."""
+    out = {k: v for k, v in params.items()
+           if not (k.startswith("blocks_") or k.startswith("cross_blocks_"))}
+    out[STACKED_ENC] = stack_layer_params(params, "blocks_", depth)
+    out[STACKED_DEC] = stack_layer_params(params, "cross_blocks_", c_depth)
+    return out
+
+
+def pp_restore_params(pp_params: Any) -> Any:
+    """Inverse of :func:`pp_transform_params` (eval / checkpoint interop)."""
+    out = {k: v for k, v in pp_params.items()
+           if k not in (STACKED_ENC, STACKED_DEC)}
+    out.update(unstack_layer_params(pp_params[STACKED_ENC], "blocks_"))
+    out.update(unstack_layer_params(pp_params[STACKED_DEC], "cross_blocks_"))
+    return out
+
+
+def pp_shard_transformed(pp_params: Any, mesh: Mesh,
+                         axis: str = "stage") -> Any:
+    """device_put a PP-layout tree: stacked subtrees stage-sharded over
+    ``axis``, every other leaf replicated."""
+    rep = NamedSharding(mesh, P())
+
+    def put(path, x):
+        top = path[0].key if hasattr(path[0], "key") else str(path[0])
+        if top in (STACKED_ENC, STACKED_DEC):
+            return jax.device_put(x, NamedSharding(mesh, P(axis)))
+        return jax.device_put(x, rep)
+
+    return jax.tree_util.tree_map_with_path(put, pp_params)
+
+
+def pp_block_modules(model):
+    """Standalone Block/CrossBlock modules matching ``model``'s blocks.
+
+    The pipelined train step applies ONE homogeneous module with per-layer
+    param slices, so per-layer module attributes must be uniform: the
+    engine's config validation enforces DROP_PATH_RATE == 0 (stochastic
+    depth rates are a per-layer linspace baked into module attributes, not
+    params) and zero dropout, making attribute rate 0.0 exact."""
+    from vit_ed_tpu.models.layers import Block, CrossBlock
+
+    args = (model.embed_dim, model.num_heads, model.mlp_ratio,
+            model.qkv_bias, model.qk_norm, 0.0, 0.0, model.init_values, 0.0,
+            False, model.use_pallas, model.dtype, model.fast_gelu)
+    return Block(*args), CrossBlock(*args)
+
+
+def make_pp_loss_fn(model, mesh: Mesh, criterion, microbatches: int,
+                    axis: str = "stage", data_axis: str = "data"):
+    """The PP train-step loss: the full pjs pair forward with encoder AND
+    decoder blocks GPipe-pipelined over ``axis``, composed with data
+    parallelism over ``data_axis``.
+
+    Matches ``make_train_step``'s custom loss_fn signature
+    ``loss_fn(model, params, batch, rng) -> loss`` with ``params`` in the
+    PP layout (:func:`pp_transform_params`). Embedding, final norm and the
+    head are replicated (they are a rounding error of the FLOPs); the
+    depth — where the weights live — is stage-sharded. Numerics equal the
+    sequential stack's (tests/test_pp.py::test_pp_train_step_matches_dp)."""
+    enc_blk, dec_blk = pp_block_modules(model)
+
+    def enc_layer(p, t):
+        return enc_blk.apply({"params": p}, t)
+
+    def dec_layer(p, state):
+        t, c = state
+        return dec_blk.apply({"params": p}, t, c), c
+
+    def loss_fn(_model, params, batch, rng):
+        del _model, rng  # dropout-free by config validation
+        samples, targets = batch["samples"], batch["targets"]
+        other = {k: v for k, v in params.items()
+                 if k not in (STACKED_ENC, STACKED_DEC)}
+        b = samples.shape[0]
+        if b % microbatches:
+            raise ValueError(
+                f"PP needs the global batch ({b}) divisible by "
+                f"TPU.PP_MICROBATCHES ({microbatches})")
+        mb = b // microbatches
+
+        def stream_of(x):  # [B, ...] -> [M, mb, ...]
+            return x.reshape((microbatches, mb) + x.shape[1:])
+
+        t1 = model.apply({"params": other}, samples[:, 0],
+                         method=model.embed_stream1)
+        feats = pipeline_apply(enc_layer, params[STACKED_ENC],
+                               stream_of(t1), mesh, axis, data_axis)
+        t2 = model.apply({"params": other}, samples[:, 1],
+                         method=model.prepare_x2)
+        toks, _ = pipeline_apply(dec_layer, params[STACKED_DEC],
+                                 (stream_of(t2), feats), mesh, axis,
+                                 data_axis)
+        logits = model.apply({"params": other},
+                             toks.reshape((b,) + toks.shape[2:]),
+                             method=model.head_from_tokens)
+        return criterion(logits.astype(jnp.float32), targets)
+
+    return loss_fn

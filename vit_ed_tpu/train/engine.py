@@ -190,6 +190,36 @@ class Trainer:
                 raise ValueError("TPU.EXPERT_PARALLEL needs a pjs model with "
                                  "MODEL.PJS.MOE.EXPERTS a positive multiple "
                                  "of the 'expert' axis size")
+        if tpu.PIPELINE_STAGES > 1:
+            if ("stage" not in axes
+                    or self.mesh.shape["stage"] != tpu.PIPELINE_STAGES):
+                raise ValueError(
+                    "TPU.PIPELINE_STAGES needs a matching 'stage' mesh axis: "
+                    "set TPU.MESH_SHAPE [data, stages] and TPU.MESH_AXES "
+                    "['data', 'stage']")
+            if (tpu.TENSOR_PARALLEL or tpu.SEQ_PARALLEL or tpu.FSDP
+                    or tpu.EXPERT_PARALLEL):
+                raise ValueError("TPU.PIPELINE_STAGES composes with data "
+                                 "parallelism only (stage weights are "
+                                 "shard_map-sharded, not GSPMD-sharded)")
+            if self.config.MODEL.TYPE != "pjs":
+                raise ValueError("TPU.PIPELINE_STAGES needs a pjs model "
+                                 "(the stage-sharded blocks are ViTED's)")
+            pjs = self.config.MODEL.PJS
+            if pjs.DEPTH % tpu.PIPELINE_STAGES or \
+                    pjs.C_DEPTH % tpu.PIPELINE_STAGES:
+                raise ValueError(
+                    f"TPU.PIPELINE_STAGES {tpu.PIPELINE_STAGES} must divide "
+                    f"DEPTH {pjs.DEPTH} and C_DEPTH {pjs.C_DEPTH}")
+            if self.config.MODEL.DROP_PATH_RATE or self.config.MODEL.DROP_RATE:
+                raise ValueError(
+                    "TPU.PIPELINE_STAGES requires MODEL.DROP_PATH_RATE 0 and "
+                    "MODEL.DROP_RATE 0: stochastic-depth rates are a "
+                    "per-layer linspace baked into module attributes, which "
+                    "the homogeneous stage-stacked layers cannot carry")
+            if pjs.MOE.EXPERTS > 0:
+                raise ValueError("TPU.PIPELINE_STAGES does not compose with "
+                                 "MoE encoder blocks")
         self.rank = jax.process_index()
         self.world_size = jax.process_count()
         self.n_devices = self.mesh.devices.size
@@ -286,6 +316,33 @@ class Trainer:
                                          fsdp=tpu.FSDP)
         rep = replicated_sharding(self.mesh)
         return jax.tree.map(lambda x: jax.device_put(x, rep), host_params)
+
+    def _pp_view(self, params):
+        """Standard replicated params -> the pipeline-parallel TrainState
+        layout (blocks stacked and stage-sharded, parallel/pp.py); identity
+        when TPU.PIPELINE_STAGES is off."""
+        if self.config.TPU.PIPELINE_STAGES <= 1:
+            return params
+        from vit_ed_tpu.parallel.pp import (pp_shard_transformed,
+                                            pp_transform_params)
+
+        host = jax.tree.map(lambda a: np.asarray(jax.device_get(a)), params)
+        pjs = self.config.MODEL.PJS
+        return pp_shard_transformed(
+            pp_transform_params(host, pjs.DEPTH, pjs.C_DEPTH), self.mesh)
+
+    def _eval_params(self, params):
+        """TrainState params -> the standard replicated layout every
+        eval/checkpoint-convert path consumes; identity unless the state
+        is in the PP layout."""
+        if self.config.TPU.PIPELINE_STAGES <= 1:
+            return params
+        from vit_ed_tpu.parallel.pp import pp_restore_params
+
+        host = jax.tree.map(lambda a: np.asarray(jax.device_get(a)), params)
+        rep = replicated_sharding(self.mesh)
+        return jax.tree.map(lambda x: jax.device_put(x, rep),
+                            pp_restore_params(host))
 
     def _init_params(self):
         rng = jax.random.PRNGKey(self.config.SEED)
@@ -410,14 +467,20 @@ class Trainer:
         accum = max(config.TRAIN.ACCUMULATION_STEPS, 1)
         steps_per_epoch = len(data_loader) // accum
         schedule = build_schedule(config, steps_per_epoch)
-        self.tx = build_optimizer(config, schedule, self.params)
+        # pipeline parallelism: the TrainState (params + AdamW moments)
+        # lives in the PP layout — blocks stacked [depth, ...] and
+        # stage-sharded — for the whole training run; self.params keeps
+        # the standard replicated layout for every eval/checkpoint path
+        # (_eval_params converts after each epoch)
+        state_params = self._pp_view(self.params)
+        self.tx = build_optimizer(config, schedule, state_params)
         # jitted for the per-print lr readout: an un-jitted optax schedule
         # dispatches ~10 eager ops per call (each a round trip on remote
         # backends)
         self.schedule = jax.jit(schedule)
         has_batch_stats = self.batch_stats is not None
-        state = TrainState(params=self.params,
-                           opt_state=self.tx.init(self.params),
+        state = TrainState(params=state_params,
+                           opt_state=self.tx.init(state_params),
                            step=jnp.zeros((), jnp.int32),
                            batch_stats=self.batch_stats)
         # commit every leaf to the mesh: freshly-created uncommitted arrays
@@ -436,8 +499,20 @@ class Trainer:
         # (loss, new_batch_stats).
         moe = self.config.MODEL.PJS.MOE
         is_moe = self.config.MODEL.TYPE == "pjs" and moe.EXPERTS > 0
+        loss_fn = self.make_loss_fn(criterion)
+        if config.TPU.PIPELINE_STAGES > 1:
+            if loss_fn is not None:
+                raise ValueError(
+                    "TPU.PIPELINE_STAGES supports the default supervised "
+                    "pair loss only (a custom make_loss_fn cannot route "
+                    "through the stage-sharded blocks)")
+            from vit_ed_tpu.parallel.pp import make_pp_loss_fn
+
+            loss_fn = make_pp_loss_fn(
+                self.model, self.mesh, criterion,
+                config.TPU.PP_MICROBATCHES or config.TPU.PIPELINE_STAGES)
         self.train_step = make_train_step(self.model, self.tx, criterion, accum,
-                                          self.make_loss_fn(criterion),
+                                          loss_fn,
                                           has_batch_stats=has_batch_stats,
                                           moe_aux_weight=moe.AUX_WEIGHT if is_moe else 0.0,
                                           moe_z_weight=moe.Z_WEIGHT if is_moe else 0.0)
@@ -445,7 +520,8 @@ class Trainer:
         self._resume_skip_opt_steps = 0
         if config.MODEL.RESUME:
             state, self.min_loss, self.start_epoch = self._load_resume(state)
-            self.params, self.batch_stats = state.params, state.batch_stats
+            self.params = self._eval_params(state.params)
+            self.batch_stats = state.batch_stats
             # fast-forward the step rng by the optimizer steps already
             # applied so post-resume in-step randomness (dropout) matches
             # an uninterrupted run; skipped steps burn their split in
@@ -463,12 +539,13 @@ class Trainer:
 
         self.logger.info("Start training...")
         start_time = time.time()
-        self.params = state.params
+        self.params = self._eval_params(state.params)
         loss = self.validate()
         self.logger.info(f"Init loss: {loss}")
         for epoch in range(self.start_epoch, config.TRAIN.EPOCHS):
             state = self.train_one_epoch(epoch, data_loader, state, criterion)
-            self.params, self.batch_stats = state.params, state.batch_stats
+            self.params = self._eval_params(state.params)
+            self.batch_stats = state.batch_stats
             if self.preempted:
                 # the preemption checkpoint was already saved inside the
                 # epoch; skip validate/best-model work — the grace window

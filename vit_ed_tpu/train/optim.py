@@ -124,12 +124,20 @@ def build_schedule(config, n_iter_per_epoch: int) -> Callable:
 
 def weight_decay_mask(params) -> dict:
     """True where weight decay applies: multi-dim params that are not biases
-    (misc/optimizer.py:32-46 — 1-D params and *.bias are excluded)."""
+    (misc/optimizer.py:32-46 — 1-D params and *.bias are excluded).
+
+    Pipeline-parallel param trees stack the per-layer blocks into
+    ``blocks_stacked`` / ``cross_blocks_stacked`` subtrees whose leaves
+    carry a leading [depth] axis (parallel/pp.py) — the dimensionality
+    rule shifts by one there so e.g. a stacked LayerNorm scale ([L, C],
+    2-D) still reads as the 1-D no-decay param it is per layer."""
     import jax
 
     def decay(path, p):
+        top = path[0].key if hasattr(path[0], "key") else str(path[0])
+        stacked = top in ("blocks_stacked", "cross_blocks_stacked")
         leaf_name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
-        if p.ndim <= 1 or leaf_name == "bias":
+        if p.ndim - (1 if stacked else 0) <= 1 or leaf_name == "bias":
             return False
         return True
 
