@@ -427,3 +427,54 @@ def test_native_warp_upscale_bottom_right_corner_parity():
             np.testing.assert_array_equal(
                 npipe.warp_affine(img, m, bv),
                 T._warp_affine_np(img, m, bv))
+
+
+def test_gaussian_blur_bit_exact_vs_pil_dense_sweep():
+    """Native AND numpy-mirror Gaussian blur vs PIL across a dense radius
+    grid — the C-float radius/weight derivation (Pillow BoxBlur.c locals)
+    must round identically or specific radii shift outputs by one."""
+    from PIL import ImageFilter
+
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (48, 61, 3), np.uint8)
+    pim = Image.fromarray(img)
+    for radius in np.linspace(0.0, 6.0, 61):
+        r = float(radius)
+        want = np.asarray(pim.filter(ImageFilter.GaussianBlur(radius=r)))
+        np.testing.assert_array_equal(
+            want, npipe.gaussian_blur(img, r), err_msg=f"native r={r}")
+        np.testing.assert_array_equal(
+            want, npipe._gaussian_blur_np(img, r), err_msg=f"numpy r={r}")
+
+
+def test_gaussian_blur_edge_shapes():
+    """Radius >= image size exercises Pillow's clamped single-loop branch."""
+    from PIL import ImageFilter
+
+    rng = np.random.default_rng(2)
+    for h, w in [(1, 1), (1, 5), (2, 2), (3, 40), (40, 3)]:
+        img = rng.integers(0, 256, (h, w, 3), np.uint8)
+        pim = Image.fromarray(img)
+        for r in (0.3, 2.0, 10.0, 25.0):
+            want = np.asarray(pim.filter(ImageFilter.GaussianBlur(radius=r)))
+            np.testing.assert_array_equal(want, npipe.gaussian_blur(img, r))
+            np.testing.assert_array_equal(
+                want, npipe._gaussian_blur_np(img, r))
+
+
+def test_gaussian_blur_transform_routes_native(monkeypatch):
+    """transforms.GaussianBlur p=1 produces the PIL-filter result through
+    the native path (PIL in/out contract preserved)."""
+    import random as _random
+
+    from PIL import ImageFilter
+
+    rng = np.random.default_rng(3)
+    img = Image.fromarray(rng.integers(0, 256, (32, 37, 3), np.uint8))
+    t = T.GaussianBlur(p=1.0, radius_min=0.8, radius_max=0.8)
+    _random.seed(7)
+    got = t(img)
+    assert isinstance(got, Image.Image)
+    # radius drawn from uniform(0.8, 0.8) == 0.8 regardless of seed
+    want = img.filter(ImageFilter.GaussianBlur(radius=0.8))
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(got))

@@ -476,8 +476,13 @@ class GaussianBlur:
     def __call__(self, img):
         if random.random() > self.prob:
             return img
-        return img.filter(ImageFilter.GaussianBlur(
-            radius=random.uniform(self.radius_min, self.radius_max)))
+        radius = random.uniform(self.radius_min, self.radius_max)
+        if _native_ok(img):
+            # bit-exact vs ImageFilter.GaussianBlur, SIMD-wide box passes
+            # (native/pipeline.cc; ~2x PIL at the flagship fragment size)
+            return Image.fromarray(_npipe.gaussian_blur(
+                np.asarray(img), radius))
+        return img.filter(ImageFilter.GaussianBlur(radius=radius))
 
 
 # ---------------------------------------------------------------------------

@@ -734,6 +734,128 @@ void vt_warp_affine_u8(const uint8_t* src, int h, int w, int c,
   warp_affine_u8(src, h, w, c, m, dst, border_mode, border);
 }
 
+// ---------------------------------------------------------------------------
+// Gaussian blur (data/transforms.py::GaussianBlur): BIT-EXACT vs
+// PIL ImageFilter.GaussianBlur (Pillow BoxBlur.c): three box-blur passes
+// per direction at the Gwosdek box radius, 24.8 fixed point, per-pass
+// uint8 rounding. The radius arithmetic replicates the C float (not
+// double) locals of Pillow's ImagingGaussianBlur — the box radius,
+// ww and fw must round identically or outputs shift by one at specific
+// radii (verified by a 241-radius dense sweep in
+// tests/test_native_pipeline.py).
+//
+// Layout strategy: Pillow runs its scalar horizontal line blur 3x, then
+// transposes, 3x, transposes back. Here BOTH directions run as an
+// axis-0 (row-direction) pass whose inner loop is over the W*C
+// contiguous lanes of each row — auto-vectorized u32 adds/multiplies
+// over full AVX registers — with the same two pixel transposes Pillow
+// already pays. Order (horizontal first) and per-pass rounding match,
+// so results are bit-identical while each pass runs SIMD-wide.
+// ---------------------------------------------------------------------------
+
+static void blur_params(float radius, int passes, int* int_radius,
+                        uint32_t* ww, uint32_t* fw) {
+  // Pillow ImagingGaussianBlur: float locals, double only inside the
+  // sqrt/floor expressions (C promotion), each assignment a float round
+  float sigma2 = radius * radius / passes;
+  float L = (float)std::sqrt(12.0 * (double)sigma2 + 1.0);
+  float l = (float)std::floor(((double)L - 1.0) / 2.0);
+  float a = (2.0f * l + 1.0f) * (l * (l + 1.0f) - 3.0f * sigma2);
+  a /= 6.0f * (sigma2 - (l + 1.0f) * (l + 1.0f));
+  float fr = l + a;
+  int r = (int)fr;
+  uint32_t w = (uint32_t)((float)(1 << 24) / (fr * 2.0f + 1.0f));
+  *int_radius = r;
+  *ww = w;
+  *fw = ((uint32_t)(1 << 24) - (uint32_t)(r * 2 + 1) * w) / 2;
+}
+
+// One box-blur pass along axis 0 of an [n, lanes] u8 buffer (all lanes
+// independent -> the j-loops vectorize across the full row width).
+static void box_pass_axis0(const uint8_t* in, uint8_t* out, int n,
+                           int64_t lanes, int radius, uint32_t ww,
+                           uint32_t fw, uint32_t* acc) {
+  int last = n - 1;
+  int edge_a = radius + 1 < n ? radius + 1 : n;
+  int edge_b = n - radius - 1 > 0 ? n - radius - 1 : 0;
+  const uint8_t* rl = in + (int64_t)last * lanes;
+
+  for (int64_t j = 0; j < lanes; ++j)
+    acc[j] = (uint32_t)in[j] * (uint32_t)(radius + 1);
+  for (int y = 0; y < edge_a - 1; ++y) {
+    const uint8_t* r = in + (int64_t)y * lanes;
+    for (int64_t j = 0; j < lanes; ++j) acc[j] += r[j];
+  }
+  for (int64_t j = 0; j < lanes; ++j)
+    acc[j] += (uint32_t)rl[j] * (uint32_t)(radius - edge_a + 1);
+
+  const uint32_t half = 1u << 23;
+  auto emit = [&](int y, const uint8_t* sub, const uint8_t* add,
+                  const uint8_t* farA, const uint8_t* farB) {
+    uint8_t* o = out + (int64_t)y * lanes;
+    for (int64_t j = 0; j < lanes; ++j) {
+      acc[j] += (uint32_t)add[j] - (uint32_t)sub[j];
+      uint32_t bulk = acc[j] * ww + ((uint32_t)farA[j] + farB[j]) * fw;
+      o[j] = (uint8_t)((bulk + half) >> 24);
+    }
+  };
+
+  auto row = [&](int y) { return in + (int64_t)y * lanes; };
+  if (edge_a <= edge_b) {
+    for (int y = 0; y < edge_a; ++y)
+      emit(y, row(0), row(y + radius), row(0), row(y + radius + 1));
+    for (int y = edge_a; y < edge_b; ++y)
+      emit(y, row(y - radius - 1), row(y + radius), row(y - radius - 1),
+           row(y + radius + 1));
+    for (int y = edge_b; y <= last; ++y)
+      emit(y, row(y - radius - 1), row(last), row(y - radius - 1),
+           row(last));
+  } else {
+    auto clamp = [&](int y) { return y < 0 ? 0 : (y > last ? last : y); };
+    for (int y = 0; y <= last; ++y)
+      emit(y, row(clamp(y - radius - 1)), row(clamp(y + radius)),
+           row(clamp(y - radius - 1)), row(clamp(y + radius + 1)));
+  }
+}
+
+static void transpose_px(const uint8_t* in, uint8_t* out, int h, int w,
+                         int c) {
+  // [h, w, c] -> [w, h, c], blocked for cache
+  const int B = 32;
+  for (int y0 = 0; y0 < h; y0 += B)
+    for (int x0 = 0; x0 < w; x0 += B) {
+      int y1 = y0 + B < h ? y0 + B : h, x1 = x0 + B < w ? x0 + B : w;
+      for (int y = y0; y < y1; ++y)
+        for (int x = x0; x < x1; ++x)
+          for (int k = 0; k < c; ++k)
+            out[((int64_t)x * h + y) * c + k] =
+                in[((int64_t)y * w + x) * c + k];
+    }
+}
+
+void vt_gaussian_blur_u8(const uint8_t* src, int h, int w, int c,
+                         float radius, uint8_t* dst) {
+  int r;
+  uint32_t ww, fw;
+  blur_params(radius, 3, &r, &ww, &fw);
+  int64_t n = (int64_t)h * w * c;
+  std::vector<uint8_t> a((size_t)n), b((size_t)n);
+  int64_t lanes_t = (int64_t)h * c;  // transposed: [w, h, c]
+  int64_t lanes = (int64_t)w * c;
+  std::vector<uint32_t> acc((size_t)(lanes_t > lanes ? lanes_t : lanes));
+
+  // horizontal direction first (Pillow order): transpose, 3 axis-0
+  // passes along what was W, transpose back, 3 axis-0 passes along H
+  transpose_px(src, a.data(), h, w, c);
+  box_pass_axis0(a.data(), b.data(), w, lanes_t, r, ww, fw, acc.data());
+  box_pass_axis0(b.data(), a.data(), w, lanes_t, r, ww, fw, acc.data());
+  box_pass_axis0(a.data(), b.data(), w, lanes_t, r, ww, fw, acc.data());
+  transpose_px(b.data(), a.data(), w, h, c);
+  box_pass_axis0(a.data(), b.data(), h, lanes, r, ww, fw, acc.data());
+  box_pass_axis0(b.data(), a.data(), h, lanes, r, ww, fw, acc.data());
+  box_pass_axis0(a.data(), dst, h, lanes, r, ww, fw, acc.data());
+}
+
 void* vt_pool_create(int n_threads) { return new Pool(n_threads); }
 
 void vt_pool_destroy(void* pool) { delete static_cast<Pool*>(pool); }

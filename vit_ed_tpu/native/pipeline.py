@@ -13,6 +13,7 @@ to the Python path.
 from __future__ import annotations
 
 import ctypes
+import math
 import os
 import threading
 from typing import Optional, Sequence, Tuple
@@ -79,6 +80,8 @@ def _load():
         lib.vt_warp_affine_u8.argtypes = [_u8] + [ctypes.c_int] * 3 + \
             [np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"), _u8,
              ctypes.c_int, _u8]
+        lib.vt_gaussian_blur_u8.argtypes = [_u8] + [ctypes.c_int] * 3 + \
+            [ctypes.c_float, _u8]
         lib.vt_jpeg_dims.restype = ctypes.c_int
         lib.vt_jpeg_dims.argtypes = [_u8, ctypes.c_int64, _i32]
         lib.vt_jpeg_decode.restype = ctypes.c_int
@@ -211,6 +214,88 @@ def warp_affine(img, m, border_value=None) -> np.ndarray:
             np.clip(np.rint(np.broadcast_to(v, (c,))), 0, 255).astype(np.uint8))
         mode = 1
     lib.vt_warp_affine_u8(arr, h, w, c, m, out, mode, border)
+    return out
+
+
+def _blur_params(radius: float, passes: int = 3):
+    """Pillow BoxBlur.c's box radius + 24.8 fixed-point weights, with the
+    C FLOAT (not double) rounding of ImagingGaussianBlur's locals — the
+    box radius, ww and fw must round identically to Pillow's or outputs
+    shift by one at specific radii (the dense-sweep test)."""
+    f32 = np.float32
+    r = f32(radius)
+    sigma2 = f32(f32(r * r) / f32(passes))
+    L = f32(math.sqrt(12.0 * float(sigma2) + 1.0))
+    l = f32(math.floor((float(L) - 1.0) / 2.0))
+    num = f32(f32(f32(2) * l + f32(1))
+              * f32(f32(l * f32(l + f32(1))) - f32(3) * sigma2))
+    den = f32(f32(6) * f32(sigma2 - f32(f32(l + f32(1)) * f32(l + f32(1)))))
+    fr = f32(l + f32(num / den))
+    ri = int(fr)
+    ww = int(f32(f32(1 << 24) / f32(fr * f32(2) + f32(1))))
+    fw = ((1 << 24) - (ri * 2 + 1) * ww) // 2
+    return ri, ww, fw
+
+
+def _box_pass_np(arr: np.ndarray, radius: int, ww: int, fw: int) -> np.ndarray:
+    """One box-blur pass along axis 0 of [n, ...] u8 (Pillow line blur:
+    integer running window + fractional edge weights, per-pass rounding)."""
+    n = arr.shape[0]
+    last = n - 1
+    edge_a = min(radius + 1, n)
+    edge_b = max(n - radius - 1, 0)
+    lin = arr.astype(np.int64)
+    out = np.empty_like(arr)
+
+    acc = lin[0] * (radius + 1)
+    for y in range(edge_a - 1):
+        acc = acc + lin[y]
+    acc = acc + lin[last] * (radius - edge_a + 1)
+
+    def emit(y, sub, add, far_a, far_b):
+        nonlocal acc
+        acc = acc + lin[add] - lin[sub]
+        bulk = acc * ww + (lin[far_a] + lin[far_b]) * fw
+        out[y] = ((bulk + (1 << 23)) >> 24).astype(np.uint8)
+
+    if edge_a <= edge_b:
+        for y in range(edge_a):
+            emit(y, 0, y + radius, 0, y + radius + 1)
+        for y in range(edge_a, edge_b):
+            emit(y, y - radius - 1, y + radius, y - radius - 1,
+                 y + radius + 1)
+        for y in range(edge_b, last + 1):
+            emit(y, y - radius - 1, last, y - radius - 1, last)
+    else:
+        for y in range(last + 1):
+            emit(y, max(y - radius - 1, 0), min(y + radius, last),
+                 max(y - radius - 1, 0), min(y + radius + 1, last))
+    return out
+
+
+def _gaussian_blur_np(arr: np.ndarray, radius: float) -> np.ndarray:
+    """Bit-exact numpy mirror of PIL GaussianBlur (fallback + test oracle).
+    Horizontal direction first, then vertical — Pillow's pass order."""
+    ri, ww, fw = _blur_params(radius)
+    out = arr.transpose(1, 0, 2)           # [w, h, c]: axis 0 == original W
+    for _ in range(3):
+        out = _box_pass_np(out, ri, ww, fw)
+    out = np.ascontiguousarray(out.transpose(1, 0, 2))
+    for _ in range(3):
+        out = _box_pass_np(out, ri, ww, fw)
+    return out
+
+
+def gaussian_blur(img, radius: float) -> np.ndarray:
+    """PIL ImageFilter.GaussianBlur, bit-exact, SIMD-wide native passes
+    (tests/test_native_pipeline.py dense radius sweep)."""
+    lib = _load()
+    arr = _as_u8(img)
+    if lib is None or not hasattr(lib, "vt_gaussian_blur_u8"):
+        return _gaussian_blur_np(arr, radius)
+    h, w, c = arr.shape
+    out = np.empty_like(arr)
+    lib.vt_gaussian_blur_u8(arr, h, w, c, float(radius), out)
     return out
 
 
