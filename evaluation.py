@@ -59,7 +59,8 @@ def testing(config, model, params, logger):
 
     mesh = create_mesh(config.TPU.MESH_SHAPE or None)
     scorer = PairwiseScorer(model, params, mesh, num_outputs=config.MODEL.NUM_CLASSES,
-                            pair_chunk=config.DATA.BATCH_SIZE * mesh.devices.size)
+                            pair_chunk=config.DATA.BATCH_SIZE * mesh.devices.size,
+                            int8=config.TPU.INT8_SCORE)
     transform = TwoImgSyncEval(config.DATA.IMG_SIZE)
 
     for subset in ["Cho", "McGill", "BGU"]:

@@ -221,7 +221,8 @@ class HisfragTrainer(Trainer):
 
         scorer = PairwiseScorer(self.model, self.params, self.mesh, num_outputs=1,
                                 pair_chunk=self.config.DATA.TEST_BATCH_SIZE
-                                * self.mesh.devices.size)
+                                * self.mesh.devices.size,
+                                int8=self.config.TPU.INT8_SCORE)
         sim = scorer.score_dataset(
             dataset, batch_size=self.config.DATA.BATCH_SIZE, logger=self.logger,
             out_dir=self.config.OUTPUT, tag=split.value, rank=self.rank,
@@ -271,7 +272,8 @@ class HisfragTrainer(Trainer):
             val_n_items_per_writer=self.config.DATA.EVAL_N_ITEMS_PER_CATEGORY)
         scorer = PairwiseScorer(self.model, self.params, self.mesh, num_outputs=1,
                                 pair_chunk=self.config.DATA.TEST_BATCH_SIZE
-                                * self.mesh.devices.size)
+                                * self.mesh.devices.size,
+                                int8=self.config.TPU.INT8_SCORE)
         rows, row_range = scorer.score_dataset(
             dataset, batch_size=self.config.DATA.BATCH_SIZE, logger=self.logger,
             out_dir=self.config.OUTPUT, tag=split.value, rank=self.rank,

@@ -59,7 +59,8 @@ class PajigsawTrainer(Trainer):
         scorer = PairwiseScorer(self.model, self.params, self.mesh,
                                 num_outputs=self.config.MODEL.NUM_CLASSES,
                                 pair_chunk=self.config.DATA.BATCH_SIZE
-                                * self.mesh.devices.size)
+                                * self.mesh.devices.size,
+                                int8=self.config.TPU.INT8_SCORE)
         transform = TwoImgSyncEval(self.config.DATA.IMG_SIZE)
 
         puzzles, im_names = [], []

@@ -24,6 +24,7 @@ from vit_ed_tpu.ops.attention import (
     fused_attention_packed_qkv_cls,
     reference_attention,
 )
+from vit_ed_tpu.ops.quant import QuantDense
 from vit_ed_tpu.ops.ring_attention import ring_attention_shmap
 
 Dtype = Any
@@ -89,10 +90,12 @@ class Mlp(nn.Module):
     dropout: float = 0.0
     dtype: Dtype = jnp.float32
     fast_gelu: bool = False
+    # scoring-time dynamic-int8 GEMMs (ops/quant.py, TPU.INT8_SCORE)
+    int8_gemm: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        dense = nn.Dense
+        dense = QuantDense if self.int8_gemm else nn.Dense
         x = dense(self.hidden_dim, dtype=self.dtype, kernel_init=trunc_normal_init,
                   name="fc1")(x)
         x = jax.nn.gelu(x, approximate=True) if self.fast_gelu else gelu_exact(x)
@@ -180,6 +183,8 @@ class Attention(nn.Module):
     # has to guess between the token-sharded block boundary and the
     # feature-sharded column-parallel kernels (ViTED._inner_sharding)
     inner_sharding: Optional[Any] = None
+    # scoring-time dynamic-int8 GEMMs (ops/quant.py, TPU.INT8_SCORE)
+    int8_gemm: bool = False
 
     def _anchor(self, t):
         if self.inner_sharding is None:
@@ -192,7 +197,7 @@ class Attention(nn.Module):
         (CLS) query row only, [B, 1, C] — k/v still cover the full
         sequence. Used by the pair scan's last-decoder-block
         short-circuit (only the CLS row feeds the head)."""
-        dense = nn.Dense
+        dense = QuantDense if self.int8_gemm else nn.Dense
         qkv = self._anchor(
             dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype,
                   kernel_init=trunc_normal_init, name="qkv")(x))
@@ -269,6 +274,8 @@ class CrossAttention(nn.Module):
     ring: Optional[Any] = None
     # Megatron inner-region anchor under SP(+TP) — see Attention.inner_sharding
     inner_sharding: Optional[Any] = None
+    # scoring-time dynamic-int8 GEMMs (ops/quant.py, TPU.INT8_SCORE)
+    int8_gemm: bool = False
 
     def _anchor(self, t):
         if self.inner_sharding is None or t.shape[0] == 1:
@@ -276,7 +283,7 @@ class CrossAttention(nn.Module):
         return jax.lax.with_sharding_constraint(t, self.inner_sharding)
 
     def setup(self):
-        dense = nn.Dense
+        dense = QuantDense if self.int8_gemm else nn.Dense
         self.q_dense = dense(self.dim, use_bias=self.qkv_bias, dtype=self.dtype,
                              kernel_init=trunc_normal_init, name="q")
         self.kv_dense = dense(self.dim * 2, use_bias=self.qkv_bias,
@@ -387,6 +394,8 @@ class Block(nn.Module):
     moe_capacity: float = 1.25
     moe_route_k: int = 1
     moe_jitter: float = 0.0
+    # scoring-time dynamic-int8 GEMMs (ops/quant.py, TPU.INT8_SCORE)
+    int8_gemm: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -395,6 +404,7 @@ class Block(nn.Module):
                       self.attn_drop, self.proj_drop, self.keep_attn,
                       self.use_pallas, self.dtype, ring=self.ring,
                       inner_sharding=self.inner_sharding,
+                      int8_gemm=self.int8_gemm,
                       name="attn")(y, deterministic)
         if self.init_values:
             y = LayerScale(self.dim, self.init_values, name="ls1")(y)
@@ -411,7 +421,7 @@ class Block(nn.Module):
                        name="mlp")(y, deterministic)
         else:
             y = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.proj_drop,
-                    self.dtype, self.fast_gelu,
+                    self.dtype, self.fast_gelu, int8_gemm=self.int8_gemm,
                     name="mlp")(y, deterministic)
         if self.init_values:
             y = LayerScale(self.dim, self.init_values, name="ls2")(y)
@@ -445,13 +455,15 @@ class CrossBlock(nn.Module):
     ring: Optional[Any] = None  # sequence-parallel attention, see Attention.ring
     # Megatron inner-region anchor under SP(+TP) — see Attention.inner_sharding
     inner_sharding: Optional[Any] = None
+    # scoring-time dynamic-int8 GEMMs (ops/quant.py, TPU.INT8_SCORE)
+    int8_gemm: bool = False
 
     def setup(self):
         self.norm1 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")
         self.attn = Attention(self.dim, self.num_heads, self.qkv_bias,
                               self.qk_norm, self.attn_drop, self.proj_drop,
                               self.keep_attn, self.use_pallas, self.dtype,
-                              ring=self.ring,
+                              ring=self.ring, int8_gemm=self.int8_gemm,
                               inner_sharding=self.inner_sharding, name="attn")
         self.norm_cross = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
                                        name="norm_cross")
@@ -463,10 +475,12 @@ class CrossBlock(nn.Module):
                                          self.keep_attn, self.use_pallas,
                                          self.dtype, ring=self.ring,
                                          inner_sharding=self.inner_sharding,
+                                         int8_gemm=self.int8_gemm,
                                          name="cross_attn")
         self.norm2 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")
         self.mlp = Mlp(int(self.dim * self.mlp_ratio), self.dim,
-                       self.proj_drop, self.dtype, self.fast_gelu, name="mlp")
+                       self.proj_drop, self.dtype, self.fast_gelu,
+                       int8_gemm=self.int8_gemm, name="mlp")
         if self.init_values:
             self.ls1 = LayerScale(self.dim, self.init_values, name="ls1")
             self.ls_cross = LayerScale(self.dim, self.init_values,
