@@ -108,7 +108,7 @@ def main():
                                             ("contrast", 0.9),
                                             ("saturation", 1.05),
                                             ("hue", 12)]))
-    stage("GaussianBlur (PIL)",
+    stage("GaussianBlur (native)",
           lambda: T.GaussianBlur(p=1.0, radius_min=1.5,
                                  radius_max=1.5)(crop))
     stage("normalize (native fused)", lambda: T.normalize_image(crop))
