@@ -66,6 +66,12 @@ def main():
     logger = create_logger(args.output, name="export")
 
     model = build_model(config)
+    if config.TPU.INT8_SCORE:
+        # int8 scoring bundle (--opts TPU.INT8_SCORE True): the exported
+        # stages run dynamic-int8 projection GEMMs; measured faster at
+        # pjs-B/L decode shapes, slower at S (docs/PERFORMANCE.md int8
+        # section). Params are the SAME bf16/f32 checkpoint tree.
+        model = model.clone(int8_gemm=True)
     img = config.DATA.IMG_SIZE
     params = model.init(jax.random.PRNGKey(config.SEED),
                         jnp.zeros((1, 2, img, img, 3)))["params"]
@@ -90,7 +96,8 @@ def main():
         model, params, args.output, batch_sizes=batch_sizes,
         platforms=platforms, mesh=mesh,
         extra_meta={"config": os.path.basename(args.cfg),
-                    "pretrained": args.pretrained})
+                    "pretrained": args.pretrained,
+                    "int8_score": bool(config.TPU.INT8_SCORE)})
     for stage, entries in meta["stages"].items():
         logger.info(f"exported {stage}: "
                     + ", ".join(e["file"] for e in entries))
