@@ -67,3 +67,72 @@ def test_pjsl_tp_sp_train_step_compiles_at_real_scale():
     if mem is not None and getattr(mem, "argument_size_in_bytes", 0):
         per_dev_args = mem.argument_size_in_bytes
         assert per_dev_args < 0.65 * (n * 12)  # p f32 + AdamW m/v f32
+
+
+@pytest.mark.skipif(os.environ.get("VIT_ED_SLOW_TESTS") != "1",
+                    reason="XLA CPU compile of the full pjs-L PP program; "
+                           "run with VIT_ED_SLOW_TESTS=1")
+def test_pjsl_pp_train_step_compiles_at_real_scale():
+    """TPU.PIPELINE_STAGES at pjs-L geometry: the GPipe train step (4
+    stages x 2-way DP, encoder+decoder blocks stage-sharded, depth 24+24,
+    embed 1024) must compile AOT on the 8-device mesh — the depth-
+    dominated regime PP exists for."""
+    from vit_ed_tpu.config import default_config
+    from vit_ed_tpu.models.vit_ed import ViTED
+    from vit_ed_tpu.parallel.mesh import create_mesh
+    from vit_ed_tpu.parallel.pp import (STACKED_DEC, STACKED_ENC,
+                                        make_pp_loss_fn, pp_transform_params)
+    from vit_ed_tpu.train.engine import TrainState, make_train_step
+    from vit_ed_tpu.train.losses import bce_with_logits
+    from vit_ed_tpu.train.optim import build_optimizer, cosine_schedule
+
+    mesh = create_mesh((2, 4), axis_names=("data", "stage"))
+    model = ViTED(img_size=512, patch_size=16, num_classes=1,
+                  embed_dim=1024, depth=24, c_depth=24, num_heads=16,
+                  dtype=jnp.bfloat16, use_pallas=False)
+
+    x_struct = jax.ShapeDtypeStruct((2, 2, 512, 512, 3), jnp.float32)
+    params = jax.eval_shape(model.init, jax.random.PRNGKey(0), x_struct)[
+        "params"]
+    n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    assert n > 7e8  # the real pjs-L, not a shrunken stand-in
+
+    pp_struct = jax.eval_shape(lambda p: pp_transform_params(p, 24, 24),
+                               params)
+    rep = NamedSharding(mesh, P())
+    staged = NamedSharding(mesh, P("stage"))
+
+    def put(path, s):
+        top = path[0].key if hasattr(path[0], "key") else str(path[0])
+        sh = staged if top in (STACKED_ENC, STACKED_DEC) else rep
+        return jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh)
+
+    import jax.tree_util as jtu
+
+    pp_params = jtu.tree_map_with_path(put, pp_struct)
+
+    cfg = default_config()
+    tx = build_optimizer(cfg, cosine_schedule(1e-3, 1e-5, 1e-6, 100, 10),
+                         pp_params)
+    opt_state = jax.eval_shape(tx.init, pp_params)
+    state = TrainState(params=pp_params, opt_state=opt_state,
+                       step=jax.ShapeDtypeStruct((), jnp.int32))
+
+    batch_sh = NamedSharding(mesh, P(None, "data"))
+    batch = {
+        "samples": jax.ShapeDtypeStruct((1, 8, 2, 512, 512, 3), jnp.float32,
+                                        sharding=batch_sh),
+        "targets": jax.ShapeDtypeStruct((1, 8, 1), jnp.float32,
+                                        sharding=batch_sh),
+    }
+    step = make_train_step(
+        model, tx, bce_with_logits, accum_steps=1,
+        loss_fn=make_pp_loss_fn(model, mesh, bce_with_logits,
+                                microbatches=4))
+    compiled = step.lower(state, batch,
+                          jax.ShapeDtypeStruct((2,), jnp.uint32)).compile()
+    # stage weights must be sharded, not gathered: per-device argument
+    # bytes ~ (blocks/4 + replicated tail) x (f32 + 2 AdamW moments)
+    mem = compiled.memory_analysis()
+    if mem is not None and getattr(mem, "argument_size_in_bytes", 0):
+        assert mem.argument_size_in_bytes < 0.5 * (n * 12)
