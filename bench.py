@@ -57,6 +57,39 @@ class Timing:
         self.spread_pct = 100.0 * (xs[-1] - xs[0]) / self.median if xs else 0.0
 
 
+def _timed_pipelined(fn, make_args, n_dispatch, groups=5, per_group=4):
+    """Time `fn` over pipelined dispatches, production-style.
+
+    The production scorer (parallel/pairs.py score_rows_block) keeps up to
+    max_in_flight=4 compiled calls queued on the device before fetching the
+    oldest result, hiding the per-dispatch host->device round trip (~30 ms
+    on the tunneled chip) behind compute. This harness reproduces that:
+    each timed group enqueues ``per_group`` dispatches back-to-back (JAX
+    async dispatch) and blocks on all outputs once; group seconds /
+    per_group is the per-dispatch time. ``make_args(k)`` returns the k-th
+    dispatch's arguments — VARYING per dispatch (fresh pair indices), so
+    nothing is loop-invariant and no carry-perturbation artifact (a full
+    elementwise pass over the token array per iteration, the old
+    _timed_scan's cost) pollutes the measurement.
+
+    Returns a ``Timing`` over per-dispatch seconds; ``n_dispatch`` is how
+    many total dispatches to pre-build args for (groups * per_group).
+    """
+    args = [make_args(k) for k in range(n_dispatch)]
+    np.asarray(fn(*args[0]))  # compile + warm (same executable: same shapes)
+    secs = []
+    k = 0
+    for _ in range(groups):
+        batch = [args[(k + i) % n_dispatch] for i in range(per_group)]
+        k += per_group
+        t0 = time.time()
+        outs = [fn(*a) for a in batch]
+        for o in outs:
+            np.asarray(o)
+        secs.append((time.time() - t0) / per_group)
+    return Timing(secs)
+
+
 def _timed_scan(fn, args, iters, repeats=3):
     """Run fn(*args) `iters` times inside one jitted scan; returns a
     ``Timing`` over `repeats` timed dispatches.
@@ -111,31 +144,56 @@ def bench_pair_forwards(img_size, patch_size, depth, c_depth, embed_dim, num_hea
     full_rate = batch / full_t.best
 
     # decode-only pair score (the O(N^2) scan inner op), exactly the
-    # production dataflow of parallel/pairs.py's ROW-SHARDED schedule:
+    # production dataflow of parallel/pairs.py's MULTI-ROW row-sharded
+    # schedule (PairwiseScorer._score_rows, rows_per_dispatch=64):
     # encoder features + per-cross-block context K/V cache once per x1
     # row (every pair chunk shares its row); stream-2 tokens advanced
-    # through decoder block 0's self-attention once per x2 batch; the
+    # through decoder block 0's self-attention once per x2 batch; ONE
+    # dispatch scans rows_per_dispatch (row, 64-pair chunk) segments; the
     # last decoder block computes only the CLS row the head consumes.
     # Per pair: q projections, attention kernels (shared-context K/V
     # VMEM-resident), output projections and MLPs (ViTED.score_tokens_row).
+    # Round-5 measurement (scripts/bench_sched_r5.py): the multi-row scan
+    # is a kernel-level win over single-row dispatches at identical math
+    # (1,060.6 -> 1,087.8 pairs/s at R=16, array_equal outputs), so the
+    # bench measures what production runs.
     feats = jax.jit(lambda p, a: model.apply({"params": p}, a, forward_first_part=True))(
         params, x[:, 0])
     tokens = jax.jit(lambda p, a: model.apply({"params": p}, a,
                                               method=model.prepare_x2_scan))(
         params, x[:, 1])
-    n = feats.shape[0]
-    pj = jnp.asarray(rng.integers(0, n, size=batch), jnp.int32)
+    kv_block = jax.jit(lambda p, f: model.apply(
+        {"params": p}, f, method=model.context_kv_cache))(params, feats)
 
-    kv_row = jax.jit(lambda p, f: model.apply(
-        {"params": p}, f, method=model.context_kv_cache))(params, feats[:1])
-    decode_t = _timed_scan(
-        lambda t, p, kv, j: model.apply(
-            {"params": p}, kv, jnp.take(t, j, axis=0),
-            method=model.score_tokens_row),
-        (tokens, params, kv_row, pj), iters, repeats)
-    decode_rate = batch / decode_t.best
+    def score_rows(p, kvs, t, ri, pj):
+        def body(_, rp):
+            r, pjr = rp
+            kv_r = jax.lax.dynamic_slice_in_dim(kvs, r, 1, axis=1)
+            return _, model.apply({"params": p}, kv_r,
+                                  jnp.take(t, pjr, axis=0),
+                                  method=model.score_tokens_row)
 
-    return full_rate, decode_rate, full_t, decode_t
+        _, out = jax.lax.scan(body, 0, (ri, pj))
+        return out
+
+    jrows = jax.jit(score_rows)
+    # flagship: production geometry (64 rows x 64-pair chunks = 4096
+    # pairs/dispatch); small config: fewer rows, full-batch chunks, so a
+    # dispatch stays ~0.5 s
+    n_rows = 64 if img_size >= 512 else 16
+    chunk = 64 if img_size >= 512 else batch
+
+    def make_args(k):
+        r = np.random.default_rng(100 + k)
+        return (params, kv_block, tokens,
+                jnp.asarray(r.integers(0, batch, size=n_rows), jnp.int32),
+                jnp.asarray(r.integers(0, batch, size=(n_rows, chunk)),
+                            jnp.int32))
+
+    decode_t = _timed_pipelined(jrows, make_args, 12, groups=4, per_group=3)
+    decode_rate = (n_rows * chunk) / decode_t.best
+
+    return full_rate, decode_rate, full_t, decode_t, n_rows * chunk
 
 
 # Decoder FLOPs per pair at patch16_512 (ViT-S 12 cross blocks, 1025 query
@@ -243,21 +301,21 @@ def main():
     # decode) get extra timed dispatches: the min-estimator's tail risk is
     # the only thing that can flip vs_baseline at a ~1.4% margin, and each
     # warm dispatch costs ~1-2 s (10 repeats adds ~20 s to the whole run)
-    full_64, decode_64, full_64_t, _ = bench_pair_forwards(
+    full_64, decode_64, full_64_t, _, _ = bench_pair_forwards(
         img_size=64, patch_size=8, depth=8, c_depth=8, embed_dim=384,
         num_heads=12, num_classes=4, batch=512, repeats=10)
     print(f"patch8_64:  full={full_64 / n_chips:.1f} "
           f"decode-only={decode_64 / n_chips:.1f} pair-fwd/s/chip "
           f"(spread {full_64_t.spread_pct:.1f}%)", file=sys.stderr)
 
-    full_512, decode_512, _, decode_512_t = bench_pair_forwards(
+    full_512, decode_512, _, decode_512_t, disp_512 = bench_pair_forwards(
         img_size=512, patch_size=16, depth=12, c_depth=12, embed_dim=384,
         num_heads=6, num_classes=1, batch=64, repeats=10)
     decode_tfs = decode_512 / n_chips * DECODE_GFLOPS_PATCH16_512 / 1000.0
     mfu = decode_tfs / V5E_BF16_PEAK_TFLOPS
     print(f"patch16_512: full={full_512 / n_chips:.1f} "
           f"decode-only={decode_512 / n_chips:.1f} pair-fwd/s/chip "
-          f"(median {64 / decode_512_t.median / n_chips:.1f}, spread "
+          f"(median {disp_512 / decode_512_t.median / n_chips:.1f}, spread "
           f"{decode_512_t.spread_pct:.1f}%; {DECODE_GFLOPS_PATCH16_512} "
           f"GF/pair -> {decode_tfs:.1f} TF/s effective, {mfu * 100:.1f}% MFU "
           f"of {V5E_BF16_PEAK_TFLOPS} TF/s bf16 peak)", file=sys.stderr)
@@ -265,7 +323,7 @@ def main():
     try:
         # deployment mode: TPU.FAST_GELU (tanh) — not bit-parity with the
         # reference's exact-erf GELU, reported as a secondary number
-        _, decode_fast, _, _ = bench_pair_forwards(
+        _, decode_fast, _, _, _ = bench_pair_forwards(
             img_size=512, patch_size=16, depth=12, c_depth=12, embed_dim=384,
             num_heads=6, num_classes=1, batch=64, fast_gelu=True)
         fast_mfu = (decode_fast / n_chips * DECODE_GFLOPS_PATCH16_512
@@ -312,10 +370,11 @@ def main():
         "value": round(value, 2),
         "unit": "pairs/s/chip",
         "vs_baseline": round(vs, 4),
-        # variance accounting (VERDICT r4 weak-2): best-of-10 is the
+        # variance accounting (VERDICT r4 weak-2): best group of 4x3
+        # production-pipelined dispatches (4096 pairs each) is the
         # headline estimator; median + spread expose tunnel-noise days
-        "estimator": "best-of-10",
-        "value_median": round(64 / decode_512_t.median / n_chips, 2),
+        "estimator": "best-of-4x3-pipelined-dispatches",
+        "value_median": round(disp_512 / decode_512_t.median / n_chips, 2),
         "spread_pct": round(decode_512_t.spread_pct, 2),
     }))
 
