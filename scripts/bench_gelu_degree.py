@@ -1,12 +1,26 @@
-"""Measure the decode impact of the minimal-degree bit-exact erfc fits.
+"""Measure the decode impact of the round-5 minimal-degree erfc chain.
 
-scripts/fit_gelu_poly.py found that the shipped degree-10 central /
-degree-10 tail polynomials in ops/gelu.py have spare accuracy: central
-degree 9 + tail degree 8 still pass the exhaustive 65536-input bitwise
-check vs lax.erfc (3 fewer VPU FMAs per hidden element in every fc2
-fusion of the decode).  This script re-verifies the exhaustive check on
-the REAL backend, then A/B-measures the flagship decode rate with the
-production multi-row schedule.
+scripts/fit_gelu_poly.py found the round-2 erfc (degree-10 central poly +
+degree-10 scaled-u tail) had spare accuracy under the exhaustive
+65536-input bitwise oracle: central passes at degree 8 after oracle-
+guided coefficient refinement, the z-form tail at degree 8, and the
+tail in its asymptotic variable w = 1/u^2 at degree THREE. ops/gelu.py
+now ships degree-8 central + degree-8 z-form tail (~18 FMAs + exp2,
+down from ~23).
+
+Why not the w-form? Fewer FMAs but ONE f32 divide — and on the chip the
+divide costs more than the seven FMAs it saves (TPU f32 division is a
+multi-pass VPU sequence). Round-5 same-day measurements, production
+multi-row schedule, spreads 0.0-0.1%:
+
+    retired 10/10 z-form chain   : 1,079.1-1,079.7 pairs/s
+    central 9 + tail 8 z-form    : 1,101.0 pairs/s (+1.97%)
+    central 8 + w-form 3 (divide): 1,090.5 pairs/s (+1.06%) — REFUSED
+    shipped central 8 + tail 8   : see run output
+
+This script re-verifies the exhaustive bitwise check on the REAL
+backend, then A/B-measures the retired round-2 chain (reconstructed
+locally) vs the shipped one.
 """
 
 import os
@@ -21,38 +35,52 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# degree-9 central / degree-8 tail fits (scripts/fit_gelu_poly.py output)
-CENTRAL_9 = (
-    1.1283791324344097,
-    -0.376124028500445,
-    0.11282146497007951,
-    -0.026824271269082278,
-    0.005170509654640366,
-    -0.0008154072167979049,
-    0.00010243830370133255,
-    -9.51539404137054e-06,
-    5.678221080856205e-07,
-    -1.5965741085201898e-08,
+# The RETIRED round-2 coefficients (degree-10 central, degree-10 tail in
+# z = (u - 5.925)/3.775), kept here so the A/B stays reproducible.
+CENTRAL_10 = (
+    1.128379157327484,
+    -0.37612594026672824,
+    0.11283464216109934,
+    -0.026856775950366136,
+    0.005210026991203056,
+    -0.0008425888303991454,
+    0.00011372000286070129,
+    -1.2396889892820672e-05,
+    1.0108258427126519e-06,
+    -5.356591074518983e-08,
+    1.3534507450273756e-09,
 )
-TAIL_8 = (
-    0.09391770142781804,
-    -0.058192865893360105,
-    0.03570651911739498,
-    -0.022298662314569763,
-    0.012920640648579028,
-    -0.005017068929615902,
-    0.003624703771738232,
-    -0.005682589151180357,
-    0.0028841162427360985,
+TAIL_10_Z = (
+    0.09392002877070377,
+    -0.05825032949372874,
+    0.03565594311410055,
+    -0.021452046041262322,
+    0.012911018961654263,
+    -0.008280547812929978,
+    0.004570889044909737,
+    -0.0011111130955624548,
+    0.0009572567150144008,
+    -0.0021086644129196842,
+    0.0010474100578767717,
 )
 
 
-def exhaustive_ok():
-    from vit_ed_tpu.ops import gelu as G
+def _retired_erfc_f32(uf):
+    from vit_ed_tpu.ops.gelu import _horner, _UMAX, _TAIL_LO, _TAIL_HI, \
+        _LOG2E
 
+    uc = jnp.clip(uf, -_UMAX, _UMAX)
+    central = 1.0 - uc * _horner(uc * uc, CENTRAL_10)
+    ut = jnp.clip(uf, _TAIL_LO, _TAIL_HI)
+    z = (ut - jnp.float32(5.925)) * jnp.float32(1.0 / 3.775)
+    tail = jnp.exp2((ut * ut) * jnp.float32(-_LOG2E)) * _horner(z, TAIL_10_Z)
+    return jnp.where(uf > _TAIL_LO, tail, central)
+
+
+def exhaustive_ok(erfc_bf16_fn):
     bits = np.arange(65536, dtype=np.uint16)
     u = jax.lax.bitcast_convert_type(jnp.asarray(bits), jnp.bfloat16)
-    ours = jax.jit(G.erfc_bf16)(u)
+    ours = jax.jit(erfc_bf16_fn)(u)
     xla = jax.jit(jax.lax.erfc)(u)
     ob = np.asarray(jax.lax.bitcast_convert_type(ours, jnp.uint16))
     xb = np.asarray(jax.lax.bitcast_convert_type(xla, jnp.uint16))
@@ -123,24 +151,28 @@ def main():
     kv_rows = jax.jit(lambda p, f: model.apply(
         {"params": p}, f, method=model.context_kv_cache))(params, feats)
 
-    assert exhaustive_ok() == 0, "shipped erfc not bit-exact on this backend"
-    r_shipped = measure(model, params, kv_rows, tokens, nimg,
-                        "shipped  degree 10/10")
+    n = exhaustive_ok(G.erfc_bf16)
+    print(f"shipped erfc exhaustive mismatches on this backend: {n}",
+          flush=True)
+    assert n == 0
+    n = exhaustive_ok(
+        lambda u: _retired_erfc_f32(u.astype(jnp.float32))
+        .astype(jnp.bfloat16))
+    print(f"retired 10/10 chain mismatches on this backend: {n}", flush=True)
 
-    # swap in the minimal-degree coefficients and re-trace
-    old_c, old_t = G._CENTRAL, G._TAIL
-    G._CENTRAL, G._TAIL = CENTRAL_9, TAIL_8
+    # retired chain first (monkeypatch the core), then the shipped one
+    new_core = G._erfc_f32
+    G._erfc_f32 = _retired_erfc_f32
     jax.clear_caches()
     try:
-        n = exhaustive_ok()
-        print(f"minimal 9/8 exhaustive mismatches on this backend: {n}",
-              flush=True)
-        assert n == 0
-        r_min = measure(model, params, kv_rows, tokens, nimg,
-                        "minimal  degree  9/8 ")
-        print(f"speedup: {r_min / r_shipped:.4f}x", flush=True)
+        r_old = measure(model, params, kv_rows, tokens, nimg,
+                        "retired 10/10 z-form")
     finally:
-        G._CENTRAL, G._TAIL = old_c, old_t
+        G._erfc_f32 = new_core
+    jax.clear_caches()
+    r_new = measure(model, params, kv_rows, tokens, nimg,
+                    "shipped  central 8 + tail 8")
+    print(f"speedup: {r_new / r_old:.4f}x", flush=True)
 
 
 if __name__ == "__main__":

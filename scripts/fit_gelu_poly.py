@@ -121,13 +121,16 @@ def fit_central_weighted(degree):
     """Least-squares fit weighted by the ACTUAL bf16 error budget: the
     requirement is tight only where erfc(+u) is small (near u = 2.2);
     for negative u the output sits near 2.0 where bf16 grants ~2^-9
-    absolute slack. P(s) is shared between +-u, so weight by the positive
-    side's budget."""
+    absolute slack. P(s) is shared between +-u, so each s takes the
+    tighter of the two sides' budgets that actually EVALUATE there:
+    the positive side only consults central for u <= TAIL_LO, so for
+    s > TAIL_LO^2 only the (loose) negative side matters."""
     u = cheb_nodes(1e-8, UMAX, 6000)
     s = u * u
     y = (1.0 - erfc64(u)) / u
-    # error in erfc at +u from poly error dP: |u * dP|; budget tol(u)
-    tol = np.maximum(_bf16_half_ulp(erfc64(u)), 1e-12)
+    tol_pos = np.maximum(_bf16_half_ulp(erfc64(u)), 1e-12)
+    tol_neg = np.maximum(_bf16_half_ulp(erfc64(-u)), 1e-12)
+    tol = np.where(u <= TAIL_LO, np.minimum(tol_pos, tol_neg), tol_neg)
     w = u / tol  # rows scaled so residual_i * w_i ~ fraction of budget
     V = np.vander(s, degree + 1, increasing=True)
     c, *_ = np.linalg.lstsq(V * w[:, None], y * w, rcond=None)
@@ -150,14 +153,18 @@ def fit_tail_weighted(degree):
     return c
 
 
-def refine(central, tail, max_rounds=40):
+def refine(central, tail, max_rounds=40, touch=("central", "tail")):
     """Oracle-guided coordinate descent: nudge each f32 coefficient by
-    +-k ulps to reduce the exhaustive mismatch count."""
+    +-k ulps to reduce the exhaustive mismatch count. ``touch`` limits
+    which branch's coefficients may move (so a refined central can be
+    paired with an UNrefined tail and vice versa)."""
     central = [np.float32(v) for v in central]
     tail = [np.float32(v) for v in tail]
     best_n, _ = check(central, tail)
     if best_n == 0:
         return central, tail, 0
+    movable = [c for name, c in (("central", central), ("tail", tail))
+               if name in touch]
     def step_ulps(v, k):
         tgt = np.float32(np.inf) if k > 0 else np.float32(-np.inf)
         for _ in range(abs(k)):
@@ -166,7 +173,7 @@ def refine(central, tail, max_rounds=40):
 
     for _ in range(max_rounds):
         improved = False
-        for coefs in (central, tail):
+        for coefs in movable:
             for i in range(len(coefs)):
                 base = coefs[i]
                 for ulps in (1, -1, 2, -2, 4, -4, 8, -8, 16, -16):
@@ -232,7 +239,180 @@ def search_weighted():
             print(")")
 
 
+def fit_tail_w(degree):
+    """Asymptotic-form tail: S(w) = erfc(u) * exp(u^2) * u * sqrt(pi),
+    fitted as a polynomial in w = 1/u^2 over u in [2.15, 9.7] (relative
+    weighting). S is the truncated-asymptotic-series shape (S -> 1 as
+    w -> 0) — far better conditioned than any fit in u or z."""
+    u = cheb_nodes(2.15, 9.7, 6000)
+    w = 1.0 / (u * u)
+    tgt = erfc64(u) * np.exp(u.astype(np.float64) ** 2) * u * np.sqrt(np.pi)
+    V = np.vander(w, degree + 1, increasing=True)
+    wt = 1.0 / tgt
+    c, *_ = np.linalg.lstsq(V * wt[:, None], tgt * wt, rcond=None)
+    return c
+
+
+def make_erfc_w(central, tail_w):
+    """erfc with the asymptotic w-form tail: needs one reciprocal, no
+    z-transform; sqrt(pi) is folded into the polynomial target so the
+    final combine is exp2(-u^2*log2e) * r * S(r^2)."""
+    inv_sqrt_pi = 1.0 / np.sqrt(np.pi)
+
+    def _erfc_f32(uf):
+        uc = jnp.clip(uf, -UMAX, UMAX)
+        cen = 1.0 - uc * _horner(uc * uc, central)
+        ut = jnp.clip(uf, TAIL_LO, TAIL_HI)
+        r = jnp.float32(1.0) / ut
+        s = _horner(r * r, tail_w)
+        tl = jnp.exp2((ut * ut) * jnp.float32(-LOG2E)) \
+            * (r * jnp.float32(inv_sqrt_pi)) * s
+        return jnp.where(uf > TAIL_LO, tl, cen)
+
+    def erfc_bf16(u):
+        return _erfc_f32(u.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    return erfc_bf16
+
+
+def check_w(central, tail_w):
+    u = all_bf16()
+    ours = jax.jit(make_erfc_w(central, tail_w))(u)
+    xla = jax.jit(jax.lax.erfc)(u)
+    ob = np.asarray(jax.lax.bitcast_convert_type(ours, jnp.uint16))
+    xb = np.asarray(jax.lax.bitcast_convert_type(xla, jnp.uint16))
+    nan = np.asarray(jnp.isnan(ours) & jnp.isnan(xla))
+    diff = (ob != xb) & ~nan
+    return int(diff.sum()), np.asarray(u.astype(jnp.float32))[diff][:8]
+
+
+def refine_w(central, tail_w, max_rounds=60):
+    """Coordinate descent on the w-form tail coefficients only."""
+    central = [np.float32(v) for v in central]
+    tail_w = [np.float32(v) for v in tail_w]
+    best_n, _ = check_w(central, tail_w)
+    if best_n == 0:
+        return tail_w, 0
+
+    def step_ulps(v, k):
+        tgt = np.float32(np.inf) if k > 0 else np.float32(-np.inf)
+        for _ in range(abs(k)):
+            v = np.nextafter(np.float32(v), tgt)
+        return np.float32(v)
+
+    for _ in range(max_rounds):
+        improved = False
+        for i in range(len(tail_w)):
+            base = tail_w[i]
+            for ulps in (1, -1, 2, -2, 4, -4, 8, -8, 16, -16):
+                tail_w[i] = step_ulps(base, ulps)
+                n, _ = check_w(central, tail_w)
+                if n < best_n:
+                    best_n = n
+                    improved = True
+                    break
+                tail_w[i] = base
+            if best_n == 0:
+                return tail_w, 0
+        if not improved:
+            break
+    return tail_w, best_n
+
+
+def search_tail_w(central):
+    print("== asymptotic w-form tail (central fixed) ==")
+    for d in range(3, 9):
+        t = fit_tail_w(d)
+        n, ex = check_w(central, t)
+        msg = f"tail_w degree {d}: {n} mismatches {ex if n else ''}"
+        if n and n <= 8:
+            t2, n2 = refine_w(central, t)
+            msg += f" -> refined {n2}"
+            if n2 == 0:
+                t = t2
+                n = 0
+        print(msg, flush=True)
+        if n == 0:
+            print("_TAIL_W = (")
+            for v in t:
+                print(f"    {float(v)!r},")
+            print(")")
+            return t
+    return None
+
+
+def push_low_degrees():
+    """Drive central 8/7 and tail 7/6 to zero mismatches if possible:
+    try plain + weighted starts, refine each by oracle-guided coordinate
+    descent, print any that reach zero."""
+    found = {}
+    t_safe = fit_tail(8)
+    for d in (8, 7):
+        for name, fit in (("plain", fit_central), ("weighted",
+                                                   fit_central_weighted)):
+            c = fit(d)
+            n0, _ = check(c, t_safe)
+            c2, _, n = refine(list(c), list(t_safe), max_rounds=60,
+                              touch=("central",))
+            print(f"central {d} {name}: {n0} -> {n} mismatches", flush=True)
+            if n == 0:
+                found[("central", d)] = c2
+                break
+        if ("central", d) not in found:
+            break
+    c_best = found.get(("central", 8), fit_central(9))
+    if ("central", 7) in found:
+        c_best = found[("central", 7)]
+    for d in (7, 6):
+        for name, fit in (("plain", fit_tail), ("weighted",
+                                                fit_tail_weighted)):
+            t = fit(d)
+            n0, _ = check(c_best, t)
+            _, t2, n = refine(list(c_best), list(t), max_rounds=60,
+                              touch=("tail",))
+            print(f"tail {d} {name}: {n0} -> {n} mismatches", flush=True)
+            if n == 0:
+                found[("tail", d)] = t2
+                break
+        if ("tail", d) not in found:
+            break
+    t_best = found.get(("tail", 7), t_safe)
+    if ("tail", 6) in found:
+        t_best = found[("tail", 6)]
+    n, _ = check(c_best, t_best)
+    print(f"\nbest combined: central deg {len(c_best) - 1} "
+          f"tail deg {len(t_best) - 1}: {n} mismatches")
+    if n == 0:
+        print("_CENTRAL = (")
+        for v in c_best:
+            print(f"    {float(v)!r},")
+        print(")")
+        print("_TAIL = (")
+        for v in t_best:
+            print(f"    {float(v)!r},")
+        print(")")
+
+
+CENTRAL_8_REFINED = (
+    1.1283787488937378,
+    -0.37611010670661926,
+    0.11274580657482147,
+    -0.026676220819354057,
+    0.005029051564633846,
+    -0.0007404626230709255,
+    7.929230196168646e-05,
+    -5.369741757021984e-06,
+    1.6877005748483498e-07,
+)
+
+
 def main():
+    if "--tail-w" in sys.argv:
+        search_tail_w(CENTRAL_8_REFINED)
+        return
+    if "--push" in sys.argv:
+        push_low_degrees()
+        return
     if "--weighted" in sys.argv:
         search_weighted()
         return

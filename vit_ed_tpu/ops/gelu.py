@@ -26,12 +26,20 @@ tracks the jitted baseline to within that ambiguity (<=1 input differing,
 by one ulp; asserted in tests).
 
 Structure (all f32 math, one final rounding to bf16):
-  - central ``|u| <= 2.37``: erfc(u) = 1 - u * P(u^2), P a degree-10
-    least-squares fit on Chebyshev nodes (max abs error ~1e-7 — bf16
-    needs ~8e-6 at the tightest point, erfc(2.2) ~ 0.0019);
-  - tail ``u > 2.2``: erfc(u) = exp(-u^2)/(u*sqrt(pi)) * S(1/u^2), S a
-    degree-5 fit over u in [2.15, 9.7] (relative error ~1e-5 — bf16
-    needs 2^-9). The exp tail is required because bf16's f32 exponent
+  - central ``|u| <= 2.37``: erfc(u) = 1 - u * P(u^2), P a degree-8
+    least-squares fit on Chebyshev nodes, coefficient-refined by
+    coordinate descent against the exhaustive oracle (the plain lstsq
+    fit fails ONE of 65536 inputs; one-ulp coefficient nudges fix it —
+    scripts/fit_gelu_poly.py ``--push``);
+  - tail ``u > 2.2``: erfc(u) = exp(-u^2) * T(z), T a degree-8
+    relative-accuracy fit of erfc(u)*exp(u^2) in the scaled variable
+    z = (u - 5.925)/3.775 over u in [2.15, 9.7]. The asymptotic
+    variable w = 1/u^2 passes the exhaustive check at degree THREE
+    (S(w) is erfc's own asymptotic-series shape), but the f32 divide
+    it needs measured SLOWER end-to-end than the seven Horner FMAs it
+    saves (flagship decode 1,090.5 vs 1,101.0 pairs/s —
+    scripts/bench_gelu_degree.py; TPU f32 division is a multi-pass VPU
+    sequence). The exp tail is required because bf16's f32 exponent
     range represents erfc down to ~9e-41 (u ~ 9.6) and jax.nn.gelu
     produces those values (gelu(x) is nonzero down to x ~ -13);
   - ``u < -2.37``: erfc rounds to exactly 2.0 in bf16 (erfc(-2.37) =
@@ -39,9 +47,13 @@ Structure (all f32 math, one final rounding to bf16):
   - ``u > 9.6``: erfc < 4.6e-41 rounds to bf16 +0, which the clamped
     tail branch produces.
 
-The elementwise chain is ~12 FMAs + one exp + one reciprocal + selects,
-which XLA fuses into the surrounding matmul exactly like the erfc it
-replaces, minus most of the VPU work.
+The elementwise chain is ~18 FMAs + one exp2 + selects (down from ~23 in
+round 2), which XLA fuses into the surrounding matmul exactly like the
+erfc it replaces, minus most of the VPU work. Measured on the flagship
+decode (the GELU sits in every fc2 fusion): the round-5 degree
+reduction alone is worth ~2% end-to-end (scripts/bench_gelu_degree.py,
+same-day A/B: 1,079.7 -> 1,101.0 pairs/s for the 9/8 step; the shipped
+8/8 adds one more FMA saving).
 """
 
 from __future__ import annotations
@@ -51,41 +63,39 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-# Degree-10 fit of erf(u)/u in s = u^2 on Chebyshev nodes over |u| <= 2.37
-# (leading coefficient is 2/sqrt(pi); see tests/test_gelu.py for the
+# Degree-8 fit of erf(u)/u in s = u^2 on Chebyshev nodes over |u| <= 2.37
+# (leading coefficient is 2/sqrt(pi)), coefficient-refined by oracle-
+# guided coordinate descent to zero exhaustive mismatches
+# (scripts/fit_gelu_poly.py --push; see tests/test_gelu.py for the
 # exhaustive verification that regenerating these is unnecessary).
 _CENTRAL = (
-    1.128379157327484,
-    -0.37612594026672824,
-    0.11283464216109934,
-    -0.026856775950366136,
-    0.005210026991203056,
-    -0.0008425888303991454,
-    0.00011372000286070129,
-    -1.2396889892820672e-05,
-    1.0108258427126519e-06,
-    -5.356591074518983e-08,
-    1.3534507450273756e-09,
+    1.1283787488937378,
+    -0.37611010670661926,
+    0.11274580657482147,
+    -0.026676220819354057,
+    0.005029051564633846,
+    -0.0007404626230709255,
+    7.929230196168646e-05,
+    -5.369741757021984e-06,
+    1.6877005748483498e-07,
 )
 
-# Degree-10 relative-accuracy fit of T(u) = erfc(u) * exp(u^2) in the
-# scaled variable z = (u - 5.925) / 3.775 over u in [2.15, 9.7]. The
-# scaled variable keeps f32 Horner conditioned (a monomial fit in u over
-# this range loses ~3 digits to cancellation and fails the exhaustive
-# check); the direct T(u) form needs NO reciprocal, unlike the classic
-# exp(-u^2)/(u*sqrt(pi)) * S(1/u^2) factoring.
+# Degree-8 relative-accuracy fit of T(u) = erfc(u) * exp(u^2) in the
+# scaled variable z = (u - 5.925) / 3.775 over u in [2.15, 9.7] (down
+# from the round-2 degree 10; scripts/fit_gelu_poly.py). The scaled
+# variable keeps f32 Horner conditioned AND needs no division — the
+# divide of the otherwise-optimal asymptotic w = 1/u^2 form measured
+# slower than the seven FMAs it saves (see module docstring).
 _TAIL = (
-    0.09392002877070377,
-    -0.05825032949372874,
-    0.03565594311410055,
-    -0.021452046041262322,
-    0.012911018961654263,
-    -0.008280547812929978,
-    0.004570889044909737,
-    -0.0011111130955624548,
-    0.0009572567150144008,
-    -0.0021086644129196842,
-    0.0010474100578767717,
+    0.09391770142781804,
+    -0.058192865893360105,
+    0.03570651911739498,
+    -0.022298662314569763,
+    0.012920640648579028,
+    -0.005017068929615902,
+    0.003624703771738232,
+    -0.005682589151180357,
+    0.0028841162427360985,
 )
 _TAIL_MU = 5.925
 _TAIL_INV_SIG = 1.0 / 3.775
