@@ -87,6 +87,31 @@ def test_row_shared_matches_mixed_schedule(setup, tmp_path):
     np.testing.assert_allclose(d_row, d_mixed, atol=1e-6)
 
 
+def test_token_cache_matches_streaming(setup, tmp_path):
+    """The device-resident x2 token cache (round 5: decode + upload +
+    prepare each column image ONCE instead of once per row block) must
+    produce the same matrix as the streaming path — identical per-pair
+    math, only the column tokens' residency changes."""
+    model, params, imgs = setup
+    mesh = create_mesh()
+    ds = ArrayDataset(imgs)
+    scorer = PairwiseScorer(model, params, mesh, num_outputs=1,
+                            pair_chunk=16)
+    s_stream = scorer.score_dataset(ds, batch_size=4, num_workers=0,
+                                    token_cache=False)
+    s_cache = scorer.score_dataset(ds, batch_size=4, num_workers=0,
+                                   token_cache=True)
+    np.testing.assert_array_equal(s_stream, s_cache)
+    # auto mode enables the cache at this tiny size (fits any budget)
+    s_auto = scorer.score_dataset(ds, batch_size=4, num_workers=0)
+    np.testing.assert_array_equal(s_stream, s_auto)
+    # and the slab-on-disk + resume path composes with the cache
+    rows_disk, _ = scorer.score_dataset(
+        ds, batch_size=4, num_workers=0, out_dir=str(tmp_path), tag="tc",
+        assemble=False, slab_on_disk=True, token_cache=True)
+    np.testing.assert_array_equal(np.asarray(rows_disk), s_stream)
+
+
 def test_resume_from_cached_blocks(setup, tmp_path):
     model, params, imgs = setup
     mesh = create_mesh()

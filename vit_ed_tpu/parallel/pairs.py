@@ -289,12 +289,20 @@ class PairwiseScorer:
         return outs
 
     # ------------------------------------------------------------------
+    def _token_cache_bytes(self, n_imgs: int) -> int:
+        """Device bytes of a full x2-token cache: [n, num_patches + 1, C]
+        in the compute dtype (replicated per device)."""
+        m = self.model
+        return (n_imgs * (getattr(m, "num_patches", 1024) + 1)
+                * getattr(m, "embed_dim", 384) * jnp.dtype(m.dtype).itemsize)
+
     def score_dataset(self, dataset, batch_size: int, logger=None,
                       out_dir: Optional[str] = None, tag: str = "test",
                       rank: int = 0, world_size: int = 1,
                       resume: bool = True, print_freq: int = 10,
                       num_workers: int = 8, assemble: bool = True,
-                      slab_on_disk: bool = False):
+                      slab_on_disk: bool = False,
+                      token_cache: Optional[bool] = None):
         """Compute the full upper-triangular pair score matrix for a dataset
         of N images.
 
@@ -319,6 +327,18 @@ class PairwiseScorer:
         ``.npz`` caches, no second copy of the scores on disk). The
         returned ``rows_scores`` is the memmap; consume it in row blocks
         (as hisfrag._test_sharded does) to keep the O(batch) envelope.
+
+        ``token_cache`` (row-sharded schedule only): precompute the
+        prepared x2 tokens for ALL N images ONCE, device-resident, and
+        index them per pair chunk — instead of re-decoding, re-uploading
+        and re-preparing each column image once per row block it appears
+        in (~N/(2*batch) times; the round-5 N=2k scan measured the scan
+        host-feed-bound at 84% of the kernel bench because of exactly
+        this). ``None`` (default) auto-enables when the cache fits the
+        ``VIT_ED_EVAL_TOKEN_CACHE_GB`` budget (default 4 GiB — N=2k at
+        patch16_512 is 1.57 GiB; real HisFrag20 N~20k is 15.7 GiB and
+        falls back to streaming); ``True`` forces it (caller owns HBM
+        accounting), ``False`` disables.
         """
         n = len(dataset)
         # the row-sharded schedule keeps the row block's context_kv cache
@@ -421,8 +441,39 @@ class PairwiseScorer:
         prefetch_pool = _TPE(max_workers=1)
         submit_load = (lambda idx: prefetch_pool.submit(load_images, idx))
 
+        use_token_cache = token_cache
+        if use_token_cache is None:
+            budget = int(float(os.environ.get(
+                "VIT_ED_EVAL_TOKEN_CACHE_GB", "4")) * (1 << 30))
+            use_token_cache = (row_shared
+                               and self._token_cache_bytes(n) <= budget)
+        use_token_cache = bool(use_token_cache) and row_shared
+
         try:
             start = time.time()
+            tok_cache = None
+            if use_token_cache:
+                # one pass over the dataset: decode + upload + prepare each
+                # image ONCE; every later pair chunk indexes the device-
+                # resident cache (jnp.take inside score_tokens_row)
+                t0 = time.time()
+                parts = []
+                fut = submit_load(list(range(0, min(batch_size, n))))
+                for j0 in range(0, n, batch_size):
+                    j1 = min(j0 + batch_size, n)
+                    imgs = fut.result()
+                    if j1 < n:
+                        fut = submit_load(
+                            list(range(j1, min(j1 + batch_size, n))))
+                    parts.append(self._prepare(
+                        self.params, self._pad_batch(imgs))[: j1 - j0])
+                tok_cache = jnp.concatenate(parts, axis=0)
+                del parts
+                if logger:
+                    logger.info(
+                        f"x2 token cache: {n} images, "
+                        f"{self._token_cache_bytes(n) / (1 << 30):.2f} GiB "
+                        f"device-resident, built in {time.time() - t0:.0f}s")
             for bi, rows in enumerate(row_blocks):
                 if slab_on_disk:
                     # the memmap itself is the persistent score store; a
@@ -463,6 +514,33 @@ class PairwiseScorer:
                 feats = self._encode(self.params, self._pad_batch(imgs))
                 ctx = (self._context_kv(self.params, feats)
                        if (self.use_kv_cache or row_shared) else feats)
+
+                if tok_cache is not None:
+                    # device-resident column tokens: the whole block is
+                    # pure device work — each row's full upper-triangle
+                    # column range, chunked and pipelined by
+                    # score_rows_block, gathers from the cache
+                    rows_cols = [(i - i0, np.arange(i, n))
+                                 for i in range(rows.start, rows.stop)]
+                    outs = self.score_rows_block(ctx, tok_cache, rows_cols)
+                    for (li, cols), scores in zip(rows_cols, outs):
+                        slab[li + i0 - r0, cols] = scores.astype(self.dtype)
+                    if blk_path:
+                        if slab_on_disk:
+                            slab.flush()
+                            with open(blk_path, "w"):
+                                pass
+                        else:
+                            np.savez_compressed(
+                                blk_path,
+                                scores=slab[rows.start - r0:rows.stop - r0])
+                    if logger and bi % print_freq == 0:
+                        frac = (bi + 1) / max(len(row_blocks), 1)
+                        elapsed = time.time() - start
+                        logger.info(
+                            f"Pairwise scan [{bi + 1}/{len(row_blocks)} row "
+                            f"blocks] eta {elapsed / frac - elapsed:.0f}s")
+                    continue
 
                 # stream x2 column batches from the diagonal onward,
                 # double-buffered: batch j0 scores while j0+batch decodes
