@@ -451,6 +451,7 @@ class PairwiseScorer:
 
         try:
             start = time.time()
+            pairs_done = 0  # newly scored pairs (resume-skipped excluded)
             tok_cache = None
             if use_token_cache:
                 # one pass over the dataset: decode + upload + prepare each
@@ -534,12 +535,15 @@ class PairwiseScorer:
                             np.savez_compressed(
                                 blk_path,
                                 scores=slab[rows.start - r0:rows.stop - r0])
+                    pairs_done += int(
+                        np.sum(n - np.arange(rows.start, rows.stop)))
                     if logger and bi % print_freq == 0:
                         frac = (bi + 1) / max(len(row_blocks), 1)
                         elapsed = time.time() - start
                         logger.info(
                             f"Pairwise scan [{bi + 1}/{len(row_blocks)} row "
-                            f"blocks] eta {elapsed / frac - elapsed:.0f}s")
+                            f"blocks] eta {elapsed / frac - elapsed:.0f}s "
+                            f"({pairs_done / max(elapsed, 1e-9):.0f} pairs/s)")
                     continue
 
                 # stream x2 column batches from the diagonal onward,
@@ -600,12 +604,15 @@ class PairwiseScorer:
                         np.savez_compressed(
                             blk_path,
                             scores=slab[rows.start - r0:rows.stop - r0])
+                pairs_done += int(
+                    np.sum(n - np.arange(rows.start, rows.stop)))
                 if logger and bi % print_freq == 0:
                     frac = (bi + 1) / max(len(row_blocks), 1)
                     elapsed = time.time() - start
                     logger.info(
                         f"Pairwise scan [{bi + 1}/{len(row_blocks)} row blocks] "
-                        f"eta {elapsed / frac - elapsed:.0f}s")
+                        f"eta {elapsed / frac - elapsed:.0f}s "
+                        f"({pairs_done / max(elapsed, 1e-9):.0f} pairs/s)")
         finally:
             prefetch_pool.shutdown()
             if loader_pool is not None:
